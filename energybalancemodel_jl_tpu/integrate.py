@@ -1,0 +1,217 @@
+"""The integrate driver — THE entry point.
+
+Rebuild of ``integrate`` (/root/reference/src/infrastructure.jl:615-636).
+The reference's Python-visible hot loop over ``dur*nt`` steps becomes a
+jit-compiled ``lax.scan`` over one year of physics, driven by a host loop
+over years (progress reporting, storage routing). Per-step work is entirely
+on-device; the host sees one dispatch and a few KB of seasonal diagnostics
+per simulated year.
+
+Differences from the reference, by design:
+
+- ``verbose`` is accepted by every model (the reference's classic method
+  doesn't take it and crashes — SURVEY.md §2 "latent classic-path bug"; fixed
+  here, numerics unchanged).
+- ``debug`` is a traceable callable ``(vars, par) -> array`` instead of a
+  Julia ``Expr``; its value is recorded as solution variable ``"debug"``
+  (reference /root/reference/src/infrastructure.jl:358-360).
+- ``raw_mode='none'`` extends ``lastonly`` for ensemble/benchmark runs that
+  need only seasonal storage.
+"""
+from __future__ import annotations
+
+import functools
+import warnings
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .forcing import Forcing
+from .models import base as model_base
+from .models.base import StepConfig, get_model
+from .solutions import Seasonal, Solutions
+from .spacetime import SpaceTime
+from .utils.collection import Collection
+from .utils.progress import Progress
+
+__all__ = ["integrate", "make_year_fn", "default_dtype"]
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@functools.lru_cache(maxsize=64)
+def make_year_fn(
+    model_name: str,
+    st: SpaceTime,
+    cfg: StepConfig,
+    dtype_name: str,
+    collect_raw: bool,
+    debug: Optional[Callable] = None,
+):
+    """Build the pure one-year scan function
+    ``(carry, par, fyear) -> (carry, seasonal, converged, raw_or_None)``.
+
+    ``par`` is traced (ensembles vmap over it without recompiling);
+    the grid, config, and debug hook are static. Cached so repeated
+    ``integrate`` calls and the ensemble layer share tracings.
+    """
+    spec = get_model(model_name)
+    dtype = jnp.dtype(dtype_name)
+    w0 = st.winter_inx - 1  # reference tick indices are 1-based (:573-589)
+    s0 = st.summer_inx - 1
+
+    def scan_step(stat, par, carry, xs):
+        carry, out = spec.step(carry, xs, stat, par, cfg)
+        if debug is not None:
+            out = Collection(out)
+            out["debug"] = debug(out, par)
+        return carry, out
+
+    def year_fn(carry, par, fyear):
+        stat = spec.statics(st, par, dtype)
+        xs = spec.step_inputs(stat, jnp.asarray(fyear, dtype=dtype))
+        carry, ys = lax.scan(
+            lambda c, x: scan_step(stat, par, c, x), carry, xs
+        )
+        ys = Collection(ys)
+        converged = ys.pop("newton_converged", None)
+        seasonal = Seasonal(
+            winter=Collection({k: v[w0] for k, v in ys.items()}),
+            summer=Collection({k: v[s0] for k, v in ys.items()}),
+            avg=Collection({k: jnp.mean(v, axis=0) for k, v in ys.items()}),
+        )
+        return carry, seasonal, converged, (ys if collect_raw else None)
+
+    return year_fn
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug):
+    """Jitted twin of :func:`make_year_fn`, cached so repeated ``integrate``
+    calls reuse compilations."""
+    return jax.jit(make_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug))
+
+
+def integrate(
+    model: str,
+    st: SpaceTime,
+    forcing: Forcing,
+    par: Collection,
+    init: Collection,
+    lastonly: bool = True,
+    debug: Optional[Callable] = None,
+    verbose: bool = False,
+    dtype=None,
+    solver: str = "pcr",
+    raw_mode: Optional[str] = None,
+    progress: Optional[bool] = None,
+    newton_max_iter: int = 30,
+) -> Solutions:
+    """Integrate ``model`` over ``st`` with climate ``forcing``, parameters
+    ``par`` and initial conditions ``init``; results in a :class:`Solutions`.
+
+    ``model`` is ``'MIZ'`` or ``'Classic'``. For ``'MIZ'`` the initial
+    conditions must contain ``Ei, Ew, h, D, phi``; for ``'Classic'``, ``E``
+    and ``Tg`` (reference /root/reference/src/infrastructure.jl:597-613).
+    ``lastonly=True`` stores per-step raw data only for the final year.
+    ``verbose=True`` warns when the MIZ surface-temperature solve fails to
+    converge in a year. ``dtype`` defaults to float64 when x64 is enabled
+    (parity config) else float32 (TPU throughput config); ``solver`` selects
+    the tridiagonal kernel (``'pcr'`` log-depth TPU path, ``'thomas'``
+    sequential).
+    """
+    spec = get_model(model)
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+    missing = [v for v in spec.init_vars if v not in init]
+    if missing:
+        raise ValueError(f"init for model {spec.name!r} is missing {missing}")
+    if raw_mode is None:
+        raw_mode = "last" if lastonly else "all"
+    if raw_mode not in ("last", "all", "none"):
+        raise ValueError(f"raw_mode must be 'last'|'all'|'none', got {raw_mode!r}")
+
+    abstol, reltol = (1e-8, 1e-6) if dtype == jnp.float64 else (3e-4, 1e-4)
+    cfg = StepConfig(
+        solver=solver,
+        newton_max_iter=newton_max_iter,
+        newton_abstol=abstol,
+        newton_reltol=reltol,
+        verbose=verbose,
+    )
+    year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug)
+    year_full = _jitted_year_fn(spec.name, st, cfg, dtype.name, True, debug)
+
+    f_tab = forcing.table(st)
+    par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    carry = spec.init_carry(init, st, dtype)
+
+    if progress is None:
+        progress = True
+    prog = Progress(
+        st.dur * st.nt,
+        "Integrating",
+        infofeed=lambda t: f"t = {round(t, 2)}",
+    ) if progress else None
+    if prog is not None:
+        prog.update(0, feedargs=(0,))
+
+    raw_chunks = []
+    winter_acc, summer_acc, avg_acc = [], [], []
+    for y in range(st.dur):
+        collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
+        fn = year_full if collect else year_seasonal
+        carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
+        winter_acc.append(seasonal.winter)
+        summer_acc.append(seasonal.summer)
+        avg_acc.append(seasonal.avg)
+        if collect:
+            raw_chunks.append(ys)
+        if verbose and converged is not None:
+            conv = np.asarray(converged)
+            if not conv.all():
+                warnings.warn(
+                    f"Solving for T0 failed at {int((~conv).sum())} step(s) of "
+                    f"year {y + 1}."
+                )
+        if prog is not None:
+            prog.update((y + 1) * st.nt, feedargs=(float(st.T[(y + 1) * st.nt - 1]),))
+
+    varnames = list(spec.solution_vars) + (["debug"] if debug is not None else [])
+    if raw_chunks:
+        raw = Collection(
+            {
+                k: np.concatenate([np.asarray(c[k]) for c in raw_chunks], axis=0)
+                for k in varnames
+            }
+        )
+    else:
+        raw = Collection({k: np.zeros((0, st.nx)) for k in varnames})
+
+    def stack(acc):
+        return Collection(
+            {k: np.stack([np.asarray(c[k]) for c in acc], axis=0) for k in varnames}
+        )
+
+    seasonal_store = Seasonal(winter=stack(winter_acc), summer=stack(summer_acc), avg=stack(avg_acc))
+    ts = Solutions.stored_times(st, raw_mode != "all")
+    if raw_mode == "none":
+        ts = np.zeros((0,))
+
+    return Solutions(
+        spacetime=st,
+        ts=ts,
+        forcing=forcing,
+        parameters=Collection(par),
+        initconds=Collection({k: np.asarray(v) for k, v in init.items()}),
+        lastonly=lastonly,
+        debug=debug,
+        raw=raw,
+        seasonal=seasonal_store,
+    )

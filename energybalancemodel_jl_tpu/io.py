@@ -1,0 +1,190 @@
+"""Persistence layer (rebuild of /root/reference/src/io.jl).
+
+The reference serializes whole ``Solutions`` objects to JLD2 (an HDF5
+container). Here the container is plain HDF5 via h5py — self-describing
+groups with a ``__ebm_type__`` tag — with the same safety semantics:
+
+- ``save`` renames an EXISTING file at the target path to
+  ``name_<hexid>.ext`` with a warning before writing (reference :37-52).
+- ``load_into`` houses any existing variable in the safehouse before
+  rebinding it (reference ``load!`` :84-92).
+
+Matplotlib figures save through their own writer (the reference forwards
+``Makie.Figure`` to ``Makie.save``, /root/reference/src/plot.jl:227-233).
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import warnings
+
+import h5py
+import numpy as np
+
+from .forcing import Forcing
+from .solutions import Seasonal, Solutions
+from .spacetime import SpaceTime
+from .utils.collection import Collection
+from .utils.safehouse import house, reprhex, safehouse, unique_id
+
+__all__ = ["save", "load", "load_into", "unsafesave", "unsafeload"]
+
+
+# -- low-level writers ---------------------------------------------------
+
+def _write_collection(grp: h5py.Group, coll) -> None:
+    grp.attrs["__ebm_type__"] = "Collection"
+    for k, v in coll.items():
+        arr = np.asarray(v)
+        grp.create_dataset(str(k), data=arr)
+
+
+def _read_collection(grp: h5py.Group) -> Collection:
+    out = Collection()
+    for k in grp.keys():
+        v = np.asarray(grp[k])
+        out[k] = v.item() if v.ndim == 0 else v
+    return out
+
+
+def _write_solutions(f: h5py.Group, sols: Solutions) -> None:
+    f.attrs["__ebm_type__"] = "Solutions"
+    st = sols.spacetime
+    g = f.create_group("spacetime")
+    g.attrs.update(
+        nx=st.nx, nt=st.nt, dur=st.dur, grid=st.grid,
+        urange=np.asarray(st.urange), winter=st.winter, summer=st.summer,
+    )
+    fo = sols.forcing
+    g = f.create_group("forcing")
+    g.attrs.update(
+        base=fo.base, peak=fo.peak, cool=fo.cool,
+        holdyrs=np.asarray(fo.holdyrs), rates=np.asarray(fo.rates),
+        constant=fo.constant,
+    )
+    f.create_dataset("ts", data=np.asarray(sols.ts))
+    f.attrs["lastonly"] = bool(sols.lastonly)
+    _write_collection(f.create_group("parameters"), sols.parameters)
+    _write_collection(f.create_group("initconds"), sols.initconds)
+    _write_collection(f.create_group("raw"), sols.raw)
+    g = f.create_group("seasonal")
+    for season in ("winter", "summer", "avg"):
+        _write_collection(g.create_group(season), getattr(sols.seasonal, season))
+
+
+def _read_solutions(f: h5py.Group) -> Solutions:
+    a = f["spacetime"].attrs
+    st = SpaceTime(
+        nx=int(a["nx"]), nt=int(a["nt"]), dur=int(a["dur"]), grid=str(a["grid"]),
+        urange=tuple(np.asarray(a["urange"]).tolist()),
+        winter=float(a["winter"]), summer=float(a["summer"]),
+    )
+    a = f["forcing"].attrs
+    if bool(a["constant"]):
+        forcing = Forcing(float(a["base"]))
+    else:
+        forcing = Forcing(
+            float(a["base"]), float(a["peak"]), float(a["cool"]),
+            tuple(int(v) for v in np.asarray(a["holdyrs"])),
+            tuple(float(v) for v in np.asarray(a["rates"])),
+        )
+    seasonal = Seasonal(
+        winter=_read_collection(f["seasonal/winter"]),
+        summer=_read_collection(f["seasonal/summer"]),
+        avg=_read_collection(f["seasonal/avg"]),
+    )
+    return Solutions(
+        spacetime=st,
+        ts=np.asarray(f["ts"]),
+        forcing=forcing,
+        parameters=_read_collection(f["parameters"]),
+        initconds=_read_collection(f["initconds"]),
+        lastonly=bool(f.attrs["lastonly"]),
+        debug=None,
+        raw=_read_collection(f["raw"]),
+        seasonal=seasonal,
+    )
+
+
+# -- public API ----------------------------------------------------------
+
+def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
+    """Write ``obj`` to ``path``, overwriting silently (reference
+    /root/reference/src/io.jl:10-16). Prefer :func:`save`."""
+    if not spwarn:
+        warnings.warn("`unsafesave` may overwrite existing files. Use `save` instead.")
+    try:  # matplotlib figure → its own writer (reference plot.jl:227-233)
+        import matplotlib.figure
+
+        if isinstance(obj, matplotlib.figure.Figure):
+            obj.savefig(path, **kwargs)
+            return path
+    except ImportError:  # pragma: no cover
+        pass
+    with h5py.File(path, "w") as f:
+        if isinstance(obj, Solutions):
+            _write_solutions(f, obj)
+        elif isinstance(obj, dict):
+            _write_collection(f, obj)
+        elif isinstance(obj, str):
+            f.attrs["__ebm_type__"] = "str"
+            f.attrs["value"] = obj
+        else:
+            f.attrs["__ebm_type__"] = "array"
+            f.create_dataset("value", data=np.asarray(obj))
+    return path
+
+
+def save(obj, path: str = None, **kwargs) -> str:
+    """Save ``obj`` to ``path``; an existing file at ``path`` is renamed to
+    ``name_<hexid>.ext`` first, with a warning (reference
+    /root/reference/src/io.jl:37-52)."""
+    if path is None:
+        path = os.path.join(os.getcwd(), f"{reprhex(unique_id())}.dat")
+    if os.path.isfile(path):
+        modified = datetime.datetime.fromtimestamp(os.path.getmtime(path)).astimezone()
+        name, ext = os.path.splitext(path)
+        newpath = f"{name}_{reprhex(unique_id())}{ext}"
+        warnings.warn(
+            f"File {path} already exists. Last modified "
+            f"{modified.strftime('on %d %b %Y at %H:%M:%S')}. "
+            f"The EXISTING file has been renamed to {newpath}."
+        )
+        os.rename(path, newpath)
+    return unsafesave(obj, path, spwarn=True, **kwargs)
+
+
+def unsafeload(path: str, spwarn: bool = False):
+    """Read an object written by :func:`save` (reference
+    /root/reference/src/io.jl:54-59)."""
+    if not spwarn:
+        warnings.warn("`unsafeload` could overwrite existing variables. Use `load` instead.")
+    with h5py.File(path, "r") as f:
+        tag = f.attrs.get("__ebm_type__", "Collection")
+        if tag == "Solutions":
+            return _read_solutions(f)
+        if tag == "str":
+            return str(f.attrs["value"])
+        if tag == "array":
+            return np.asarray(f["value"])
+        return _read_collection(f)
+
+
+def load(path: str):
+    """Load the object stored at ``path``."""
+    return unsafeload(path, spwarn=True)
+
+
+def load_into(name: str, path: str, namespace: dict):
+    """Load the object at ``path`` into ``namespace[name]`` (e.g.
+    ``globals()``); an existing binding is housed in the safehouse first with
+    a warning — rebuild of ``load!`` (/root/reference/src/io.jl:84-92)."""
+    if name in namespace:
+        refugee = house(name, namespace[name], safehouse(namespace))
+        warnings.warn(
+            f"Variable `{name}` already defined. The existing value has been "
+            f"stored in the safehouse with ID {reprhex(refugee.id)}."
+        )
+    loaded = unsafeload(path, spwarn=True)
+    namespace[name] = loaded
+    return loaded

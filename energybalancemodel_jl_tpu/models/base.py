@@ -1,0 +1,72 @@
+"""Model registry — functional analog of the reference's multiple dispatch.
+
+The reference registers physics steppers by defining methods
+``Infrastructure.step!(::Val{:Classic}, ...)`` (/root/reference/src/classic.jl:37)
+and ``Infrastructure.step!(::Val{:MIZ}, ...)`` (/root/reference/src/miz.jl:150).
+Here each model is a :class:`ModelSpec` of pure functions that the integrate
+driver composes into a jitted ``lax.scan``:
+
+- ``statics(st, par, dtype)`` — traced per-run precompute (insolation tables,
+  stencil bands scaled by traced parameters, scalar combos). Runs *inside*
+  jit so parameter ensembles vmap over it with zero recompilation.
+- ``init_carry(init, st, dtype)`` — build the scan carry from user initial
+  conditions.
+- ``step(carry, xs, statics, par, geom, cfg)`` — one physics step:
+  ``(carry, xs) -> (carry, outputs)``.
+- ``step_inputs(statics, fyear)`` — per-step scan inputs for one year.
+- ``solution_vars`` — variables recorded in Solutions storage (reference
+  ``solvars``, /root/reference/src/infrastructure.jl:621-624).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+__all__ = ["ModelSpec", "StepConfig", "register_model", "get_model", "available_models"]
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    """Numerics knobs for a run (static — part of the jit cache key)."""
+
+    solver: str = "pcr"  # tridiagonal solver: 'pcr' (TPU) | 'thomas'
+    newton_max_iter: int = 30
+    newton_abstol: float = 1e-8  # reference reltol/abstol (/root/reference/src/miz.jl:58-59)
+    newton_reltol: float = 1e-6
+    verbose: bool = False  # warn on Newton non-convergence (reference :61-63)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    name: str
+    statics: Callable
+    init_carry: Callable
+    step: Callable
+    step_inputs: Callable
+    solution_vars: Tuple[str, ...]
+    init_vars: Tuple[str, ...]
+
+
+_REGISTRY: Dict[str, ModelSpec] = {}
+
+
+def register_model(spec: ModelSpec) -> ModelSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_model(name: str) -> ModelSpec:
+    """Resolve a model by name.
+
+    ``'MIZ'`` and ``'Classic'`` match the reference's dispatch symbols; for
+    ergonomics ``'classic'`` (the spelling used in the reference docstrings,
+    /root/reference/src/infrastructure.jl:604) is accepted too.
+    """
+    key = {"classic": "Classic", "miz": "MIZ"}.get(name, name)
+    if key not in _REGISTRY:
+        raise ValueError(f"Unknown model {name!r}; available: {sorted(_REGISTRY)}")
+    return _REGISTRY[key]
+
+
+def available_models():
+    return sorted(_REGISTRY)

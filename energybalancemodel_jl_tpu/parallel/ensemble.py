@@ -1,0 +1,198 @@
+"""On-chip parameter ensembles via ``vmap``.
+
+The reference runs parameter sweeps (bifurcation/hysteresis studies over
+D/F/A/B) as sequential ``integrate`` calls; on TPU the 180-point grid is tiny
+(a few KB of state), so the device-utilization lever is batching whole
+ensembles of independent runs into one ``vmap``-ed scan — SURVEY.md §2's
+"batch/ensemble parallelism". A parameter Collection may mix scalars (shared)
+and ``(K,)`` arrays (swept); the per-run statics (insolation tables, implicit
+bands) are traced functions of the parameters, so sweeping any parameter
+needs no recompilation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import itertools
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..forcing import Forcing
+from ..integrate import default_dtype, make_year_fn
+from ..models.base import StepConfig, get_model
+from ..solutions import Seasonal
+from ..spacetime import SpaceTime
+from ..utils.collection import Collection
+
+__all__ = ["EnsembleSolutions", "ensemble_integrate", "sweep", "batched_parameters"]
+
+
+@dataclasses.dataclass
+class EnsembleSolutions:
+    """Results of an ensemble run: ``seasonal.*.VAR`` has shape
+    ``(K, dur, nx)``; ``raw.VAR`` (when collected) ``(K, nt, nx)`` for the
+    final year."""
+
+    spacetime: SpaceTime
+    forcing: Forcing
+    parameters: Collection  # batched: leaves scalar or (K,)
+    n_members: int
+    seasonal: Seasonal
+    raw: Optional[Collection] = None
+
+    def member(self, i: int) -> Collection:
+        """Parameters of member ``i``."""
+        return Collection(
+            {k: (np.asarray(v)[i] if np.ndim(v) > 0 else v) for k, v in self.parameters.items()}
+        )
+
+
+def batched_parameters(base: Collection, sweeps: Dict[str, Sequence[float]]) -> Collection:
+    """Product-grid batched parameters: each swept name gets every
+    combination; shared parameters stay scalar. Returns a Collection whose
+    swept leaves have shape ``(K,)`` with ``K = prod(len(v))``."""
+    names = list(sweeps)
+    grids = list(itertools.product(*[np.asarray(sweeps[n], dtype=np.float64) for n in names]))
+    K = len(grids)
+    out = Collection({k: v for k, v in base.items()})
+    for j, n in enumerate(names):
+        out[n] = np.asarray([g[j] for g in grids], dtype=np.float64)
+    out["__K__"] = K  # popped by ensemble_integrate
+    return out
+
+
+def _param_axes(par: Collection) -> Collection:
+    return Collection({k: (0 if np.ndim(v) > 0 else None) for k, v in par.items()})
+
+
+@dataclasses.dataclass(frozen=True)
+class _AxesKey:
+    items: tuple
+
+
+@functools.lru_cache(maxsize=64)
+def _batched_year_fn(model_name, st, cfg, dtype_name, collect_raw, axes_key, donate):
+    """vmapped + jitted year function, cached across ensemble calls."""
+    fn = make_year_fn(model_name, st, cfg, dtype_name, collect_raw)
+    axes = Collection(dict(axes_key.items))
+    vm = jax.vmap(fn, in_axes=(0, axes, None))
+    return jax.jit(vm, donate_argnums=(0,) if donate else ())
+
+
+def ensemble_integrate(
+    model: str,
+    st: SpaceTime,
+    forcing: Forcing,
+    par: Collection,
+    init: Collection,
+    n_members: Optional[int] = None,
+    raw_mode: str = "none",
+    dtype=None,
+    solver: str = "pcr",
+    newton_max_iter: int = 30,
+    donate: bool = True,
+    jit_wrapper=None,
+) -> EnsembleSolutions:
+    """Integrate an ensemble of independent runs in one vmapped scan.
+
+    ``par`` leaves of shape ``(K,)`` are swept across members; scalars are
+    shared. ``init`` leaves of shape ``(K, nx)`` are per-member, ``(nx,)``
+    shared. ``raw_mode='last'`` additionally collects the final year's raw
+    states per member. ``jit_wrapper`` lets the sharding layer substitute a
+    ``jit`` with in/out shardings (see :mod:`.sharding`).
+    """
+    spec = get_model(model)
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+    par = Collection(par)
+    K = par.pop("__K__", None) or n_members
+    if K is None:
+        sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
+        sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
+        if len(sizes) != 1:
+            raise ValueError("Cannot infer ensemble size; pass n_members")
+        K = sizes.pop()
+
+    abstol, reltol = (1e-8, 1e-6) if dtype == jnp.float64 else (3e-4, 1e-4)
+    cfg = StepConfig(
+        solver=solver, newton_max_iter=newton_max_iter,
+        newton_abstol=abstol, newton_reltol=reltol,
+    )
+    par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    axes = _param_axes(par_j)
+    axes_key = _AxesKey(tuple(sorted(axes.items())))
+
+    if jit_wrapper is not None:
+        def batch(collect_raw):
+            fn = make_year_fn(spec.name, st, cfg, dtype.name, collect_raw)
+            return jit_wrapper(jax.vmap(fn, in_axes=(0, axes, None)))
+    else:
+        def batch(collect_raw):
+            return _batched_year_fn(
+                spec.name, st, cfg, dtype.name, collect_raw, axes_key, donate
+            )
+
+    run_seasonal = batch(False)
+    run_full = batch(True)
+
+    # broadcast initial conditions to (K, nx)
+    carry = spec.init_carry(init, st, dtype)
+    carry = Collection(
+        {
+            k: (v if v.ndim == 2 else jnp.broadcast_to(v, (K,) + v.shape))
+            for k, v in carry.items()
+        }
+    )
+    f_tab = forcing.table(st)
+
+    winter_acc, summer_acc, avg_acc = [], [], []
+    raw = None
+    for y in range(st.dur):
+        collect = raw_mode == "last" and y == st.dur - 1
+        fn = run_full if collect else run_seasonal
+        carry, seasonal, _conv, ys = fn(carry, par_j, f_tab[y])
+        winter_acc.append(seasonal.winter)
+        summer_acc.append(seasonal.summer)
+        avg_acc.append(seasonal.avg)
+        if collect:
+            raw = Collection({k: np.asarray(v) for k, v in ys.items()})
+
+    def stack(acc):
+        # per-year (K, nx) -> (K, dur, nx)
+        return Collection(
+            {
+                k: np.stack([np.asarray(c[k]) for c in acc], axis=1)
+                for k in acc[0].keys()
+            }
+        )
+
+    return EnsembleSolutions(
+        spacetime=st,
+        forcing=forcing,
+        parameters=Collection(par),
+        n_members=int(K),
+        seasonal=Seasonal(stack(winter_acc), stack(summer_acc), stack(avg_acc)),
+        raw=raw,
+    )
+
+
+def sweep(
+    model: str,
+    st: SpaceTime,
+    forcing: Forcing,
+    base_par: Collection,
+    sweeps: Dict[str, Sequence[float]],
+    init: Collection,
+    **kwargs,
+) -> EnsembleSolutions:
+    """Product-grid parameter sweep (bifurcation/hysteresis driver).
+
+    Example: ``sweep('MIZ', st, ramp, par, {'D': np.linspace(0.4, 0.8, 32)},
+    init)`` runs 32 diffusivities as one on-chip ensemble."""
+    return ensemble_integrate(
+        model, st, forcing, batched_parameters(base_par, sweeps), init, **kwargs
+    )

@@ -1,0 +1,120 @@
+"""Multi-chip data parallelism over a device mesh.
+
+The reference has no distributed layer (SURVEY.md §2: no MPI/NCCL/threads);
+the TPU-native scaling axis is the *ensemble*: members are independent, so
+sharding the leading ensemble axis of the vmapped scan over a 1-D
+``jax.sharding.Mesh`` is pure DP — XLA inserts no collectives in the hot
+loop, results gather over ICI only when the host reads them. A ``shard_map``
+training-step variant with a ``psum`` ensemble-mean diagnostic is provided to
+exercise explicit collectives (used by the multi-chip dry run).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..integrate import make_year_fn
+from ..models.base import StepConfig, get_model
+from ..utils.collection import Collection
+from . import ensemble as ens
+
+__all__ = [
+    "ensemble_mesh",
+    "sharded_ensemble_integrate",
+    "shard_map_year_fn",
+]
+
+
+def ensemble_mesh(n_devices: Optional[int] = None, axis: str = "ensemble") -> Mesh:
+    """A 1-D mesh over (the first ``n_devices``) local devices; ensemble
+    members ride the ICI ring."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_ensemble_integrate(
+    model: str,
+    st,
+    forcing,
+    par: Collection,
+    init: Collection,
+    mesh: Optional[Mesh] = None,
+    **kwargs,
+):
+    """Ensemble integration with members sharded across the mesh.
+
+    Same semantics as :func:`..parallel.ensemble.ensemble_integrate`; the
+    batched leading axis (parameters, carry, outputs) is laid out with
+    ``NamedSharding(mesh, P('ensemble'))`` so each chip advances its shard of
+    the ensemble independently.
+    """
+    if mesh is None:
+        mesh = ensemble_mesh()
+    axis = mesh.axis_names[0]
+    batched = NamedSharding(mesh, P(axis))
+
+    def shard_leading(tree):
+        def put(v):
+            v = jnp.asarray(v)
+            if v.ndim >= 1 and v.shape[0] % mesh.size == 0:
+                return jax.device_put(v, batched)
+            return v
+        return jax.tree_util.tree_map(put, tree)
+
+    def jit_wrapper(fn):
+        return jax.jit(fn)
+
+    # device_put the batched params/init up front; jit propagates shardings.
+    par = shard_leading(Collection(par))
+    init = Collection({k: shard_leading(v) if np.ndim(v) > 1 else v for k, v in init.items()})
+    return ens.ensemble_integrate(
+        model, st, forcing, par, init, jit_wrapper=jit_wrapper, **kwargs
+    )
+
+
+def shard_map_year_fn(model_name: str, st, mesh: Mesh, dtype_name: str = "float32",
+                      cfg: Optional[StepConfig] = None):
+    """Explicit-collective training step: ``shard_map`` over the ensemble
+    axis, each shard scanning one year locally, plus a ``psum``-based
+    ensemble-mean hemispheric diagnostic (the only cross-chip communication).
+
+    Returns ``fn(carry, par, fyear) -> (carry, global_mean_T)`` where carry
+    leaves have a leading ensemble axis divisible by the mesh size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    if cfg is None:
+        abstol, reltol = (1e-8, 1e-6) if dtype_name == "float64" else (3e-4, 1e-4)
+        cfg = StepConfig(newton_abstol=abstol, newton_reltol=reltol)
+    axis = mesh.axis_names[0]
+    year_fn = make_year_fn(model_name, st, cfg, dtype_name, False)
+    vm = jax.vmap(year_fn, in_axes=(0, 0, None))
+    x = jnp.asarray(st.x)
+
+    def local_step(carry, par, fyear):
+        carry, seasonal, _conv, _ = vm(carry, par, fyear)
+        # hemispheric mean of the annual-average temperature, averaged over
+        # the *global* ensemble: local sum + psum over the mesh axis.
+        T = seasonal.avg["T"]  # (K_local, nx)
+        hm = jnp.sum((T[:, :-1] + T[:, 1:]) * (x[1:] - x[:-1]) / 2.0, axis=-1)
+        local_sum = jnp.sum(hm)
+        global_mean = jax.lax.psum(local_sum, axis) / jax.lax.psum(
+            jnp.asarray(hm.shape[0], hm.dtype), axis
+        )
+        return carry, global_mean
+
+    spec_b = P(axis)
+    smapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(spec_b, spec_b, P()),
+        out_specs=(spec_b, P()),
+    )
+    return jax.jit(smapped)

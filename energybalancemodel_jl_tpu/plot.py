@@ -1,0 +1,242 @@
+"""Visualization layer (rebuild of /root/reference/src/plot.jl, host-side
+matplotlib instead of Makie).
+
+- :class:`Layout` — a grid of solution-variable names + subplot titles
+  (reference :23-39) with the default MIZ 3x3 and classic 1x3 layouts
+  (:41-57).
+- :func:`backend` — get/set the rendering backend. The reference's weak-dep
+  Makie backends (CairoMakie/GLMakie, ext/CairoExt.jl, ext/OpenGLExt.jl) map
+  onto matplotlib backends through a small registry that extensions can
+  override via :func:`register_backend`.
+- :func:`plot_raw` / :func:`plot_avg` — Hovmöller (x–t) filled-contour tile
+  grids with colorbars (:91-130, :139-150).
+- :func:`plot_seasonal` — hysteresis plot: hemispheric-mean temperature vs
+  ice-covered area per year, warming segment red / cooling blue, line styles
+  by season (:173-225). The reference's latent indexing bug (broadcasting
+  ``xfunc`` over the scalar ``dur`` instead of ``1:dur``, :196) is fixed —
+  years ``1..dur`` are evaluated.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from .solutions import Solutions
+from .utils.numerics import np_hemispheric_mean
+
+__all__ = [
+    "Layout",
+    "backend",
+    "register_backend",
+    "plot_raw",
+    "plot_avg",
+    "plot_seasonal",
+    "miz_layout",
+    "classic_layout",
+    "unsafesave",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Layout:
+    """Plot layout: matrices of variable names and titles of equal shape
+    (reference /root/reference/src/plot.jl:23-39)."""
+
+    vars: tuple
+    titles: tuple
+
+    def __init__(self, vars, titles):
+        vars = tuple(tuple(row) for row in np.atleast_2d(np.asarray(vars, dtype=object)))
+        titles = tuple(tuple(row) for row in np.atleast_2d(np.asarray(titles, dtype=object)))
+        if np.shape(vars) != np.shape(titles):
+            raise ValueError("Size of vars and titles must be the same.")
+        object.__setattr__(self, "vars", vars)
+        object.__setattr__(self, "titles", titles)
+
+    @property
+    def shape(self):
+        return (len(self.vars), len(self.vars[0]))
+
+    def __getitem__(self, idx):
+        r, c = idx
+        return dict(var=self.vars[r][c], title=self.titles[r][c])
+
+
+miz_layout = Layout(
+    [["Ew", "Ei", "E"], ["Tw", "Ti", "T"], ["h", "D", "phi"]],
+    [
+        [r"$E_w$ ($\mathrm{J\,m^{-2}}$)", r"$E_i$ ($\mathrm{J\,m^{-2}}$)", r"$E$ ($\mathrm{J\,m^{-2}}$)"],
+        [r"$T_w$ ($^\circ$C)", r"$T_i$ ($^\circ$C)", r"$T$ ($^\circ$C)"],
+        [r"$\bar{h}$ (m)", r"$\bar{\mathcal{D}}$ (m)", r"$\varphi$"],
+    ],
+)
+
+classic_layout = Layout(
+    [["E", "T", "h"]],
+    [[r"$E$ ($\mathrm{J\,m^{-2}}$)", r"$T$ ($^\circ$C)", r"$h$ (m)"]],
+)
+
+# Backend registry — extension point mirroring the reference's
+# ``init_backend(::Val)`` overridden by weak-dep packages
+# (/root/reference/ext/CairoExt.jl:7, ext/OpenGLExt.jl:7).
+_BACKENDS = {
+    "CairoMakie": "Agg",  # raster/vector offline rendering
+    "GLMakie": None,  # interactive — use matplotlib's current GUI backend
+    "Agg": "Agg",
+}
+_current = None
+
+
+def register_backend(name: str, matplotlib_backend: Optional[str]) -> None:
+    """Register/override a backend mapping (extension hook)."""
+    _BACKENDS[name] = matplotlib_backend
+
+
+def backend(name: Optional[str] = None):
+    """Get the current backend, or set it by name (reference
+    /root/reference/src/plot.jl:59-89)."""
+    global _current
+    import matplotlib
+
+    if name is None:
+        return _current if _current is not None else matplotlib.get_backend()
+    if name not in _BACKENDS:
+        raise ValueError(f"Unsupported backend {name}.")
+    target = _BACKENDS[name]
+    if target is not None:
+        matplotlib.use(target, force=False)
+    _current = name
+    return matplotlib.get_backend()
+
+
+def _default_layout(sols: Solutions) -> Layout:
+    return miz_layout if "phi" in sols.raw else classic_layout
+
+
+def _contourf_tiles(t, x, data_layout: Layout, datamats):
+    """Tile grid of filled contours + colorbars (reference
+    /root/reference/src/plot.jl:91-106)."""
+    import matplotlib.pyplot as plt
+
+    nrow, ncol = data_layout.shape
+    fig, axes = plt.subplots(
+        nrow, ncol, figsize=(4.2 * ncol, 3.0 * nrow), squeeze=False, constrained_layout=True
+    )
+    for r in range(nrow):
+        for c in range(ncol):
+            ax = axes[r][c]
+            mat = datamats[r][c]
+            ctr = ax.contourf(t, x, mat.T)
+            ax.set_title(data_layout[r, c]["title"])
+            ax.set_ylim(0, 1)
+            if r == nrow - 1:
+                ax.set_xlabel(r"$t$ (y)")
+            if c == 0:
+                ax.set_ylabel(r"$x$")
+            fig.colorbar(ctr, ax=ax)
+    return fig
+
+
+def plot_raw(sols: Solutions, bcknd: Optional[str] = None, layout: Optional[Layout] = None):
+    """Hovmöller plots of per-step raw solutions (reference
+    /root/reference/src/plot.jl:119-130)."""
+    if bcknd is not None:
+        backend(bcknd)
+    layout = layout or _default_layout(sols)
+    nrow, ncol = layout.shape
+    mats = [[np.asarray(sols.raw[layout[r, c]["var"]]) for c in range(ncol)] for r in range(nrow)]
+    return _contourf_tiles(np.asarray(sols.ts), sols.spacetime.x, layout, mats)
+
+
+def plot_avg(sols: Solutions, bcknd: Optional[str] = None, layout: Optional[Layout] = None):
+    """Annual-average Hovmöller plots (reference
+    /root/reference/src/plot.jl:139-150)."""
+    if bcknd is not None:
+        backend(bcknd)
+    layout = layout or _default_layout(sols)
+    nrow, ncol = layout.shape
+    mats = [
+        [np.asarray(sols.seasonal.avg[layout[r, c]["var"]]) for c in range(ncol)]
+        for r in range(nrow)
+    ]
+    years = np.arange(1, sols.spacetime.dur + 1)
+    return _contourf_tiles(years, sols.spacetime.x, layout, mats)
+
+
+def _default_xfunc(sols: Solutions, year: int) -> float:
+    """Hemispheric-mean annual-average temperature for 1-based ``year``."""
+    return np_hemispheric_mean(sols.seasonal.avg["T"][year - 1], sols.spacetime.x)
+
+
+def _default_yfunc(sols: Solutions, season: str, year: int) -> float:
+    """Ice-covered area ``2 pi <phi>`` (or from E<0 for classic runs)."""
+    coll = getattr(sols.seasonal, season)
+    if "phi" in coll:
+        field = coll["phi"][year - 1]
+    else:
+        field = (coll["E"][year - 1] < 0.0).astype(np.float64)
+    return 2.0 * np.pi * np_hemispheric_mean(field, sols.spacetime.x)
+
+
+def plot_seasonal(
+    sols: Solutions,
+    bcknd: Optional[str] = None,
+    xfunc: Callable = _default_xfunc,
+    yfunc: Callable = _default_yfunc,
+    title: str = "Ice covered area",
+    xlabel: str = r"$\tilde{\mathsf{T}}$ ($^\circ$C)",
+    ylabel: str = r"$A_i$",
+):
+    """Hysteresis plot over the forcing ramp (reference
+    /root/reference/src/plot.jl:173-225). Warming-segment years are red,
+    cooling blue; seasons are line-styled (mean thick solid, winter thin
+    solid, summer dashed)."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    if sols.forcing.constant:
+        raise ValueError("plot_seasonal requires a time-varying forcing (hysteresis plot)")
+    dur = sols.spacetime.dur
+    years = np.arange(1, dur + 1)  # fixed: the reference broadcasts over scalar dur (:196)
+    xdata = np.array([xfunc(sols, int(y)) for y in years])
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    ax.set_title(title)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    d = sols.forcing.domain
+    segments = (
+        ("Warming", range(max(d[1], 1), min(d[2], dur) + 1), "tab:red"),
+        ("Cooling", range(max(d[3], 1), min(d[4], dur) + 1), "tab:blue"),
+    )
+    for label, yrs, color in segments:
+        yrs = [y for y in yrs if 1 <= y <= dur]
+        if not yrs:
+            continue
+        for season in ("avg", "winter", "summer"):
+            width = 1.0
+            if season == "avg":
+                width += 2.0 if label == "Warming" else 1.0
+            ydata = np.array([yfunc(sols, season, int(y)) for y in yrs])
+            ax.plot(
+                xdata[np.array(yrs) - 1],
+                ydata,
+                color=color,
+                linewidth=width,
+                linestyle="--" if season == "summer" else "-",
+                label=f"{label} {season}" if season == "avg" else None,
+            )
+    ax.legend()
+    return fig
+
+
+def unsafesave(fig, path: str, spwarn: bool = False, **kwargs) -> str:
+    """Figure writer (reference /root/reference/src/plot.jl:227-233)."""
+    import warnings
+
+    if not spwarn:
+        warnings.warn("`unsafesave` may overwrite existing files. Use `save` instead.")
+    fig.savefig(path, **kwargs)
+    return path
