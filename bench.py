@@ -1,0 +1,96 @@
+"""Benchmark: model-years/day per chip on the seasonal MIZ configuration.
+
+Runs a vmapped ensemble of independent canonical MIZ runs
+(``SpaceTime{sin}(180, 2000, ...)``, the configuration behind the reference's
+only published throughput number — 511.24 steps/s ≈ 2.2e4 model-yr/day on a
+single CPU core, /root/reference/src/EnergyBalanceModel.jl:59-61) in float32
+with seasonal-only storage, times steady-state years after a compile warmup,
+and prints ONE JSON line.
+
+Environment knobs: EBM_BENCH_K (ensemble size, default 256),
+EBM_BENCH_YEARS (timed years per measurement, default 3),
+EBM_BENCH_DTYPE (float32|float64), EBM_BENCH_SOLVER (pcr|thomas).
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import energybalancemodel_jl_tpu as ebm
+    from energybalancemodel_jl_tpu.integrate import make_year_fn
+    from energybalancemodel_jl_tpu.models.base import StepConfig, get_model
+    from energybalancemodel_jl_tpu.utils.collection import Collection
+
+    K = int(os.environ.get("EBM_BENCH_K", "256"))
+    years = int(os.environ.get("EBM_BENCH_YEARS", "3"))
+    dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
+    solver = os.environ.get("EBM_BENCH_SOLVER", "pcr")
+
+    st = ebm.SpaceTime.sin(180, 2000, 1)
+    par = ebm.default_parameters("MIZ")
+    # spread diffusivity across members: a realistic bifurcation sweep
+    par_b = Collection(par)
+    par_b["D"] = np.linspace(0.55, 0.65, K)
+
+    if dtype == jnp.float64:
+        cfg = StepConfig(solver=solver, newton_abstol=1e-11, newton_reltol=1e-9)
+    else:
+        cfg = StepConfig(solver=solver, newton_abstol=1e-2, newton_reltol=1e-4,
+                         newton_max_step=50.0)
+    spec = get_model("MIZ")
+    year_fn = make_year_fn("MIZ", st, cfg, dtype.name, False)
+    axes = Collection({k: (0 if np.ndim(v) > 0 else None) for k, v in par_b.items()})
+    run_year = jax.jit(jax.vmap(year_fn, in_axes=(0, axes, None)), donate_argnums=(0,))
+
+    par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par_b.items()})
+    carry = spec.init_carry(ebm.zeros_init(st), st, dtype)
+    carry = Collection({k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in carry.items()})
+    fyear = jnp.zeros(st.nt, dtype=dtype)
+
+    # warmup: compile + spin into a seasonally active state
+    t0 = time.time()
+    carry, seasonal, _, _ = run_year(carry, par_j, fyear)
+    jax.block_until_ready(seasonal.avg["E"])
+    compile_s = time.time() - t0
+    carry, seasonal, _, _ = run_year(carry, par_j, fyear)
+    jax.block_until_ready(seasonal.avg["E"])
+
+    # timed measurement
+    t0 = time.time()
+    for _ in range(years):
+        carry, seasonal, _, _ = run_year(carry, par_j, fyear)
+    jax.block_until_ready(seasonal.avg["E"])
+    elapsed = time.time() - t0
+
+    model_years = K * years
+    years_per_day = model_years / elapsed * 86400.0
+    steps_per_sec = model_years * st.nt / elapsed
+    baseline = 2.2e4  # reference: single-core CPU, derived in BASELINE.md
+
+    print(
+        json.dumps(
+            {
+                "metric": "miz_model_years_per_day_per_chip",
+                "value": round(years_per_day, 1),
+                "unit": "model-years/day",
+                "vs_baseline": round(years_per_day / baseline, 2),
+            }
+        )
+    )
+    print(
+        f"# K={K} years={years} dtype={dtype.name} solver={solver} "
+        f"elapsed={elapsed:.3f}s compile={compile_s:.1f}s "
+        f"steps/s={steps_per_sec:.0f} device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

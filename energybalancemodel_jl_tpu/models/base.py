@@ -33,6 +33,7 @@ class StepConfig:
     newton_max_iter: int = 30
     newton_abstol: float = 1e-8  # reference reltol/abstol (/root/reference/src/miz.jl:58-59)
     newton_reltol: float = 1e-6
+    newton_max_step: float = None  # trust-region-style step cap (float32 safeguard)
     verbose: bool = False  # warn on Newton non-convergence (reference :61-63)
 
 

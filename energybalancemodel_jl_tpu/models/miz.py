@@ -122,6 +122,10 @@ def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
         reltol=cfg.newton_reltol,
         max_iter=cfg.newton_max_iter,
         method=cfg.solver,
+        # float32 config caps the update: physical surface temperatures move
+        # by at most a few K per step from a warm start, and the cap keeps
+        # low-precision iterates from blowing up through the min(T0, Tm) kink
+        max_step=cfg.newton_max_step,
     )
     return T0, converged, iters
 
@@ -137,7 +141,14 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     Tm = par["Tm"]
 
     # -- temperatures (:156-158) ---------------------------------------
-    Tw = Tm + Ew / ((1.0 - phi) * par["cw"])  # water_temp (:30)
+    # water_temp (:30) with a guarded denominator: the reference computes
+    # Ew/((1-phi) cw) and only cleans the 0/0 NaN afterwards (:157); a lane
+    # with phi == 1 and Ew > 0 would produce +inf and cascade to NaN through
+    # Tbar's 0*inf. Such a state never arises in float64 (oracle-parity
+    # tested), but float32 rounding can reach it — the guard returns 0 there
+    # and is exact everywhere else.
+    den = (1.0 - phi) * par["cw"]
+    Tw = Tm + jnp.where(den == 0.0, 0.0, Ew / jnp.where(den == 0.0, 1.0, den))
     Tw = jnp.where(jnp.isnan(Tw), 0.0, Tw)  # condset!(Tw, 0, isnan) (:157)
     T0, converged, _ = solve_T0(carry["T0"], insol, h, Tw, phi, f, stat, par, cfg)
     Ti = jnp.minimum(T0, Tm)  # ice_temp (:31,65)

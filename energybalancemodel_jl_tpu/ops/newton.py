@@ -28,6 +28,7 @@ def newton_tridiag(
     reltol: float = 1e-6,
     max_iter: int = 30,
     method: str = "pcr",
+    max_step: float = None,
 ):
     """Solve ``r(x) = 0`` where ``J = dr/dx`` is tridiagonal.
 
@@ -47,6 +48,10 @@ def newton_tridiag(
         Static iteration cap (keeps the loop bounded under jit).
     method:
         Tridiagonal solver: ``'pcr'`` (TPU fast path) or ``'thomas'``.
+    max_step:
+        Optional elementwise cap on the Newton update — trust-region-style
+        safeguard against float32 blow-ups on ill-conditioned iterates
+        (the reference's TrustRegion bounds its steps the same way).
 
     Returns
     -------
@@ -71,6 +76,11 @@ def newton_tridiag(
         x, it, _ = state
         r, (lo, di, up) = residual_and_bands(x)
         delta = tridiag_solve(lo, di, up, -r, method=method)
+        if max_step is not None:
+            delta = jnp.clip(delta, -max_step, max_step)
+        # a non-finite update (singular float32 Jacobian) freezes the lane
+        # instead of poisoning it; the convergence flag reports the failure
+        delta = jnp.where(jnp.isfinite(delta), delta, jnp.zeros_like(delta))
         x = x + delta
         return x, it + 1, resid_norm(x)
 

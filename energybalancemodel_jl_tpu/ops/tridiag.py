@@ -95,18 +95,32 @@ def pcr_solve(lo, di, up, b):
     steps = max(1, math.ceil(math.log2(n))) if n > 1 else 0
     one = jnp.ones((), dtype=b.dtype)
 
+    # Row-scale by the diagonal: improves float32 conditioning materially
+    # (the systems here mix O(1e4) conduction terms with O(1) couplings).
+    inv = one / di
+    lo = lo * inv
+    up = up * inv
+    b = b * inv
+    di = jnp.ones_like(di)
+
     def shift_di(d, s):
         # out-of-range diagonal = 1 (identity row)
         shifted = _shift(d, s)
         mask = _shift(jnp.ones_like(d), s)
         return shifted + (one - mask)
 
+    def safe_div(num, den):
+        # reduced diagonals never vanish for diagonally dominant systems in
+        # exact arithmetic; the guard stops a float32-cancelled zero pivot
+        # from injecting inf/NaN (bitwise no-op in healthy lanes)
+        return jnp.where(den == 0, jnp.zeros_like(num), num / jnp.where(den == 0, one, den))
+
     s = 1
     for _ in range(steps):
         di_m = shift_di(di, s)
         di_p = shift_di(di, -s)
-        alpha = -lo / di_m
-        beta = -up / di_p
+        alpha = safe_div(-lo, di_m)
+        beta = safe_div(-up, di_p)
         b = b + alpha * _shift(b, s) + beta * _shift(b, -s)
         di = di + alpha * _shift(up, s) + beta * _shift(lo, -s)
         lo = alpha * _shift(lo, s)

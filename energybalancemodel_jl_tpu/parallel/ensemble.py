@@ -117,10 +117,13 @@ def ensemble_integrate(
             raise ValueError("Cannot infer ensemble size; pass n_members")
         K = sizes.pop()
 
-    abstol, reltol = (1e-8, 1e-6) if dtype == jnp.float64 else (3e-4, 1e-4)
+    if dtype == jnp.float64:
+        abstol, reltol, max_step = 1e-11, 1e-9, None
+    else:
+        abstol, reltol, max_step = 1e-2, 1e-4, 50.0
     cfg = StepConfig(
         solver=solver, newton_max_iter=newton_max_iter,
-        newton_abstol=abstol, newton_reltol=reltol,
+        newton_abstol=abstol, newton_reltol=reltol, newton_max_step=max_step,
     )
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
     axes = _param_axes(par_j)

@@ -37,7 +37,7 @@ def sharded_diffusion(st, mesh: Mesh):
     ring neighbors via ``ppermute`` (two sends of one float per application —
     latency-bound, fully overlappable with local compute by XLA).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axis = mesh.axis_names[0]
     ndev = mesh.size

@@ -88,11 +88,13 @@ def shard_map_year_fn(model_name: str, st, mesh: Mesh, dtype_name: str = "float3
     Returns ``fn(carry, par, fyear) -> (carry, global_mean_T)`` where carry
     leaves have a leading ensemble axis divisible by the mesh size.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     if cfg is None:
-        abstol, reltol = (1e-8, 1e-6) if dtype_name == "float64" else (3e-4, 1e-4)
-        cfg = StepConfig(newton_abstol=abstol, newton_reltol=reltol)
+        if dtype_name == "float64":
+            cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9)
+        else:
+            cfg = StepConfig(newton_abstol=1e-2, newton_reltol=1e-4, newton_max_step=50.0)
     axis = mesh.axis_names[0]
     year_fn = make_year_fn(model_name, st, cfg, dtype_name, False)
     vm = jax.vmap(year_fn, in_axes=(0, 0, None))

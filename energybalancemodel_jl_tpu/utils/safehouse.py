@@ -64,7 +64,9 @@ class Safehouse:
         return f"Safehouse({parts})"
 
 
-_SESSION_SAFEHOUSES: Dict[int, Safehouse] = {}
+# Keyed by id(namespace); the namespace itself is kept alive alongside its
+# safehouse so a recycled id can never alias a dead namespace's store.
+_SESSION_SAFEHOUSES: Dict[int, tuple] = {}
 _DEFAULT_KEY = 0
 
 
@@ -74,8 +76,8 @@ def safehouse(namespace: Any = None) -> Safehouse:
     (/root/reference/src/utilities.jl:295-311)."""
     key = _DEFAULT_KEY if namespace is None else id(namespace)
     if key not in _SESSION_SAFEHOUSES:
-        _SESSION_SAFEHOUSES[key] = Safehouse()
-    return _SESSION_SAFEHOUSES[key]
+        _SESSION_SAFEHOUSES[key] = (namespace, Safehouse())
+    return _SESSION_SAFEHOUSES[key][1]
 
 
 def house(name: str, value: Any, sh: Safehouse | None = None) -> Refugee:

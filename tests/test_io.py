@@ -1,0 +1,101 @@
+"""Persistence tests: save/load round-trips, collision rename, safehouse
+integration (reference semantics /root/reference/src/io.jl)."""
+import os
+
+import numpy as np
+import pytest
+
+import energybalancemodel_jl_tpu as ebm
+
+
+@pytest.fixture
+def sols():
+    st = ebm.SpaceTime.sin(12, 20, 2)
+    return ebm.integrate(
+        "MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+        ebm.zeros_init(st), progress=False,
+    )
+
+
+class TestRoundTrip:
+    def test_solutions(self, sols, tmp_path):
+        path = str(tmp_path / "sols.h5")
+        assert ebm.save(sols, path) == path
+        loaded = ebm.load(path)
+        assert loaded.spacetime == sols.spacetime
+        assert loaded.forcing.constant and loaded.forcing.base == 0.0
+        assert loaded.lastonly == sols.lastonly
+        for k in sols.raw:
+            np.testing.assert_array_equal(loaded.raw[k], sols.raw[k], err_msg=k)
+        for season in ("winter", "summer", "avg"):
+            for k in sols.raw:
+                np.testing.assert_array_equal(
+                    getattr(loaded.seasonal, season)[k],
+                    getattr(sols.seasonal, season)[k],
+                )
+        for k in sols.parameters:
+            assert loaded.parameters[k] == sols.parameters[k]
+
+    def test_ramp_forcing_roundtrip(self, tmp_path):
+        st = ebm.SpaceTime.sin(8, 400, 4)
+        ramp = ebm.Forcing(0.0, 2.0, -2.0, (1, 1), (2.0, -2.0))
+        sols = ebm.integrate("MIZ", st, ramp, ebm.default_parameters("MIZ"),
+                             ebm.zeros_init(st), progress=False)
+        path = str(tmp_path / "r.h5")
+        ebm.save(sols, path)
+        loaded = ebm.load(path)
+        assert loaded.forcing.domain == ramp.domain
+        assert not loaded.forcing.constant
+
+    def test_string_and_array(self, tmp_path):
+        p1 = str(tmp_path / "s.h5")
+        ebm.save("Hello World", p1)
+        assert ebm.load(p1) == "Hello World"
+        p2 = str(tmp_path / "a.h5")
+        arr = np.arange(12.0).reshape(3, 4)
+        ebm.save(arr, p2)
+        np.testing.assert_array_equal(ebm.load(p2), arr)
+
+    def test_dict(self, tmp_path):
+        p = str(tmp_path / "d.h5")
+        ebm.save(ebm.Collection(a=1.0, b=np.ones(3)), p)
+        out = ebm.load(p)
+        assert out["a"] == 1.0
+        np.testing.assert_array_equal(out["b"], np.ones(3))
+
+
+class TestCollisionSemantics:
+    def test_existing_file_renamed(self, tmp_path):
+        """The EXISTING file is renamed, the new object lands at the original
+        path (reference /root/reference/src/io.jl:37-52)."""
+        path = str(tmp_path / "greeting.h5")
+        ebm.save("Hello World", path)
+        with pytest.warns(UserWarning, match="has been renamed"):
+            ebm.save("Hello again", path)
+        assert ebm.load(path) == "Hello again"
+        renamed = [f for f in os.listdir(tmp_path) if f.startswith("greeting_")]
+        assert len(renamed) == 1
+        assert ebm.load(str(tmp_path / renamed[0])) == "Hello World"
+
+    def test_unsafesave_warns(self, tmp_path):
+        with pytest.warns(UserWarning, match="unsafesave"):
+            ebm.unsafesave("x", str(tmp_path / "x.h5"))
+
+
+class TestLoadInto:
+    def test_houses_existing(self, tmp_path):
+        path = str(tmp_path / "v.h5")
+        ebm.save("new value", path)
+        ns = {"v": "old value"}
+        with pytest.warns(UserWarning, match="safehouse"):
+            ebm.load_into("v", path, ns)
+        assert ns["v"] == "new value"
+        housed = ebm.retrieve("v", ebm.safehouse(ns))
+        assert housed[-1].value == "old value"
+
+    def test_fresh_name_no_warning(self, tmp_path):
+        path = str(tmp_path / "v.h5")
+        ebm.save("value", path)
+        ns = {}
+        out = ebm.load_into("v", path, ns)
+        assert out == "value" and ns["v"] == "value"
