@@ -42,7 +42,7 @@ def main():
     if dtype == jnp.float64:
         cfg = StepConfig(solver=solver, newton_abstol=1e-11, newton_reltol=1e-9)
     else:
-        cfg = StepConfig(solver=solver, newton_abstol=1e-2, newton_reltol=1e-4,
+        cfg = StepConfig(solver=solver, newton_abstol=0.5, newton_reltol=1e-4,
                          newton_max_step=50.0)
     spec = get_model("MIZ")
     year_fn = make_year_fn("MIZ", st, cfg, dtype.name, False)

@@ -21,6 +21,7 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import functools
+import os
 import warnings
 from typing import Callable, Optional
 
@@ -179,6 +180,10 @@ def integrate(
     raw_mode: Optional[str] = None,
     progress: Optional[bool] = None,
     newton_max_iter: int = 30,
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> Solutions:
     """Integrate ``model`` over ``st`` with climate ``forcing``, parameters
     ``par`` and initial conditions ``init``; results in a :class:`Solutions`.
@@ -192,6 +197,12 @@ def integrate(
     (parity config) else float32 (TPU throughput config); ``solver`` selects
     the tridiagonal kernel (``'pcr'`` log-depth TPU path, ``'thomas'``
     sequential).
+
+    ``checkpoint`` names an HDF5 file written every ``checkpoint_every``
+    simulated years (scan carry + seasonal storage); with ``resume=True`` a
+    matching checkpoint continues the run bit-exactly from the first
+    unfinished year (see :mod:`.checkpoint`). ``profile_dir`` captures a
+    ``jax.profiler`` trace of the run for TensorBoard.
     """
     spec = get_model(model)
     if dtype is None:
@@ -215,7 +226,7 @@ def integrate(
     if dtype == jnp.float64:
         abstol, reltol, max_step = 1e-11, 1e-9, None
     else:
-        abstol, reltol, max_step = 1e-2, 1e-4, 50.0
+        abstol, reltol, max_step = 0.5, 1e-4, 50.0
     cfg = StepConfig(
         solver=solver,
         newton_max_iter=newton_max_iter,
@@ -231,6 +242,37 @@ def integrate(
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
     carry = spec.init_carry(init, st, dtype)
 
+    raw_chunks = []
+    winter_acc, summer_acc, avg_acc = [], [], []
+    start_year = 0
+    ckpt_key = ""
+    if checkpoint is not None:
+        from . import checkpoint as ckpt_mod
+
+        ckpt_key = (
+            f"{spec.name}|{st!r}|{forcing!r}|{sorted((k, float(v)) for k, v in par.items())}"
+            f"|{dtype.name}|{solver}"
+        )
+        if resume:
+            if raw_mode == "all":
+                raise ValueError("resume is not supported with raw_mode='all' "
+                                 "(per-step raw data of completed years is not checkpointed)")
+            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
+                c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
+                    ckpt_mod.read_checkpoint(checkpoint)
+                )
+                winter_acc, summer_acc, avg_acc = (
+                    list(winter_acc), list(summer_acc), list(avg_acc)
+                )
+                carry = Collection(
+                    {k: jnp.asarray(v, dtype=dtype) for k, v in c_np.items()}
+                )
+            elif os.path.exists(checkpoint):
+                warnings.warn(
+                    f"Checkpoint {checkpoint} does not match this run's "
+                    "configuration; starting from init."
+                )
+
     if progress is None:
         progress = True
     prog = Progress(
@@ -239,11 +281,14 @@ def integrate(
         infofeed=lambda t: f"t = {round(t, 2)}",
     ) if progress else None
     if prog is not None:
-        prog.update(0, feedargs=(0,))
+        prog.update(start_year * st.nt, feedargs=(float(start_year),))
 
-    raw_chunks = []
-    winter_acc, summer_acc, avg_acc = [], [], []
-    for y in range(st.dur):
+    profiler_cm = None
+    if profile_dir is not None:
+        profiler_cm = jax.profiler.trace(profile_dir)
+        profiler_cm.__enter__()
+
+    for y in range(start_year, st.dur):
         collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
         fn = year_full if collect else year_seasonal
         carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
@@ -259,8 +304,23 @@ def integrate(
                     f"Solving for T0 failed at {int((~conv).sum())} step(s) of "
                     f"year {y + 1}."
                 )
+        if checkpoint is not None and (
+            (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
+        ):
+            from . import checkpoint as ckpt_mod
+
+            ckpt_mod.write_checkpoint(
+                checkpoint,
+                Collection({k: np.asarray(v) for k, v in carry.items()}),
+                y + 1,
+                (winter_acc, summer_acc, avg_acc),
+                ckpt_key,
+            )
         if prog is not None:
             prog.update((y + 1) * st.nt, feedargs=(float(st.T[(y + 1) * st.nt - 1]),))
+
+    if profiler_cm is not None:
+        profiler_cm.__exit__(None, None, None)
 
     varnames = list(spec.solution_vars) + (["debug"] if debug is not None else [])
     if raw_chunks:

@@ -120,7 +120,7 @@ def ensemble_integrate(
     if dtype == jnp.float64:
         abstol, reltol, max_step = 1e-11, 1e-9, None
     else:
-        abstol, reltol, max_step = 1e-2, 1e-4, 50.0
+        abstol, reltol, max_step = 0.5, 1e-4, 50.0
     cfg = StepConfig(
         solver=solver, newton_max_iter=newton_max_iter,
         newton_abstol=abstol, newton_reltol=reltol, newton_max_step=max_step,

@@ -94,7 +94,7 @@ def shard_map_year_fn(model_name: str, st, mesh: Mesh, dtype_name: str = "float3
         if dtype_name == "float64":
             cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9)
         else:
-            cfg = StepConfig(newton_abstol=1e-2, newton_reltol=1e-4, newton_max_step=50.0)
+            cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4, newton_max_step=50.0)
     axis = mesh.axis_names[0]
     year_fn = make_year_fn(model_name, st, cfg, dtype_name, False)
     vm = jax.vmap(year_fn, in_axes=(0, 0, None))
