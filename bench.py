@@ -1,15 +1,15 @@
 """Benchmark: model-years/day per chip on the seasonal MIZ configuration.
 
-Runs a vmapped ensemble of independent canonical MIZ runs
+Runs a batch-native ensemble of independent canonical MIZ runs
 (``SpaceTime{sin}(180, 2000, ...)``, the configuration behind the reference's
 only published throughput number — 511.24 steps/s ≈ 2.2e4 model-yr/day on a
 single CPU core, /root/reference/src/EnergyBalanceModel.jl:59-61) in float32
 with seasonal-only storage, times steady-state years after a compile warmup,
 and prints ONE JSON line.
 
-Environment knobs: EBM_BENCH_K (ensemble size, default 256),
-EBM_BENCH_YEARS (timed years per measurement, default 3),
-EBM_BENCH_DTYPE (float32|float64), EBM_BENCH_SOLVER (pcr|thomas).
+Environment knobs: EBM_BENCH_K (ensemble size, default 1024),
+EBM_BENCH_YEARS (timed years, default 3), EBM_BENCH_DTYPE (float32|float64),
+EBM_BENCH_SOLVER (pcr|thomas|pallas), EBM_BENCH_ENGINE (batched|vmap).
 """
 import json
 import os
@@ -20,23 +20,32 @@ import numpy as np
 
 
 def main():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(__file__), ".jax_cache"))
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import energybalancemodel_jl_tpu as ebm
-    from energybalancemodel_jl_tpu.integrate import make_year_fn
     from energybalancemodel_jl_tpu.models.base import StepConfig, get_model
+    from energybalancemodel_jl_tpu.parallel import ensemble as ens
     from energybalancemodel_jl_tpu.utils.collection import Collection
 
-    K = int(os.environ.get("EBM_BENCH_K", "256"))
+    K = int(os.environ.get("EBM_BENCH_K", "1024"))
     years = int(os.environ.get("EBM_BENCH_YEARS", "3"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr")
+    engine = os.environ.get("EBM_BENCH_ENGINE", "batched")
 
     st = ebm.SpaceTime.sin(180, 2000, 1)
-    par = ebm.default_parameters("MIZ")
-    # spread diffusivity across members: a realistic bifurcation sweep
-    par_b = Collection(par)
+    # realistic bifurcation sweep: spread diffusivity across members
+    par_b = Collection(ebm.default_parameters("MIZ"))
     par_b["D"] = np.linspace(0.55, 0.65, K)
 
     if dtype == jnp.float64:
@@ -45,30 +54,39 @@ def main():
         cfg = StepConfig(solver=solver, newton_abstol=0.5, newton_reltol=1e-4,
                          newton_max_step=50.0)
     spec = get_model("MIZ")
-    year_fn = make_year_fn("MIZ", st, cfg, dtype.name, False)
-    axes = Collection({k: (0 if np.ndim(v) > 0 else None) for k, v in par_b.items()})
-    run_year = jax.jit(jax.vmap(year_fn, in_axes=(0, axes, None)), donate_argnums=(0,))
-
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par_b.items()})
+    if engine == "batched":
+        par_j = ens._augment_batched(par_j)
+        run_year = ens._native_year_fn("MIZ", st, cfg, dtype.name, False, False)
+    else:
+        axes = ens._param_axes(par_j)
+        run_year = ens._batched_year_fn(
+            "MIZ", st, cfg, dtype.name, False,
+            ens._AxesKey(tuple(sorted(axes.items()))), False,
+        )
+
     carry = spec.init_carry(ebm.zeros_init(st), st, dtype)
     carry = Collection({k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in carry.items()})
     fyear = jnp.zeros(st.nt, dtype=dtype)
 
+    def sync(x):
+        return float(np.asarray(x).sum())  # host transfer = real synchronization
+
     # warmup: compile + spin into a seasonally active state
     t0 = time.time()
-    carry, seasonal, _, _ = run_year(carry, par_j, fyear)
-    jax.block_until_ready(seasonal.avg["E"])
+    carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
+    sync(seasonal.avg["E"])
     compile_s = time.time() - t0
-    carry, seasonal, _, _ = run_year(carry, par_j, fyear)
-    jax.block_until_ready(seasonal.avg["E"])
+    carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
+    sync(seasonal.avg["E"])
 
-    # timed measurement
     t0 = time.time()
     for _ in range(years):
-        carry, seasonal, _, _ = run_year(carry, par_j, fyear)
-    jax.block_until_ready(seasonal.avg["E"])
+        carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
+    checksum = sync(seasonal.avg["E"])
     elapsed = time.time() - t0
 
+    finite = bool(np.isfinite(np.asarray(seasonal.avg["E"])).all())
     model_years = K * years
     years_per_day = model_years / elapsed * 86400.0
     steps_per_sec = model_years * st.nt / elapsed
@@ -85,9 +103,9 @@ def main():
         )
     )
     print(
-        f"# K={K} years={years} dtype={dtype.name} solver={solver} "
-        f"elapsed={elapsed:.3f}s compile={compile_s:.1f}s "
-        f"steps/s={steps_per_sec:.0f} device={jax.devices()[0].platform}",
+        f"# K={K} years={years} dtype={dtype.name} solver={solver} engine={engine} "
+        f"elapsed={elapsed:.3f}s compile={compile_s:.1f}s steps/s={steps_per_sec:.0f} "
+        f"finite={finite} checksum={checksum:.6g} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

@@ -116,7 +116,8 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     rhs = Tg + stat.dt_tau * (
         E_new / par["cw"] * nonnegn + (par["ai"] * S_ip1 - par["A"] + f) / denom * mask
     )
-    Tg_new = tridiag_solve(stat.klo, kdi, stat.kup, rhs, method=cfg.solver)
+    method = "pcr" if cfg.solver == "pallas" else cfg.solver
+    Tg_new = tridiag_solve(stat.klo, kdi, stat.kup, rhs, method=method)
 
     h = -E_new / par["Lf"] * negn  # diagnostic ice thickness (:65)
 

@@ -101,6 +101,9 @@ def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
     Tm = par["Tm"]
     solar_ice = par["ai"] * insol
 
+    if cfg.solver == "pallas" and T0_warm.ndim >= 2:
+        return _solve_T0_pallas(T0_warm, insol, hp, Tw, phi, f, stat, par, cfg)
+
     def residual_and_bands(T0):
         Ti = jnp.minimum(T0, Tm)
         Tb = Ti * phi + (1.0 - phi) * Tw
@@ -121,13 +124,56 @@ def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
         abstol=cfg.newton_abstol,
         reltol=cfg.newton_reltol,
         max_iter=cfg.newton_max_iter,
-        method=cfg.solver,
+        method="pcr" if cfg.solver == "pallas" else cfg.solver,
         # float32 config caps the update: physical surface temperatures move
         # by at most a few K per step from a warm start, and the cap keeps
         # low-precision iterates from blowing up through the min(T0, Tm) kink
         max_step=cfg.newton_max_step,
     )
     return T0, converged, iters
+
+
+def _solve_T0_pallas(T0_warm, insol, hp, Tw, phi, f, stat, par, cfg: StepConfig):
+    """Batched fast path: the fused Pallas Newton kernel
+    (:mod:`..ops.pallas_newton`) — fixed iterations, whole solve in VMEM.
+    Requires scalar (non-swept) ``k/Tm/A/B/ai``; per-member ``D`` is fine."""
+    from ..ops.pallas_newton import default_interpret, pallas_solve_T0
+
+    K = T0_warm.shape[0]
+    nx = T0_warm.shape[-1]
+
+    def scal(name):
+        v = par[name]
+        if jnp.ndim(v) != 0:
+            raise ValueError(
+                f"solver='pallas' requires scalar parameter {name!r}; "
+                "sweep it with the vmap engine instead"
+            )
+        return v
+
+    D = par["D"]
+    D_vec = (
+        jnp.broadcast_to(jnp.reshape(D, (-1,)), (K,))
+        if jnp.ndim(D) > 0
+        else jnp.full((K,), D, dtype=T0_warm.dtype)
+    )
+    bt = lambda v: jnp.broadcast_to(v, (K, nx))
+    T0 = pallas_solve_T0(
+        T0_warm, bt(hp), bt(Tw), bt(phi), bt(insol),
+        stat.glo, stat.gdi, stat.gup, D_vec,
+        scal("k"), scal("Tm"), scal("A"), scal("B"), scal("ai"), f,
+        max_step=cfg.newton_max_step or 50.0,
+        iters=min(cfg.newton_max_iter, 6),
+        interpret=default_interpret(),
+    )
+    # one residual evaluation for the convergence diagnostic
+    Ti = jnp.minimum(T0, par["Tm"])
+    Tb = Ti * phi + (1.0 - phi) * Tw
+    r = par["k"] * (par["Tm"] - T0) / hp + par["ai"] * insol
+    r = r + ((-par["A"]) - par["B"] * (T0 - par["Tm"]))
+    r = r + _dstencil(stat, par, Tb) + f
+    converged = jnp.max(jnp.abs(r), axis=-1) <= cfg.newton_abstol * 4.0
+    return T0, converged, jnp.int32(min(cfg.newton_max_iter, 6))
 
 
 def step(carry, xs, stat, par, cfg: StepConfig):

@@ -82,6 +82,31 @@ def _batched_year_fn(model_name, st, cfg, dtype_name, collect_raw, axes_key, don
     return jax.jit(vm, donate_argnums=(0,) if donate else ())
 
 
+# Parameters that shape the shared insolation/coalbedo tables; the
+# batch-native engine requires these to be scalars (sweep them with the
+# vmap engine).
+TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
+
+
+@functools.lru_cache(maxsize=64)
+def _native_year_fn(model_name, st, cfg, dtype_name, collect_raw, donate):
+    """Batch-native jitted year function: the physics steps are
+    shape-polymorphic over a leading ensemble axis (batched parameters enter
+    with a trailing broadcast axis), so no ``vmap`` is needed. This is the
+    engine that can dispatch the MIZ surface-temperature solve to the fused
+    Pallas kernel (``solver='pallas'``)."""
+    fn = make_year_fn(model_name, st, cfg, dtype_name, collect_raw)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def _augment_batched(par: Collection) -> Collection:
+    """Give (K,)-batched parameter leaves a trailing axis so they broadcast
+    against (K, nx) state inside the batch-native step."""
+    return Collection(
+        {k: (v[:, None] if jnp.ndim(v) == 1 else v) for k, v in par.items()}
+    )
+
+
 def ensemble_integrate(
     model: str,
     st: SpaceTime,
@@ -95,6 +120,7 @@ def ensemble_integrate(
     newton_max_iter: int = 30,
     donate: bool = True,
     jit_wrapper=None,
+    engine: str = "auto",
 ) -> EnsembleSolutions:
     """Integrate an ensemble of independent runs in one vmapped scan.
 
@@ -129,7 +155,26 @@ def ensemble_integrate(
     axes = _param_axes(par_j)
     axes_key = _AxesKey(tuple(sorted(axes.items())))
 
-    if jit_wrapper is not None:
+    batched_names = {k for k, v in par_j.items() if jnp.ndim(v) > 0}
+    batched_legal = not (batched_names & TABLE_PARAMS)
+    if engine == "auto":
+        engine = "batched" if (batched_legal and jit_wrapper is None) else "vmap"
+    if engine == "batched" and not batched_legal:
+        raise ValueError(
+            f"engine='batched' cannot sweep table parameters "
+            f"{sorted(batched_names & TABLE_PARAMS)}; use engine='vmap'"
+        )
+    if solver == "pallas" and engine != "batched":
+        raise ValueError("solver='pallas' requires engine='batched'")
+
+    if engine == "batched" and jit_wrapper is None:
+        par_j = _augment_batched(par_j)
+
+        def batch(collect_raw):
+            return _native_year_fn(
+                spec.name, st, cfg, dtype.name, collect_raw, donate
+            )
+    elif jit_wrapper is not None:
         def batch(collect_raw):
             fn = make_year_fn(spec.name, st, cfg, dtype.name, collect_raw)
             return jit_wrapper(jax.vmap(fn, in_axes=(0, axes, None)))
@@ -163,6 +208,9 @@ def ensemble_integrate(
         avg_acc.append(seasonal.avg)
         if collect:
             raw = Collection({k: np.asarray(v) for k, v in ys.items()})
+            if engine == "batched":
+                # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
+                raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
 
     def stack(acc):
         # per-year (K, nx) -> (K, dur, nx)

@@ -8,6 +8,7 @@ from .numerics import (
     np_hemispheric_mean,
     zeroref,
 )
+from .persistent import persistent
 from .progress import Progress, update
 from .safehouse import Refugee, Safehouse, house, reprhex, retrieve, safehouse, unique_id
 
@@ -22,6 +23,7 @@ __all__ = [
     "retrieve",
     "unique_id",
     "reprhex",
+    "persistent",
     "crossmean",
     "hemispheric_mean",
     "np_hemispheric_mean",

@@ -67,6 +67,68 @@ class TestEnsemble:
         assert np.all(np.diff(Tbar) < 0)
 
 
+class TestBatchedEngine:
+    def test_batched_matches_vmap(self):
+        """The batch-native engine reproduces the vmap engine exactly for a
+        diffusivity sweep (same ops, no vmap)."""
+        par_b = batched_parameters(PAR, {"D": [0.45, 0.6, 0.75]})
+        a = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), ebm.Collection(par_b),
+                               ebm.zeros_init(ST), engine="vmap", raw_mode="last")
+        b = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), ebm.Collection(par_b),
+                               ebm.zeros_init(ST), engine="batched", raw_mode="last")
+        for k in ("E", "phi", "h"):
+            np.testing.assert_allclose(
+                b.seasonal.avg[k], a.seasonal.avg[k], rtol=1e-9, atol=1e-11, err_msg=k
+            )
+            np.testing.assert_allclose(
+                b.raw[k], a.raw[k], rtol=1e-9, atol=1e-11, err_msg=k
+            )
+
+    def test_batched_classic(self):
+        st = ebm.SpaceTime.identity(12, 1000, 1)
+        par = ebm.default_parameters("Classic")
+        E0 = np.full(st.nx, 30.0)
+        init = ebm.Collection(E=E0, Tg=E0 / par.cw)
+        par_b = batched_parameters(par, {"A": [190.0, 193.0, 196.0]})
+        a = ensemble_integrate("Classic", st, ebm.Forcing(0.0),
+                               ebm.Collection(par_b), init, engine="vmap")
+        b = ensemble_integrate("Classic", st, ebm.Forcing(0.0),
+                               ebm.Collection(par_b), init, engine="batched")
+        np.testing.assert_allclose(b.seasonal.avg["T"], a.seasonal.avg["T"],
+                                   rtol=1e-9, atol=1e-11)
+
+    def test_table_param_sweep_falls_back(self):
+        par_b = batched_parameters(PAR, {"S0": [410.0, 420.0]})
+        # auto engine silently uses vmap
+        ens = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0),
+                                 ebm.Collection(par_b), ebm.zeros_init(ST))
+        assert ens.n_members == 2
+        with pytest.raises(ValueError, match="table parameters"):
+            ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), ebm.Collection(par_b),
+                               ebm.zeros_init(ST), engine="batched")
+
+    def test_pallas_solver_runs_and_agrees(self):
+        """The fused Pallas Newton path (interpret mode on CPU) stays close
+        to the PCR path in float32 over a couple of years."""
+        par_b = batched_parameters(PAR, {"D": [0.55, 0.6, 0.65]})
+        a = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), ebm.Collection(par_b),
+                               ebm.zeros_init(ST), engine="batched",
+                               dtype="float32", solver="pcr")
+        b = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), ebm.Collection(par_b),
+                               ebm.zeros_init(ST), engine="batched",
+                               dtype="float32", solver="pallas")
+        pa = np.nan_to_num(a.seasonal.avg["phi"])
+        pb = np.nan_to_num(b.seasonal.avg["phi"])
+        assert np.isfinite(np.nan_to_num(b.seasonal.avg["E"])).all()
+        assert abs(pa.mean() - pb.mean()) < 0.05
+
+    def test_pallas_requires_batched(self):
+        with pytest.raises(ValueError, match="engine='batched'"):
+            ensemble_integrate("MIZ", ST, ebm.Forcing(0.0),
+                               ebm.Collection(batched_parameters(PAR, {"S0": [410.0, 420.0]})),
+                               ebm.zeros_init(ST), solver="pallas")
+
+
 class TestSharding:
     def test_mesh(self):
         mesh = ensemble_mesh()

@@ -107,3 +107,19 @@ class TestProgress:
         prog.update(0)
         prog.update(5)
         assert prog.rate >= 0
+
+
+class TestPersistent:
+    def test_state_persists_across_calls(self):
+        from energybalancemodel_jl_tpu.utils import persistent
+
+        @persistent(count=0, cache=None)
+        def counter(state, x):
+            state["count"] += 1
+            if state["cache"] is None:
+                state["cache"] = x * 2
+            return state["count"], state["cache"]
+
+        assert counter(10) == (1, 20)
+        assert counter(99) == (2, 20)  # cache kept from first call
+        assert counter.state["count"] == 2
