@@ -58,23 +58,18 @@ def newton_tridiag(
     ``(x, converged, iterations)`` — solution, bool convergence flag (scalar
     or batched), and the iteration count actually used.
     """
-    r0, _ = residual_and_bands(x0)
-    tol = jnp.maximum(
-        jnp.asarray(abstol, dtype=x0.dtype),
-        reltol * jnp.max(jnp.abs(r0), axis=-1),
-    )
-
-    def resid_norm(x):
-        r, _ = residual_and_bands(x)
-        return jnp.max(jnp.abs(r), axis=-1)
+    r0, bands0 = residual_and_bands(x0)
+    rnorm0 = jnp.max(jnp.abs(r0), axis=-1)
+    tol = jnp.maximum(jnp.asarray(abstol, dtype=x0.dtype), reltol * rnorm0)
 
     def cond(state):
-        _, it, rnorm = state
+        _, _, _, it, rnorm = state
         return jnp.logical_and(it < max_iter, jnp.any(rnorm > tol))
 
     def body(state):
-        x, it, _ = state
-        r, (lo, di, up) = residual_and_bands(x)
+        # the residual/Jacobian of the current iterate are carried from the
+        # previous iteration — one evaluation per Newton step
+        x, r, (lo, di, up), it, _ = state
         delta = tridiag_solve(lo, di, up, -r, method=method)
         if max_step is not None:
             delta = jnp.clip(delta, -max_step, max_step)
@@ -82,7 +77,10 @@ def newton_tridiag(
         # instead of poisoning it; the convergence flag reports the failure
         delta = jnp.where(jnp.isfinite(delta), delta, jnp.zeros_like(delta))
         x = x + delta
-        return x, it + 1, resid_norm(x)
+        r, bands = residual_and_bands(x)
+        return x, r, bands, it + 1, jnp.max(jnp.abs(r), axis=-1)
 
-    x, iters, rnorm = lax.while_loop(cond, body, (x0, jnp.int32(0), resid_norm(x0)))
+    x, _, _, iters, rnorm = lax.while_loop(
+        cond, body, (x0, r0, bands0, jnp.int32(0), rnorm0)
+    )
     return x, rnorm <= tol, iters
