@@ -49,19 +49,8 @@ def _read_collection(grp: h5py.Group) -> Collection:
 
 def _write_solutions(f: h5py.Group, sols: Solutions) -> None:
     f.attrs["__ebm_type__"] = "Solutions"
-    st = sols.spacetime
-    g = f.create_group("spacetime")
-    g.attrs.update(
-        nx=st.nx, nt=st.nt, dur=st.dur, grid=st.grid,
-        urange=np.asarray(st.urange), winter=st.winter, summer=st.summer,
-    )
-    fo = sols.forcing
-    g = f.create_group("forcing")
-    g.attrs.update(
-        base=fo.base, peak=fo.peak, cool=fo.cool,
-        holdyrs=np.asarray(fo.holdyrs), rates=np.asarray(fo.rates),
-        constant=fo.constant,
-    )
+    _write_spacetime(f, sols.spacetime)
+    _write_forcing(f, sols.forcing)
     f.create_dataset("ts", data=np.asarray(sols.ts))
     f.attrs["lastonly"] = bool(sols.lastonly)
     _write_collection(f.create_group("parameters"), sols.parameters)
@@ -70,6 +59,69 @@ def _write_solutions(f: h5py.Group, sols: Solutions) -> None:
     g = f.create_group("seasonal")
     for season in ("winter", "summer", "avg"):
         _write_collection(g.create_group(season), getattr(sols.seasonal, season))
+
+
+def _write_spacetime(f: h5py.Group, st: SpaceTime) -> None:
+    g = f.create_group("spacetime")
+    g.attrs.update(
+        nx=st.nx, nt=st.nt, dur=st.dur, grid=st.grid,
+        urange=np.asarray(st.urange), winter=st.winter, summer=st.summer,
+    )
+
+
+def _write_forcing(f: h5py.Group, fo: Forcing) -> None:
+    g = f.create_group("forcing")
+    g.attrs.update(
+        base=fo.base, peak=fo.peak, cool=fo.cool,
+        holdyrs=np.asarray(fo.holdyrs), rates=np.asarray(fo.rates),
+        constant=fo.constant,
+    )
+
+
+def _write_ensemble(f: h5py.Group, ens) -> None:
+    f.attrs["__ebm_type__"] = "EnsembleSolutions"
+    f.attrs["n_members"] = int(ens.n_members)
+    _write_spacetime(f, ens.spacetime)
+    _write_forcing(f, ens.forcing)
+    _write_collection(f.create_group("parameters"), ens.parameters)
+    g = f.create_group("seasonal")
+    for season in ("winter", "summer", "avg"):
+        _write_collection(g.create_group(season), getattr(ens.seasonal, season))
+    if ens.raw is not None:
+        _write_collection(f.create_group("raw"), ens.raw)
+
+
+def _read_ensemble(f: h5py.Group):
+    from .parallel.ensemble import EnsembleSolutions
+
+    a = f["spacetime"].attrs
+    st = SpaceTime(
+        nx=int(a["nx"]), nt=int(a["nt"]), dur=int(a["dur"]), grid=str(a["grid"]),
+        urange=tuple(np.asarray(a["urange"]).tolist()),
+        winter=float(a["winter"]), summer=float(a["summer"]),
+    )
+    fa = f["forcing"].attrs
+    if bool(fa["constant"]):
+        forcing = Forcing(float(fa["base"]))
+    else:
+        forcing = Forcing(
+            float(fa["base"]), float(fa["peak"]), float(fa["cool"]),
+            tuple(int(v) for v in np.asarray(fa["holdyrs"])),
+            tuple(float(v) for v in np.asarray(fa["rates"])),
+        )
+    seasonal = Seasonal(
+        winter=_read_collection(f["seasonal/winter"]),
+        summer=_read_collection(f["seasonal/summer"]),
+        avg=_read_collection(f["seasonal/avg"]),
+    )
+    return EnsembleSolutions(
+        spacetime=st,
+        forcing=forcing,
+        parameters=_read_collection(f["parameters"]),
+        n_members=int(f.attrs["n_members"]),
+        seasonal=seasonal,
+        raw=_read_collection(f["raw"]) if "raw" in f else None,
+    )
 
 
 def _read_solutions(f: h5py.Group) -> Solutions:
@@ -121,9 +173,13 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             return path
     except ImportError:  # pragma: no cover
         pass
+    from .parallel.ensemble import EnsembleSolutions
+
     with h5py.File(path, "w") as f:
         if isinstance(obj, Solutions):
             _write_solutions(f, obj)
+        elif isinstance(obj, EnsembleSolutions):
+            _write_ensemble(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -163,6 +219,8 @@ def unsafeload(path: str, spwarn: bool = False):
         tag = f.attrs.get("__ebm_type__", "Collection")
         if tag == "Solutions":
             return _read_solutions(f)
+        if tag == "EnsembleSolutions":
+            return _read_ensemble(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

@@ -99,3 +99,25 @@ class TestLoadInto:
         ns = {}
         out = ebm.load_into("v", path, ns)
         assert out == "value" and ns["v"] == "value"
+
+
+class TestEnsembleRoundTrip:
+    def test_ensemble_solutions(self, tmp_path):
+        from energybalancemodel_jl_tpu.parallel import ensemble_integrate
+        from energybalancemodel_jl_tpu.parallel.ensemble import batched_parameters
+
+        st = ebm.SpaceTime.sin(10, 20, 2)
+        par_b = batched_parameters(ebm.default_parameters("MIZ"), {"D": [0.5, 0.7]})
+        ens = ensemble_integrate("MIZ", st, ebm.Forcing(0.0), par_b,
+                                 ebm.zeros_init(st), raw_mode="last")
+        path = str(tmp_path / "ens.h5")
+        ebm.save(ens, path)
+        loaded = ebm.load(path)
+        assert loaded.n_members == 2
+        assert loaded.spacetime == ens.spacetime
+        np.testing.assert_array_equal(loaded.parameters["D"], [0.5, 0.7])
+        for k in ("E", "phi"):
+            np.testing.assert_array_equal(
+                loaded.seasonal.avg[k], ens.seasonal.avg[k], err_msg=k
+            )
+            np.testing.assert_array_equal(loaded.raw[k], ens.raw[k], err_msg=k)
