@@ -126,7 +126,7 @@ def make_year_fn(
                 {k: jnp.where(idx == s0, out[k], summ[k]) for k in summ}
             )
             if step_conv is not None:
-                conv = jnp.logical_and(conv, step_conv)
+                conv = jnp.minimum(conv, step_conv)
             return (c, acc, wint, summ, conv), None
 
         # Peel step 0 eagerly: its output seeds the accumulators with the
@@ -143,7 +143,7 @@ def make_year_fn(
             out0,  # annual sum seeded with step 0
             out0 if w0 == 0 else Collection(zeros),
             out0 if s0 == 0 else Collection(zeros),
-            conv0 if has_conv else jnp.asarray(True),
+            conv0 if has_conv else jnp.asarray(1.0, dtype),
         )
         xs_rest = jax.tree_util.tree_map(lambda v: v[1:], xs)
         xs_rest["_idx"] = jnp.arange(1, st.nt, dtype=jnp.int32)

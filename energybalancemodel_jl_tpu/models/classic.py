@@ -102,15 +102,25 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     nonneg = (E >= 0.0).astype(dtype)
     alpha = stat.aw * pos + par["ai"] * neg  # WE15 Eq. (4); zero at E == 0 (:47)
     C = alpha * S_i + stat.cg_tau * Tg - par["A"] + f  # (:48)
-    T0 = C / (stat.M - stat.kLf / E)  # WE15 Eq. (A3) (:50)
+    # E == 0 lanes: the reference's kLf/0 = inf gives T0 = -+0.0, whose only
+    # use is through the (T0 < 0) mask — false for both signed zeros — so
+    # pinning T0 = 0 there is output-identical while keeping reverse-mode AD
+    # free of inf * 0 cotangents (double-where pattern).
+    zeroE = E == 0.0
+    T0 = jnp.where(
+        zeroE, 0.0, C / (stat.M - stat.kLf / jnp.where(zeroE, 1.0, E))
+    )  # WE15 Eq. (A3) (:50)
     T = E / par["cw"] * nonneg + T0 * (neg * (T0 < 0.0).astype(dtype))  # WE15 Eq. (9) (:51)
     E_new = E + stat.dt * (C - stat.M * T + par["Fb"])  # WE15 Eq. (A2) (:53)
 
     # Implicit Euler for Tg (WE15 Eq. (A1), :55-63) — masks use the *updated* E.
+    # E_new == 0 lanes have mask == 0 (E_new < 0 false), so the guarded
+    # denominator is again output-identical.
+    zeroEn = E_new == 0.0
     negn = (E_new < 0.0).astype(dtype)
     nonnegn = (E_new >= 0.0).astype(dtype)
     t0neg = (T0 < 0.0).astype(dtype)
-    denom = stat.M - stat.kLf / E_new
+    denom = stat.M - stat.kLf / jnp.where(zeroEn, 1.0, E_new)
     mask = t0neg * negn
     kdi = stat.kdi - stat.dc / denom * mask
     rhs = Tg + stat.dt_tau * (

@@ -25,10 +25,14 @@ Reference quirks reproduced deliberately (see SURVEY.md §2):
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from ..ops.diffusion import diffusion_bands
 from ..ops.newton import newton_tridiag
+from ..ops.tridiag import tridiag_solve
 from ..utils.collection import Collection
 from .base import ModelSpec, StepConfig, register_model
 
@@ -83,42 +87,38 @@ def _dstencil(stat, par, v):
     return par["D"] * (stat.glo * vm1 + stat.gdi * v + stat.gup * vp1)
 
 
-def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
-    """Ice surface temperature from the single-column energy balance.
+def _t0_residual(T0, args):
+    """The ``T0eq`` residual (/root/reference/src/miz.jl:33-45) as a pure
+    function of explicit arrays (differentiable in every input)."""
+    insol, hp, Tw, phi, f, glo, gdi, gup, k, Tm, A, B, ai, D = args
+    Ti = jnp.minimum(T0, Tm)
+    Tb = Ti * phi + (1.0 - phi) * Tw
+    r = k * (Tm - T0) / hp
+    r = r + ai * insol
+    r = r + ((-A) - B * (T0 - Tm))
+    r = r + D * (
+        glo * jnp.roll(Tb, 1, axis=-1) + gdi * Tb + gup * jnp.roll(Tb, -1, axis=-1)
+    )
+    r = r + f
+    return r
 
-    Rebuild of ``solveTi``'s inner solve (/root/reference/src/miz.jl:47-64).
-    Residual (``T0eq``, :33-45)::
 
-        k (Tm - T0)/h + ai S(x,t) - A - B (T0 - Tm)
-          + D∇²( phi min(T0,Tm) + (1-phi) Tw ) + f
+def _t0_bands(T0, args):
+    """Analytic tridiagonal Jacobian bands of :func:`_t0_residual`."""
+    insol, hp, Tw, phi, f, glo, gdi, gup, k, Tm, A, B, ai, D = args
+    g = phi * (T0 < Tm).astype(T0.dtype)
+    jlo = D * glo * jnp.roll(g, 1, axis=-1)
+    jdi = -k / hp - B + D * gdi * g
+    jup = D * gup * jnp.roll(g, -1, axis=-1)
+    return jlo, jdi, jup
 
-    with ``h -> hmin`` where ``h == 0`` (:51). The Jacobian is tridiagonal:
-    diagonal ``-k/h - B + D g_di phi 1[T0<Tm]`` plus the stencil off-diagonals
-    times the neighbor's ``phi 1[T0<Tm]``.
-    """
-    dtype = T0_warm.dtype
-    hp = jnp.where(h == 0.0, par["hmin"], h)
-    Tm = par["Tm"]
-    solar_ice = par["ai"] * insol
 
-    if cfg.solver == "pallas" and T0_warm.ndim >= 2:
-        return _solve_T0_pallas(T0_warm, insol, hp, Tw, phi, f, stat, par, cfg)
-
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _newton_root(T0_warm, args, cfg: StepConfig):
     def residual_and_bands(T0):
-        Ti = jnp.minimum(T0, Tm)
-        Tb = Ti * phi + (1.0 - phi) * Tw
-        r = par["k"] * (Tm - T0) / hp
-        r = r + solar_ice
-        r = r + ((-par["A"]) - par["B"] * (T0 - Tm))
-        r = r + _dstencil(stat, par, Tb)
-        r = r + f
-        g = phi * (T0 < Tm).astype(dtype)
-        jlo = par["D"] * stat.glo * jnp.roll(g, 1, axis=-1)
-        jdi = -par["k"] / hp - par["B"] + par["D"] * stat.gdi * g
-        jup = par["D"] * stat.gup * jnp.roll(g, -1, axis=-1)
-        return r, (jlo, jdi, jup)
+        return _t0_residual(T0, args), _t0_bands(T0, args)
 
-    T0, converged, iters = newton_tridiag(
+    return newton_tridiag(
         residual_and_bands,
         T0_warm,
         abstol=cfg.newton_abstol,
@@ -130,7 +130,61 @@ def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
         # low-precision iterates from blowing up through the min(T0, Tm) kink
         max_step=cfg.newton_max_step,
     )
-    return T0, converged, iters
+
+
+def _newton_root_fwd(T0_warm, args, cfg):
+    out = _newton_root(T0_warm, args, cfg)
+    return out, (out[0], args)
+
+
+def _newton_root_bwd(cfg, residuals, cotangents):
+    """Implicit-function-theorem VJP: with ``r(x*, args) = 0``,
+    ``dL/dargs = -lambda^T dr/dargs`` where ``J^T lambda = dL/dx*``.
+
+    The Newton ``while_loop`` itself is never differentiated --- this makes
+    the whole integrator reverse-differentiable (gradient-based calibration,
+    a capability with no reference analog)."""
+    T0, args = residuals
+    gT0 = cotangents[0]
+    jlo, jdi, jup = _t0_bands(T0, args)
+    # transpose bands: (J^T)lo[i] = jup[i-1], (J^T)up[i] = jlo[i+1]; the
+    # rolled-in boundary entries are multiples of the zero stencil-boundary
+    # bands, so plain rolls are safe
+    lam = tridiag_solve(
+        jnp.roll(jup, 1, axis=-1), jdi, jnp.roll(jlo, -1, axis=-1), gT0,
+        method="pcr" if cfg.solver == "pallas" else cfg.solver,
+    )
+    _, vjp_fn = jax.vjp(lambda a: _t0_residual(T0, a), args)
+    (g_args,) = vjp_fn(-lam)
+    return jnp.zeros_like(T0), g_args
+
+
+_newton_root.defvjp(_newton_root_fwd, _newton_root_bwd)
+
+
+def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
+    """Ice surface temperature from the single-column energy balance.
+
+    Rebuild of ``solveTi``'s inner solve (/root/reference/src/miz.jl:47-64).
+    Residual (``T0eq``, :33-45)::
+
+        k (Tm - T0)/h + ai S(x,t) - A - B (T0 - Tm)
+          + D∇²( phi min(T0,Tm) + (1-phi) Tw ) + f
+
+    with ``h -> hmin`` where ``h == 0`` (:51). The Jacobian is tridiagonal;
+    solved by warm-started Newton with an implicit-diff custom VJP
+    (reverse-mode AD flows through the root, not the iteration).
+    """
+    hp = jnp.where(h == 0.0, par["hmin"], h)
+
+    if cfg.solver == "pallas" and T0_warm.ndim >= 2:
+        return _solve_T0_pallas(T0_warm, insol, hp, Tw, phi, f, stat, par, cfg)
+
+    args = (
+        insol, hp, Tw, phi, f, stat.glo, stat.gdi, stat.gup,
+        par["k"], par["Tm"], par["A"], par["B"], par["ai"], par["D"],
+    )
+    return _newton_root(T0_warm, args, cfg)
 
 
 def _solve_T0_pallas(T0_warm, insol, hp, Tw, phi, f, stat, par, cfg: StepConfig):
@@ -201,8 +255,14 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     Ti = jnp.where(h == 0.0, 0.0, Ti)  # zeroref!(Ti, h) (:66)
 
     # -- floe number from pre-update D, phi (:160, num :83-87) ---------
-    n = phi / (par["alpha"] * Df**2)
-    n = jnp.where(Df == 0.0, 0.0, n)
+    # Masked divisions use the "double where" pattern throughout: the
+    # denominator is guarded with the same mask that discards the lane, so
+    # the primal is bitwise-identical to the reference's compute-then-mask
+    # (the masked lane's value never escapes) while reverse-mode AD never
+    # sees an inf/NaN to multiply by the zero cotangent.
+    zeroD = Df == 0.0
+    n = phi / jnp.where(zeroD, 1.0, par["alpha"] * Df**2)
+    n = jnp.where(zeroD, 0.0, n)
 
     # -- fluxes (:162-164) ---------------------------------------------
     Tb = Ti * phi + (1.0 - phi) * Tw  # Tbar (:21-28)
@@ -211,8 +271,8 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     Fvi = par["ai"] * insol - L + dTb + par["Fb"] + f  # vert_flux ice (:96-101)
     Fvw = stat.aw * insol - L + dTb + par["Fb"] + f  # vert_flux water
     wl = par["m1"] * (Tw - Tm**par["m2"])  # wlat (:71) — exponent binds to Tm
-    Flat = phi * h * par["Lf"] * wl * jnp.pi / (par["alpha"] * Df)  # lat_flux (:103-107)
-    Flat = jnp.where(Df == 0.0, 0.0, Flat)
+    Flat = phi * h * par["Lf"] * wl * jnp.pi / jnp.where(zeroD, 1.0, par["alpha"] * Df)  # lat_flux (:103-107)
+    Flat = jnp.where(zeroD, 0.0, Flat)
 
     # -- enthalpy forward Euler + redistribution (:166-170, :109-117) --
     rEi = Ei + (phi * Fvi + Flat) * dt  # Ei_t (:137)
@@ -228,32 +288,40 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     ring = par["alpha"] * n * ((Df + 2.0 * par["rl"]) ** 2 - Df**2)  # area_lead (:90-93)
     Al = jnp.minimum(ring, 1.0 - phi)
     psiEw = psiEwdt / dt
-    Ql = Al / (1.0 - phi) * psiEw  # split_psiEw (:120-125)
-    Ql = jnp.where(phi == 1.0, 0.0, Ql)  # condset!(Ql, 0, isone, phi)
+    phi_one = phi == 1.0
+    Ql = Al / jnp.where(phi_one, 1.0, 1.0 - phi) * psiEw  # split_psiEw (:120-125)
+    Ql = jnp.where(phi_one, 0.0, Ql)  # condset!(Ql, 0, isone, phi)
     Qp = psiEw - Ql
     dn = dt * (-Qp / (par["Lf"] * par["alpha"] * par["Dmin"] ** 2 * par["hmin"]))  # psinplus (:127)
 
     # D_t (:140-146) — note the reference's operator-precedence quirk:
     # lat_melt = ((-pi)/2.0*alpha)*wlat = -(pi/2) alpha wlat
     lat_melt = -jnp.pi / 2.0 * par["alpha"] * wl
-    lat_grow = -Df / (2.0 * par["Lf"] * h * phi) * Ql
+    # guard on the full denominator (h or phi zero): lanes with phi == 0 and
+    # h > 0 necessarily have Ei == 0, so the altered intermediate is always
+    # rescued by the zeroref(D, Ei) below — final outputs unchanged
+    lg_den = 2.0 * par["Lf"] * h * phi
+    lat_grow = -Df / jnp.where(lg_den == 0.0, 1.0, lg_den) * Ql
+    lat_grow = jnp.where(lg_den == 0.0, 0.0, lat_grow)
     lat_grow = jnp.where(h == 0.0, 0.0, lat_grow)  # zeroref!(lat_grow, h) (:144)
     weld = par["kappa"] * par["alpha"] / 4.0 * phi * Df**3
     rD = Df + (lat_melt + lat_grow + weld) * dt
     total = n + dn
-    D1 = (n * rD + dn * par["Dmin"]) / total  # average new pancakes (:129-134,176)
-    D1 = jnp.where(total == 0.0, 0.0, D1)
+    zero_total = total == 0.0
+    D1 = (n * rD + dn * par["Dmin"]) / jnp.where(zero_total, 1.0, total)  # average new pancakes (:129-134,176)
+    D1 = jnp.where(zero_total, 0.0, D1)
     D1 = jnp.clip(D1, par["Dmin"], par["Dmax"])  # (:177)
     D1 = jnp.where(Ei1 == 0.0, 0.0, D1)  # zeroref!(D, Ei) (:178)
 
     rh = h + (-1.0 / par["Lf"] * Fvi) * dt  # h_t (:139,179)
     rh = jnp.maximum(rh, 0.0)  # clamp!(rh, 0, Inf) (:180)
-    h1 = (n * rh + dn * par["hmin"]) / total  # (:181)
-    h1 = jnp.where(total == 0.0, 0.0, h1)
+    h1 = (n * rh + dn * par["hmin"]) / jnp.where(zero_total, 1.0, total)  # (:181)
+    h1 = jnp.where(zero_total, 0.0, h1)
 
     # -- concentration (:183, concentration :74-80) --------------------
-    phi1 = -Ei1 / (par["Lf"] * h1)
-    phi1 = jnp.where(h1 == 0.0, 0.0, phi1)
+    zero_h1 = h1 == 0.0
+    phi1 = -Ei1 / jnp.where(zero_h1, 1.0, par["Lf"] * h1)
+    phi1 = jnp.where(zero_h1, 0.0, phi1)
     phi1 = jnp.where(phi1 > 1.0, 1.0, phi1)
 
     # -- totals (:185-187) ---------------------------------------------
@@ -269,7 +337,11 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     carry = Collection(Ei=Ei1, Ew=Ew1, h=h1, D=D1, phi=phi1, T0=T0)
     out = Collection(
         E=E, T=T, h=h1, Ei=Ei1, Ew=Ew1, Ti=Ti_out, Tw=Tw_out, D=D1, phi=phi1, n=n,
-        newton_converged=jnp.all(converged),
+        # float (1.0 = all converged): boolean reductions have no AD rules,
+        # and this flag must ride through differentiable scans
+        newton_converged=jax.lax.stop_gradient(
+            jnp.min(jnp.asarray(converged, dtype))
+        ),
     )
     return carry, out
 
