@@ -145,6 +145,10 @@ def _newton_root_bwd(cfg, residuals, cotangents):
     the whole integrator reverse-differentiable (gradient-based calibration,
     a capability with no reference analog)."""
     T0, args = residuals
+    # jit-constant residuals can arrive as jax-internal const wrappers
+    # without operator support; normalize to arrays
+    T0 = jnp.asarray(T0)
+    args = jax.tree_util.tree_map(jnp.asarray, args)
     gT0 = cotangents[0]
     jlo, jdi, jup = _t0_bands(T0, args)
     # transpose bands: (J^T)lo[i] = jup[i-1], (J^T)up[i] = jlo[i+1]; the
