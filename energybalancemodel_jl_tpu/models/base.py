@@ -35,6 +35,7 @@ class StepConfig:
     newton_reltol: float = 1e-6
     newton_max_step: float = None  # trust-region-style step cap (float32 safeguard)
     verbose: bool = False  # warn on Newton non-convergence (reference :61-63)
+    spatial_axis: str = None  # mesh axis name when the grid axis is sharded
 
 
 @dataclasses.dataclass(frozen=True)

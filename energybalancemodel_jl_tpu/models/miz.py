@@ -30,7 +30,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from ..ops.diffusion import diffusion_bands
+from ..ops.diffusion import diffusion_bands, neighbor_cells
 from ..ops.newton import newton_tridiag
 from ..ops.tridiag import tridiag_solve
 from ..utils.collection import Collection
@@ -79,15 +79,15 @@ def step_inputs(stat, fyear):
     return dict(insol=stat.insol, f=fyear)
 
 
-def _dstencil(stat, par, v):
+def _dstencil(stat, par, v, axis_name=None):
     """``D∇²v`` via the precomputed bands (rebuild of ``diffusion!``
-    /root/reference/src/infrastructure.jl:505-527)."""
-    vm1 = jnp.roll(v, 1, axis=-1)
-    vp1 = jnp.roll(v, -1, axis=-1)
+    /root/reference/src/infrastructure.jl:505-527); halo exchange when the
+    grid axis is sharded."""
+    vm1, vp1 = neighbor_cells(v, axis_name)
     return par["D"] * (stat.glo * vm1 + stat.gdi * v + stat.gup * vp1)
 
 
-def _t0_residual(T0, args):
+def _t0_residual(T0, args, axis_name=None):
     """The ``T0eq`` residual (/root/reference/src/miz.jl:33-45) as a pure
     function of explicit arrays (differentiable in every input)."""
     insol, hp, Tw, phi, f, glo, gdi, gup, k, Tm, A, B, ai, D = args
@@ -96,27 +96,36 @@ def _t0_residual(T0, args):
     r = k * (Tm - T0) / hp
     r = r + ai * insol
     r = r + ((-A) - B * (T0 - Tm))
-    r = r + D * (
-        glo * jnp.roll(Tb, 1, axis=-1) + gdi * Tb + gup * jnp.roll(Tb, -1, axis=-1)
-    )
+    Tbm1, Tbp1 = neighbor_cells(Tb, axis_name)
+    r = r + D * (glo * Tbm1 + gdi * Tb + gup * Tbp1)
     r = r + f
     return r
 
 
-def _t0_bands(T0, args):
+def _t0_bands(T0, args, axis_name=None):
     """Analytic tridiagonal Jacobian bands of :func:`_t0_residual`."""
     insol, hp, Tw, phi, f, glo, gdi, gup, k, Tm, A, B, ai, D = args
     g = phi * (T0 < Tm).astype(T0.dtype)
-    jlo = D * glo * jnp.roll(g, 1, axis=-1)
+    gm1, gp1 = neighbor_cells(g, axis_name)
+    jlo = D * glo * gm1
     jdi = -k / hp - B + D * gdi * g
-    jup = D * gup * jnp.roll(g, -1, axis=-1)
+    jup = D * gup * gp1
     return jlo, jdi, jup
+
+
+def _solver_method(cfg: StepConfig) -> str:
+    if cfg.spatial_axis is not None:
+        return "spike"
+    return "pcr" if cfg.solver == "pallas" else cfg.solver
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _newton_root(T0_warm, args, cfg: StepConfig):
     def residual_and_bands(T0):
-        return _t0_residual(T0, args), _t0_bands(T0, args)
+        return (
+            _t0_residual(T0, args, cfg.spatial_axis),
+            _t0_bands(T0, args, cfg.spatial_axis),
+        )
 
     return newton_tridiag(
         residual_and_bands,
@@ -124,7 +133,8 @@ def _newton_root(T0_warm, args, cfg: StepConfig):
         abstol=cfg.newton_abstol,
         reltol=cfg.newton_reltol,
         max_iter=cfg.newton_max_iter,
-        method="pcr" if cfg.solver == "pallas" else cfg.solver,
+        method=_solver_method(cfg),
+        axis_name=cfg.spatial_axis,
         # float32 config caps the update: physical surface temperatures move
         # by at most a few K per step from a warm start, and the cap keeps
         # low-precision iterates from blowing up through the min(T0, Tm) kink
@@ -150,15 +160,18 @@ def _newton_root_bwd(cfg, residuals, cotangents):
     T0 = jnp.asarray(T0)
     args = jax.tree_util.tree_map(jnp.asarray, args)
     gT0 = cotangents[0]
-    jlo, jdi, jup = _t0_bands(T0, args)
+    jlo, jdi, jup = _t0_bands(T0, args, cfg.spatial_axis)
     # transpose bands: (J^T)lo[i] = jup[i-1], (J^T)up[i] = jlo[i+1]; the
-    # rolled-in boundary entries are multiples of the zero stencil-boundary
-    # bands, so plain rolls are safe
+    # shifted-in boundary entries are multiples of the zero stencil-boundary
+    # bands, so neighbor exchange (or plain rolls) are safe
+    jup_m1, _ = neighbor_cells(jup, cfg.spatial_axis)
+    _, jlo_p1 = neighbor_cells(jlo, cfg.spatial_axis)
     lam = tridiag_solve(
-        jnp.roll(jup, 1, axis=-1), jdi, jnp.roll(jlo, -1, axis=-1), gT0,
-        method="pcr" if cfg.solver == "pallas" else cfg.solver,
+        jup_m1, jdi, jlo_p1, gT0,
+        method=_solver_method(cfg),
+        axis_name=cfg.spatial_axis,
     )
-    _, vjp_fn = jax.vjp(lambda a: _t0_residual(T0, a), args)
+    _, vjp_fn = jax.vjp(lambda a: _t0_residual(T0, a, cfg.spatial_axis), args)
     (g_args,) = vjp_fn(-lam)
     return jnp.zeros_like(T0), g_args
 
@@ -181,7 +194,7 @@ def solve_T0(T0_warm, insol, h, Tw, phi, f, stat, par, cfg: StepConfig):
     """
     hp = jnp.where(h == 0.0, par["hmin"], h)
 
-    if cfg.solver == "pallas" and T0_warm.ndim >= 2:
+    if cfg.solver == "pallas" and T0_warm.ndim >= 2 and cfg.spatial_axis is None:
         return _solve_T0_pallas(T0_warm, insol, hp, Tw, phi, f, stat, par, cfg)
 
     args = (
@@ -271,7 +284,7 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     # -- fluxes (:162-164) ---------------------------------------------
     Tb = Ti * phi + (1.0 - phi) * Tw  # Tbar (:21-28)
     L = par["A"] + par["B"] * (Tb - Tm)  # OLR (:99)
-    dTb = _dstencil(stat, par, Tb)
+    dTb = _dstencil(stat, par, Tb, cfg.spatial_axis)
     Fvi = par["ai"] * insol - L + dTb + par["Fb"] + f  # vert_flux ice (:96-101)
     Fvw = stat.aw * insol - L + dTb + par["Fb"] + f  # vert_flux water
     wl = par["m1"] * (Tw - Tm**par["m2"])  # wlat (:71) — exponent binds to Tm

@@ -73,6 +73,29 @@ def diffusion_bands(st) -> DiffusionGeometry:
     return DiffusionGeometry(lo=lo, di=di, up=up)
 
 
+def neighbor_cells(v, axis_name=None):
+    """``(v_{i-1}, v_{i+1})`` along the last axis.
+
+    Single-shard: boundary-rolled values (multiplied by zero band entries at
+    the boundaries, so wraparound is harmless). With ``axis_name`` set (grid
+    axis sharded under ``shard_map``): one-cell halo exchange with the ring
+    neighbors via ``lax.ppermute``.
+    """
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
+    if axis_name is None:
+        return _jnp.roll(v, 1, axis=-1), _jnp.roll(v, -1, axis=-1)
+    P = _lax.psum(1, axis_name)
+    fwd = [(k, (k + 1) % P) for k in range(P)]
+    bwd = [(k, (k - 1) % P) for k in range(P)]
+    from_left = _lax.ppermute(v[..., -1:], axis_name, fwd)
+    from_right = _lax.ppermute(v[..., :1], axis_name, bwd)
+    vm1 = _jnp.concatenate([from_left, v[..., :-1]], axis=-1)
+    vp1 = _jnp.concatenate([v[..., 1:], from_right], axis=-1)
+    return vm1, vp1
+
+
 def apply_diffusion(T, geom, D):
     """``D∇²T`` for a temperature field ``T`` of shape ``(..., nx)``.
 

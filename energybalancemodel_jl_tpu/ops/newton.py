@@ -29,6 +29,7 @@ def newton_tridiag(
     max_iter: int = 30,
     method: str = "pcr",
     max_step: float = None,
+    axis_name: str = None,
 ):
     """Solve ``r(x) = 0`` where ``J = dr/dx`` is tridiagonal.
 
@@ -58,8 +59,17 @@ def newton_tridiag(
     ``(x, converged, iterations)`` — solution, bool convergence flag (scalar
     or batched), and the iteration count actually used.
     """
+    def global_norm(r):
+        # with a sharded grid axis, the convergence decision must be
+        # identical on every shard (the body contains collectives — a
+        # per-shard loop count would deadlock), so reduce over the mesh
+        n = jnp.max(jnp.abs(r), axis=-1)
+        if axis_name is not None:
+            n = lax.pmax(n, axis_name)
+        return n
+
     r0, bands0 = residual_and_bands(x0)
-    rnorm0 = jnp.max(jnp.abs(r0), axis=-1)
+    rnorm0 = global_norm(r0)
     tol = jnp.maximum(jnp.asarray(abstol, dtype=x0.dtype), reltol * rnorm0)
 
     def cond(state):
@@ -70,7 +80,7 @@ def newton_tridiag(
         # the residual/Jacobian of the current iterate are carried from the
         # previous iteration — one evaluation per Newton step
         x, r, (lo, di, up), it, _ = state
-        delta = tridiag_solve(lo, di, up, -r, method=method)
+        delta = tridiag_solve(lo, di, up, -r, method=method, axis_name=axis_name)
         if max_step is not None:
             delta = jnp.clip(delta, -max_step, max_step)
         # a non-finite update (singular float32 Jacobian) freezes the lane
@@ -78,7 +88,7 @@ def newton_tridiag(
         delta = jnp.where(jnp.isfinite(delta), delta, jnp.zeros_like(delta))
         x = x + delta
         r, bands = residual_and_bands(x)
-        return x, r, bands, it + 1, jnp.max(jnp.abs(r), axis=-1)
+        return x, r, bands, it + 1, global_norm(r)
 
     x, _, _, iters, rnorm = lax.while_loop(
         cond, body, (x0, r0, bands0, jnp.int32(0), rnorm0)

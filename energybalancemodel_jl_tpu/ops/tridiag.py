@@ -129,9 +129,15 @@ def pcr_solve(lo, di, up, b):
     return b / di
 
 
-def tridiag_solve(lo, di, up, b, method: str = "pcr"):
-    """Dispatch between :func:`pcr_solve` (default, TPU fast path) and
-    :func:`thomas_solve` (``method='thomas'``, sequential parity path)."""
+def tridiag_solve(lo, di, up, b, method: str = "pcr", axis_name: str = None):
+    """Dispatch between :func:`pcr_solve` (default, TPU fast path),
+    :func:`thomas_solve` (``method='thomas'``, sequential parity path), and
+    the distributed :func:`~.spike.spike_tridiag_solve` (``method='spike'``,
+    grid axis sharded over ``axis_name``)."""
+    if method == "spike":
+        from .spike import spike_tridiag_solve
+
+        return spike_tridiag_solve(lo, di, up, b, axis_name)
     if method == "thomas":
         if b.ndim == 1:
             return thomas_solve(lo, di, up, b)

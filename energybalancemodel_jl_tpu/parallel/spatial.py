@@ -1,0 +1,216 @@
+"""Spatially sharded full-model integration (grid-axis domain decomposition).
+
+For very high-resolution grids (nx >> 1e4; SURVEY.md §5) a single run can be
+sharded over the latitude axis: each device owns a contiguous block of grid
+cells, the 3-point diffusion stencil exchanges one halo cell per application
+(``lax.ppermute``), and the implicit tridiagonal solves (classic ghost layer,
+MIZ Newton) run through the distributed SPIKE solver
+(:mod:`..ops.spike` — local factorizations + one small ``all_gather``-ed
+interface system). Physics code is shared with the single-chip path; only
+the neighbor exchange and solver dispatch differ (``StepConfig.spatial_axis``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..forcing import Forcing
+from ..integrate import default_dtype
+from ..models.base import StepConfig, get_model
+from ..solutions import Seasonal, Solutions
+from ..spacetime import SpaceTime
+from ..utils.collection import Collection
+
+__all__ = ["spatial_integrate", "grid_mesh"]
+
+
+def grid_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def _stat_specs(stat: Collection, nx: int, axis: str) -> Collection:
+    """Partition specs for a statics Collection: leaves whose last axis is
+    the grid are sharded over ``axis``; scalars replicate."""
+    def spec(v):
+        ndim = jnp.ndim(v)
+        if ndim >= 1 and jnp.shape(v)[-1] == nx:
+            return P(*([None] * (ndim - 1) + [axis]))
+        return P()
+    return Collection({k: spec(v) for k, v in stat.items()})
+
+
+def _make_spatial_year_fn(spec, st, cfg: StepConfig, dtype, collect_raw: bool,
+                          mesh: Mesh, axis: str, stat_specs: Collection):
+    """shard_map-wrapped one-year scan over a grid-sharded carry.
+
+    Statics are computed outside and passed in sharded; the physics step is
+    the shared model code with ``cfg.spatial_axis`` set (halo-exchange
+    stencils + SPIKE solves).
+    """
+    w0 = st.winter_inx - 1
+    s0 = st.summer_inx - 1
+
+    def local_year(carry, par, fyear, stat):
+        xs = Collection(spec.step_inputs(stat, jnp.asarray(fyear, dtype=dtype)))
+
+        def scan_step(c, x):
+            return spec.step(c, x, stat, par, cfg)
+
+        x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
+        xs_rest = jax.tree_util.tree_map(lambda v: v[1:], xs)
+        carry, out0 = scan_step(carry, x0)
+        out0 = Collection(out0)
+        conv0 = out0.pop("newton_converged", None)
+        has_conv = conv0 is not None
+        zeros = Collection({k: v * 0 for k, v in out0.items()})
+
+        if collect_raw:
+            carry, ys_rest = lax.scan(scan_step, carry, xs_rest)
+            ys = Collection(ys_rest)
+            conv_rest = ys.pop("newton_converged", None)
+            ys = Collection(
+                {k: jnp.concatenate([out0[k][None], v], axis=0) for k, v in ys.items()}
+            )
+            seasonal = Seasonal(
+                winter=Collection({k: v[w0] for k, v in ys.items()}),
+                summer=Collection({k: v[s0] for k, v in ys.items()}),
+                avg=Collection({k: jnp.mean(v, axis=0) for k, v in ys.items()}),
+            )
+            conv = (
+                jnp.minimum(conv0, jnp.min(conv_rest)) if has_conv
+                else jnp.asarray(1.0, dtype)
+            )
+            conv = lax.pmin(conv, axis)  # provably replicated for out_specs P()
+            return carry, seasonal, conv, ys
+
+        def seasonal_step(state, x):
+            c, acc, wint, summ, conv = state
+            x = Collection(x)
+            idx = x.pop("_idx")
+            c, out = spec.step(c, x, stat, par, cfg)
+            out = Collection(out)
+            step_conv = out.pop("newton_converged", None)
+            acc = Collection({k: acc[k] + out[k] for k in acc})
+            wint = Collection({k: jnp.where(idx == w0, out[k], wint[k]) for k in wint})
+            summ = Collection({k: jnp.where(idx == s0, out[k], summ[k]) for k in summ})
+            if step_conv is not None:
+                conv = jnp.minimum(conv, step_conv)
+            return (c, acc, wint, summ, conv), None
+
+        state0 = (
+            carry, out0,
+            out0 if w0 == 0 else Collection(zeros),
+            out0 if s0 == 0 else Collection(zeros),
+            conv0 if has_conv else jnp.asarray(1.0, dtype),
+        )
+        xs_rest["_idx"] = jnp.arange(1, st.nt, dtype=jnp.int32)
+        (carry, acc, wint, summ, conv), _ = lax.scan(seasonal_step, state0, xs_rest)
+        seasonal = Seasonal(
+            winter=wint, summer=summ,
+            avg=Collection({k: v / st.nt for k, v in acc.items()}),
+        )
+        conv = lax.pmin(conv, axis)  # provably replicated for out_specs P()
+        return carry, seasonal, conv, None
+
+    sm = shard_map(
+        local_year,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), stat_specs),
+        out_specs=(
+            P(axis),  # carry leaves (broadcast over the pytree)
+            Seasonal(winter=P(axis), summer=P(axis), avg=P(axis)),
+            P(),  # converged (replicated: Newton norms are pmax-reduced)
+            P(None, axis) if collect_raw else P(),
+        ),
+    )
+    return jax.jit(sm)
+
+
+def spatial_integrate(
+    model: str,
+    st: SpaceTime,
+    forcing: Forcing,
+    par: Collection,
+    init: Collection,
+    mesh: Optional[Mesh] = None,
+    axis: str = "x",
+    lastonly: bool = True,
+    raw_mode: Optional[str] = None,
+    dtype=None,
+) -> Solutions:
+    """Integrate one run with the grid axis sharded over ``mesh``.
+
+    Semantics match :func:`~energybalancemodel_jl_tpu.integrate` (lastonly /
+    raw storage, seasonal snapshots); parameters must be scalars (spatial
+    decomposition is for single high-resolution runs — sweep parameters with
+    the ensemble engines instead).
+    """
+    spec = get_model(model)
+    if mesh is None:
+        mesh = grid_mesh(axis=axis)
+    if st.nx % mesh.size != 0:
+        raise ValueError(f"nx={st.nx} must divide evenly over {mesh.size} devices")
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+    if raw_mode is None:
+        raw_mode = "last" if lastonly else "all"
+
+    if dtype == jnp.float64:
+        cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9, spatial_axis=axis)
+    else:
+        cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4,
+                         newton_max_step=50.0, spatial_axis=axis)
+
+    par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    stat = jax.jit(lambda p: spec.statics(st, p, dtype))(par_j)
+    sspecs = _stat_specs(stat, st.nx, axis)
+    run_seasonal = _make_spatial_year_fn(spec, st, cfg, dtype, False, mesh, axis, sspecs)
+    run_full = _make_spatial_year_fn(spec, st, cfg, dtype, True, mesh, axis, sspecs)
+
+    carry = spec.init_carry(init, st, dtype)
+    f_tab = forcing.table(st)
+
+    raw_chunks = []
+    winter_acc, summer_acc, avg_acc = [], [], []
+    for y in range(st.dur):
+        collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
+        fn = run_full if collect else run_seasonal
+        carry, seasonal, _conv, ys = fn(carry, par_j, f_tab[y], stat)
+        winter_acc.append(seasonal.winter)
+        summer_acc.append(seasonal.summer)
+        avg_acc.append(seasonal.avg)
+        if collect:
+            raw_chunks.append(ys)
+
+    varnames = list(spec.solution_vars)
+    if raw_chunks:
+        raw = Collection(
+            {k: np.concatenate([np.asarray(c[k]) for c in raw_chunks], axis=0)
+             for k in varnames}
+        )
+    else:
+        raw = Collection({k: np.zeros((0, st.nx)) for k in varnames})
+
+    def stack(acc):
+        return Collection(
+            {k: np.stack([np.asarray(c[k]) for c in acc], axis=0) for k in varnames}
+        )
+
+    ts = Solutions.stored_times(st, raw_mode != "all")
+    if raw_mode == "none":
+        ts = np.zeros((0,))
+    return Solutions(
+        spacetime=st, ts=ts, forcing=forcing, parameters=Collection(par),
+        initconds=Collection({k: np.asarray(v) for k, v in init.items()}),
+        lastonly=lastonly, debug=None, raw=raw,
+        seasonal=Seasonal(stack(winter_acc), stack(summer_acc), stack(avg_acc)),
+    )
