@@ -91,3 +91,41 @@ class TestCheckpoint:
         np.testing.assert_array_equal(acc2[2][0]["E"], acc[2][0]["E"])
         assert ckpt.checkpoint_matches(path, "key")
         assert not ckpt.checkpoint_matches(path, "other")
+
+
+class TestHighResRampCheckpoint:
+    """BASELINE.json benchmark config: higher-resolution grid, transient
+    forcing ramp, checkpoint IO — resume reproduces the uninterrupted run
+    and the result round-trips through HDF5."""
+
+    def test_ramp_with_checkpoint_roundtrip(self, tmp_path):
+        st = ebm.SpaceTime.sin(128, 100, 4)
+        ramp = ebm.Forcing(0.0, 4.0, -4.0, (1, 1), (4.0, -4.0))
+        par = ebm.default_parameters("MIZ")
+        init = ebm.zeros_init(st)
+        full = ebm.integrate("MIZ", st, ramp, par, init, progress=False)
+        # run 2 years with checkpointing, then resume to completion
+        st2 = ebm.SpaceTime.sin(128, 100, 2)
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+
+        pre_path = str(tmp_path / "pre.h5")
+        ebm.integrate("MIZ", st2, ramp, par, init, progress=False,
+                      checkpoint=pre_path, raw_mode="none")
+        carry, years, acc, _ = ckpt.read_checkpoint(pre_path)
+        ck = str(tmp_path / "run.h5")
+        # write under the 4-year run's key
+        key4 = (
+            f"MIZ|{st!r}|{ramp!r}|{sorted((k, float(v)) for k, v in par.items())}"
+            f"|float64|pcr"
+        )
+        ckpt.write_checkpoint(ck, carry, years, acc, key4)
+        resumed = ebm.integrate("MIZ", st, ramp, par, init, progress=False,
+                                checkpoint=ck, resume=True)
+        for k in ("E", "phi", "h"):
+            np.testing.assert_array_equal(resumed.raw[k], full.raw[k], err_msg=k)
+        # persistence round-trip of the resumed result
+        out = str(tmp_path / "sols.h5")
+        ebm.save(resumed, out)
+        loaded = ebm.load(out)
+        assert not loaded.forcing.constant
+        np.testing.assert_array_equal(loaded.raw["E"], resumed.raw["E"])

@@ -110,3 +110,19 @@ class TestParameters:
     def test_paramsets_match_reference(self):
         assert "F" in classic_paramset and "F" not in miz_paramset
         assert "kappa" in miz_paramset and "kappa" not in classic_paramset
+
+
+def test_custom_grid_callable():
+    """SpaceTime accepts an arbitrary monotone grid map (the reference's
+    type parameter F can be any function, infrastructure.jl:75-77)."""
+    import math
+
+    def quad(u):
+        return np.asarray(u) ** 2
+
+    st = SpaceTime(16, 10, 1, grid=quad, urange=(0.0, 1.0))
+    np.testing.assert_allclose(st.x, st.u**2)
+    from energybalancemodel_jl_tpu.ops.diffusion import diffusion_bands
+
+    geom = diffusion_bands(st)  # general-grid flux form
+    assert geom.lo[0] == 0.0 and geom.up[-1] == 0.0
