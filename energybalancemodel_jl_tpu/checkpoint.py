@@ -23,7 +23,7 @@ complete model state — reference ``@persistent`` warm starts included).
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import h5py
 import numpy as np

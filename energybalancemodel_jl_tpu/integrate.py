@@ -31,7 +31,6 @@ import numpy as np
 from jax import lax
 
 from .forcing import Forcing
-from .models import base as model_base
 from .models.base import StepConfig, get_model
 from .solutions import Seasonal, Solutions
 from .spacetime import SpaceTime

@@ -19,8 +19,6 @@ Reference quirks reproduced deliberately:
 """
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 import numpy as np
 

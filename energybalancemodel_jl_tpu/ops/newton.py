@@ -11,8 +11,6 @@ converges in a handful of iterations. Runs under ``jit``/``vmap``/``scan``:
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 from jax import lax
 

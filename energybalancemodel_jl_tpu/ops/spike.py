@@ -22,7 +22,6 @@ right-hand sides share the factorization sweep by batching.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

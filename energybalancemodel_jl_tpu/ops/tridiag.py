@@ -21,8 +21,6 @@ transparent to ``vmap`` (batched ensembles) and reverse-mode AD.
 from __future__ import annotations
 
 import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

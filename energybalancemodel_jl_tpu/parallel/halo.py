@@ -17,8 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.diffusion import DiffusionGeometry, diffusion_bands
-from ..utils.collection import Collection
+from ..ops.diffusion import diffusion_bands
 
 __all__ = ["grid_mesh", "sharded_diffusion"]
 

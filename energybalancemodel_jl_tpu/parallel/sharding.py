@@ -10,7 +10,6 @@ exercise explicit collectives (used by the multi-chip dry run).
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -19,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..integrate import make_year_fn
-from ..models.base import StepConfig, get_model
+from ..models.base import StepConfig
 from ..utils.collection import Collection
 from . import ensemble as ens
 

@@ -19,7 +19,7 @@ matplotlib instead of Makie).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import numpy as np
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Callable, Tuple, Union
+from typing import Callable, Tuple
 
 import numpy as np
 
