@@ -9,7 +9,7 @@ and prints ONE JSON line.
 
 Environment knobs: EBM_BENCH_K (ensemble size, default 1024),
 EBM_BENCH_YEARS (timed years, default 3), EBM_BENCH_DTYPE (float32|float64),
-EBM_BENCH_SOLVER (pcr|thomas|pallas), EBM_BENCH_ENGINE (batched|vmap).
+EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE (batched|vmap).
 """
 import json
 import os
@@ -40,7 +40,7 @@ def main():
     K = int(os.environ.get("EBM_BENCH_K", "1024"))
     years = int(os.environ.get("EBM_BENCH_YEARS", "3"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
-    solver = os.environ.get("EBM_BENCH_SOLVER", "pcr")
+    solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
     engine = os.environ.get("EBM_BENCH_ENGINE", "batched")
 
     st = ebm.SpaceTime.sin(180, 2000, 1)

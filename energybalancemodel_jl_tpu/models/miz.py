@@ -116,7 +116,9 @@ def _t0_bands(T0, args, axis_name=None):
 def _solver_method(cfg: StepConfig) -> str:
     if cfg.spatial_axis is not None:
         return "spike"
-    return "pcr" if cfg.solver == "pallas" else cfg.solver
+    if cfg.solver == "pallas":
+        return "pcr"
+    return cfg.solver
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

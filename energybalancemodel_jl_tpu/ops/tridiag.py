@@ -136,6 +136,15 @@ def tridiag_solve(lo, di, up, b, method: str = "pcr", axis_name: str = None):
         from .spike import spike_tridiag_solve
 
         return spike_tridiag_solve(lo, di, up, b, axis_name)
+    if method == "pcr_fused":
+        # fused Pallas kernel (one launch for the whole solve) for batched
+        # 2-D systems; falls back to the XLA path otherwise
+        if b.ndim == 2:
+            from .pallas_newton import default_interpret
+            from .pallas_tridiag import pallas_pcr_solve
+
+            return pallas_pcr_solve(lo, di, up, b, interpret=default_interpret())
+        return pcr_solve(lo, di, up, b)
     if method == "thomas":
         if b.ndim == 1:
             return thomas_solve(lo, di, up, b)

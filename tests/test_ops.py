@@ -172,3 +172,37 @@ class TestNewton:
         x, conv, it = newton_tridiag(rb, jnp.full(8, 3.0))
         assert bool(jnp.all(conv))
         np.testing.assert_allclose(np.asarray(x), 2.0, rtol=1e-9)
+
+
+class TestPallasFusedPCR:
+    def test_matches_xla_pcr(self, rng):
+        """The fused Pallas PCR kernel (interpret mode on CPU) matches the
+        XLA PCR path; identity-row padding reproduces zero-filled shifts."""
+        from energybalancemodel_jl_tpu.ops.pallas_tridiag import pallas_pcr_solve
+
+        K, n = 9, 180
+        lo = rng.normal(size=(K, n)); up = rng.normal(size=(K, n))
+        lo[:, 0] = 0.0; up[:, -1] = 0.0
+        di = np.abs(lo) + np.abs(up) + 1.0 + rng.uniform(0, 1, (K, n))
+        b = rng.normal(size=(K, n))
+        a32 = lambda v: jnp.asarray(v, jnp.float32)
+        ref = np.asarray(pcr_solve(a32(lo), a32(di), a32(up), a32(b)))
+        out = np.asarray(pallas_pcr_solve(a32(lo), a32(di), a32(up), a32(b),
+                                          interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_dispatch_through_tridiag_solve(self, rng):
+        lo, di, up, b = random_diag_dominant(rng, 50, batch=(4,))
+        a32 = lambda v: jnp.asarray(v, jnp.float32)
+        out = np.asarray(tridiag_solve(a32(lo), a32(di), a32(up), a32(b),
+                                       method="pcr_fused"))
+        for i in range(4):
+            expected = np.linalg.solve(bands_to_dense(lo[i], di[i], up[i]), b[i])
+            np.testing.assert_allclose(out[i], expected, rtol=2e-3, atol=2e-3)
+
+    def test_1d_falls_back(self, rng):
+        lo, di, up, b = random_diag_dominant(rng, 32)
+        out = np.asarray(tridiag_solve(*map(jnp.asarray, (lo, di, up, b)),
+                                       method="pcr_fused"))
+        expected = np.linalg.solve(bands_to_dense(lo, di, up), b)
+        np.testing.assert_allclose(out, expected, rtol=1e-9, atol=1e-9)
