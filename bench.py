@@ -7,7 +7,7 @@ single CPU core, /root/reference/src/EnergyBalanceModel.jl:59-61) in float32
 with seasonal-only storage, times steady-state years after a compile warmup,
 and prints ONE JSON line.
 
-Environment knobs: EBM_BENCH_K (ensemble size, default 1024),
+Environment knobs: EBM_BENCH_K (ensemble size, default 2048),
 EBM_BENCH_YEARS (timed years, default 3), EBM_BENCH_DTYPE (float32|float64),
 EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE (batched|vmap).
 """
@@ -37,7 +37,7 @@ def main():
     from energybalancemodel_jl_tpu.parallel import ensemble as ens
     from energybalancemodel_jl_tpu.utils.collection import Collection
 
-    K = int(os.environ.get("EBM_BENCH_K", "1024"))
+    K = int(os.environ.get("EBM_BENCH_K", "2048"))
     years = int(os.environ.get("EBM_BENCH_YEARS", "3"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
