@@ -7,9 +7,10 @@ single CPU core, /root/reference/src/EnergyBalanceModel.jl:59-61) in float32
 with seasonal-only storage, times steady-state years after a compile warmup,
 and prints ONE JSON line.
 
-Environment knobs: EBM_BENCH_K (ensemble size, default 2048),
+Environment knobs: EBM_BENCH_K (ensemble size, default 4096),
 EBM_BENCH_YEARS (timed years, default 3), EBM_BENCH_DTYPE (float32|float64),
-EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE (batched|vmap).
+EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
+(fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K.
 """
 import json
 import os
@@ -37,11 +38,11 @@ def main():
     from energybalancemodel_jl_tpu.parallel import ensemble as ens
     from energybalancemodel_jl_tpu.utils.collection import Collection
 
-    K = int(os.environ.get("EBM_BENCH_K", "2048"))
+    K = int(os.environ.get("EBM_BENCH_K", "4096"))
     years = int(os.environ.get("EBM_BENCH_YEARS", "3"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
-    engine = os.environ.get("EBM_BENCH_ENGINE", "batched")
+    engine = os.environ.get("EBM_BENCH_ENGINE", "fused")
 
     st = ebm.SpaceTime.sin(180, 2000, 1)
     # realistic bifurcation sweep: spread diffusivity across members
@@ -55,7 +56,18 @@ def main():
                          newton_max_step=50.0)
     spec = get_model("MIZ")
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par_b.items()})
-    if engine == "batched":
+    if engine == "fused":
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            default_interpret, pallas_miz_year,
+        )
+
+        block_k = int(os.environ.get("EBM_BENCH_BLOCK_K", "128"))
+        interp = default_interpret()
+
+        def run_year(carry, p, fy):
+            return pallas_miz_year(carry, p, fy, st, cfg, block_k=block_k,
+                                   interpret=interp)
+    elif engine == "batched":
         par_j = ens._augment_batched(par_j)
         run_year = ens._native_year_fn("MIZ", st, cfg, dtype.name, False, False)
     else:

@@ -57,6 +57,10 @@ def statics(st, par, dtype):
         gdi=jnp.asarray(geom.di, dtype=dtype),
         gup=jnp.asarray(geom.up, dtype=dtype),
         dt=st.dt,
+        # scalar Tm^m2 of ``wlat`` (:71) hoisted out of the step: same value,
+        # and the fused year kernel avoids an in-kernel float power (Mosaic
+        # has no powf lowering)
+        Tm_pow_m2=par["Tm"] ** par["m2"],
     )
 
 
@@ -289,7 +293,7 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     dTb = _dstencil(stat, par, Tb, cfg.spatial_axis)
     Fvi = par["ai"] * insol - L + dTb + par["Fb"] + f  # vert_flux ice (:96-101)
     Fvw = stat.aw * insol - L + dTb + par["Fb"] + f  # vert_flux water
-    wl = par["m1"] * (Tw - Tm**par["m2"])  # wlat (:71) — exponent binds to Tm
+    wl = par["m1"] * (Tw - stat["Tm_pow_m2"])  # wlat (:71) — exponent binds to Tm
     Flat = phi * h * par["Lf"] * wl * jnp.pi / jnp.where(zeroD, 1.0, par["alpha"] * Df)  # lat_flux (:103-107)
     Flat = jnp.where(zeroD, 0.0, Flat)
 

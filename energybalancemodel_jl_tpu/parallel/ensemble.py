@@ -159,6 +159,11 @@ def ensemble_integrate(
     batched_legal = not (batched_names & TABLE_PARAMS)
     if engine == "auto":
         engine = "batched" if (batched_legal and jit_wrapper is None) else "vmap"
+    if engine not in ("vmap", "batched", "fused"):
+        raise ValueError(
+            f"unknown engine {engine!r}; expected 'vmap', 'batched', 'fused', "
+            "or 'auto'"
+        )
     if engine == "batched" and not batched_legal:
         raise ValueError(
             f"engine='batched' cannot sweep table parameters "
@@ -166,8 +171,39 @@ def ensemble_integrate(
         )
     if solver == "pallas" and engine != "batched":
         raise ValueError("solver='pallas' requires engine='batched'")
+    if engine == "fused":
+        # whole-year Pallas kernel (ops/pallas_year.py): the entire nt-step
+        # year runs in VMEM per K-block — the throughput engine
+        if spec.name != "MIZ":
+            raise ValueError("engine='fused' supports the MIZ model only")
+        if jit_wrapper is not None:
+            raise ValueError("engine='fused' does not compose with sharding "
+                             "jit wrappers; use engine='vmap'")
+        extra = batched_names - {"D"}
+        if extra:
+            raise ValueError(
+                f"engine='fused' can sweep only 'D'; swept {sorted(extra)} — "
+                "use engine='vmap' or 'batched'"
+            )
+        from ..ops.pallas_year import default_interpret, pallas_miz_year
 
-    if engine == "batched" and jit_wrapper is None:
+        interp = default_interpret()
+
+        def run_seasonal_fused(carry, p, fy):
+            return pallas_miz_year(carry, p, fy, st, cfg, interpret=interp)
+
+    if engine == "fused":
+        # seasonal years run in the fused kernel (plain (K,)-swept D); a
+        # raw-collect year falls back to the batch-native XLA path, whose
+        # carry pytree is identical
+        par_aug = _augment_batched(par_j)
+        native_full = _native_year_fn(spec.name, st, cfg, dtype.name, True, donate)
+
+        def batch(collect_raw):
+            if collect_raw:
+                return lambda c, p, fy: native_full(c, par_aug, fy)
+            return run_seasonal_fused
+    elif engine == "batched" and jit_wrapper is None:
         par_j = _augment_batched(par_j)
 
         def batch(collect_raw):
@@ -208,7 +244,7 @@ def ensemble_integrate(
         avg_acc.append(seasonal.avg)
         if collect:
             raw = Collection({k: np.asarray(v) for k, v in ys.items()})
-            if engine == "batched":
+            if engine in ("batched", "fused"):
                 # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
                 raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
 

@@ -1,0 +1,231 @@
+"""Fused whole-year Pallas kernel (ops/pallas_year.py) vs the XLA path.
+
+The kernel calls ``models.miz.step`` itself, so per-step semantics are shared
+by construction; what needs testing is (a) the lane/member padding is inert,
+(b) the in-kernel year loop (storage accumulation, snapshot ticks, Newton
+grouping) reproduces the XLA seasonal storage path, (c) the ensemble-engine
+integration. Comparisons are tolerance-based: the kernel and the scan are
+different compiled graphs, and the MIZ trajectory amplifies even
+fusion-level rounding (see CLAUDE.md), so with a *fixed* Newton iteration
+count the two paths agree to ~1e-3 absolute over a 200-step year — asserted
+with 10x headroom.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import energybalancemodel_jl_tpu as ebm
+from energybalancemodel_jl_tpu.models import miz
+from energybalancemodel_jl_tpu.models.base import StepConfig, get_model
+from energybalancemodel_jl_tpu.ops.pallas_year import pallas_miz_year
+from energybalancemodel_jl_tpu.parallel import ensemble as ens
+from energybalancemodel_jl_tpu.utils.collection import Collection
+
+DTYPE = jnp.dtype("float32")
+K = 8
+
+# fixed iteration count (tol = 0 never satisfied) removes Newton-grouping
+# noise: both paths do identical per-step work
+FIXED_CFG = StepConfig(
+    solver="pcr", newton_abstol=0.0, newton_reltol=0.0,
+    newton_max_step=50.0, newton_max_iter=8,
+)
+
+
+def small_setup(nx=40, nt=200, k=K):
+    st = ebm.SpaceTime.sin(nx, nt, 1)
+    par = Collection(
+        {k_: jnp.asarray(v, DTYPE) for k_, v in ebm.default_parameters("MIZ").items()}
+    )
+    par["D"] = jnp.asarray(np.linspace(0.55, 0.65, k), DTYPE)
+    spec = get_model("MIZ")
+    carry = spec.init_carry(ebm.zeros_init(st), st, DTYPE)
+    carry = Collection(
+        {k_: jnp.broadcast_to(v, (k,) + v.shape) for k_, v in carry.items()}
+    )
+    fyear = jnp.zeros(st.nt, dtype=DTYPE)
+    return st, par, carry, fyear
+
+
+@pytest.fixture(scope="module")
+def year_pair():
+    st, par, carry, fyear = small_setup()
+    run_year = ens._native_year_fn("MIZ", st, FIXED_CFG, DTYPE.name, False, False)
+    xla = run_year(carry, ens._augment_batched(par), fyear)
+    fused = pallas_miz_year(carry, par, fyear, st, FIXED_CFG, interpret=True)
+    return xla, fused
+
+
+class TestPadInvariance:
+    def test_step_lane_padding_is_bitwise_inert(self, rng):
+        """Identity-padded lanes decouple exactly: a padded step equals the
+        unpadded step bitwise on the real lanes (the kernel relies on this)."""
+        nx, nxp = 40, 128
+        st = ebm.SpaceTime.sin(nx, 200, 1)
+        par = Collection(
+            {k: jnp.asarray(v, DTYPE) for k, v in ebm.default_parameters("MIZ").items()}
+        )
+        stat = miz.statics(st, par, DTYPE)
+
+        T0 = jnp.asarray(rng.normal(0, 5, (K, nx)), DTYPE)
+        h = jnp.asarray(np.abs(rng.normal(1, 0.5, (K, nx))), DTYPE)
+        Tw = jnp.asarray(rng.normal(0, 3, (K, nx)), DTYPE)
+        phi = jnp.asarray(rng.uniform(0, 1, (K, nx)), DTYPE)
+        carry = Collection(
+            Ei=-jnp.abs(Tw) * 3, Ew=jnp.abs(T0), h=h,
+            D=jnp.full((K, nx), 100.0, DTYPE), phi=phi, T0=T0,
+        )
+        xs = Collection(insol=stat.insol[17], f=jnp.zeros((), DTYPE))
+        c_u, o_u = miz.step(carry, xs, stat, par, FIXED_CFG)
+
+        pad = lambda v: jnp.pad(v, ((0, 0), (0, nxp - nx)))
+        pl_ = lambda v: jnp.pad(v, (0, nxp - nx))
+        stat_p = Collection(
+            insol=None, aw=pl_(stat.aw), glo=pl_(stat.glo), gdi=pl_(stat.gdi),
+            gup=pl_(stat.gup), dt=stat.dt, Tm_pow_m2=stat["Tm_pow_m2"],
+        )
+        c_p, o_p = miz.step(
+            Collection({k: pad(v) for k, v in carry.items()}),
+            Collection(insol=pl_(xs["insol"]), f=xs["f"]),
+            stat_p, par, FIXED_CFG,
+        )
+        for k in c_u:
+            np.testing.assert_array_equal(
+                np.asarray(c_u[k]), np.asarray(c_p[k])[:, :nx], err_msg=k
+            )
+        for k in ("E", "T", "n"):
+            np.testing.assert_array_equal(
+                np.asarray(o_u[k]), np.asarray(o_p[k])[:, :nx], err_msg=k
+            )
+
+
+class TestFusedYear:
+    def test_carry_matches_xla(self, year_pair):
+        (c_x, _, _, _), (c_p, _, _, _) = year_pair
+        for k in c_x:
+            np.testing.assert_allclose(
+                np.asarray(c_x[k]), np.asarray(c_p[k]), atol=0.5, err_msg=k
+            )
+
+    def test_seasonal_matches_xla(self, year_pair):
+        (_, s_x, _, _), (_, s_p, _, _) = year_pair
+        for name in ("winter", "summer", "avg"):
+            cx, cp = getattr(s_x, name), getattr(s_p, name)
+            for k in cx:
+                a, b = np.asarray(cx[k]), np.asarray(cp[k])
+                np.testing.assert_array_equal(
+                    np.isnan(a), np.isnan(b), err_msg=f"{name}.{k} NaN pattern"
+                )
+                np.testing.assert_allclose(
+                    np.nan_to_num(a), np.nan_to_num(b), atol=0.05,
+                    err_msg=f"{name}.{k}",
+                )
+
+    def test_convergence_flag(self, year_pair):
+        # tol = 0 is unsatisfiable: both paths must report non-convergence
+        (_, _, conv_x, _), (_, _, conv_p, _) = year_pair
+        assert float(np.asarray(conv_x)) == 0.0
+        assert float(np.asarray(conv_p)) == 0.0
+
+    def test_blocking_invariance(self):
+        """Members are independent: splitting the batch into blocks must not
+        change results (fixed iterations make grouping irrelevant)."""
+        st, par, carry, fyear = small_setup(k=24)
+        one = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                              block_k=24, interpret=True)
+        many = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                               block_k=8, interpret=True)
+        for k in one[0]:
+            np.testing.assert_allclose(
+                np.asarray(one[0][k]), np.asarray(many[0][k]), atol=1e-4,
+                err_msg=k,
+            )
+        for k in one[1].avg:
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(one[1].avg[k])),
+                np.nan_to_num(np.asarray(many[1].avg[k])),
+                atol=1e-4, err_msg=k,
+            )
+
+    def test_scalar_D_broadcasts(self):
+        st, par, carry, fyear = small_setup()
+        par = Collection(par)
+        par["D"] = jnp.asarray(0.6, DTYPE)
+        c, seas, conv, _ = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                                           interpret=True)
+        assert c["Ei"].shape == (K, st.nx)
+        # identical members -> identical rows
+        e = np.asarray(seas.avg["E"])
+        np.testing.assert_array_equal(e, np.broadcast_to(e[:1], e.shape))
+
+    def test_rejects_swept_scalar_params(self):
+        st, par, carry, fyear = small_setup()
+        par = Collection(par)
+        par["A"] = jnp.asarray(np.linspace(190, 196, K), DTYPE)
+        with pytest.raises(ValueError, match="scalar parameter 'A'"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG, interpret=True)
+
+
+class TestFusedEngine:
+    def test_matches_batched_engine(self):
+        # dur=1: over longer horizons the adaptive-Newton grouping difference
+        # amplifies chaotically at the ice edge (documented in CLAUDE.md)
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        par["D"] = np.linspace(0.55, 0.65, K)
+        init = ebm.zeros_init(st)
+        kw = dict(dtype=DTYPE, newton_max_iter=8)
+        sols_f = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, init, n_members=K,
+            engine="fused", **kw,
+        )
+        sols_b = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, init, n_members=K,
+            engine="batched", **kw,
+        )
+        assert sols_f.seasonal.avg["E"].shape == (K, st.dur, st.nx)
+        for k in ("E", "h", "phi", "T"):
+            a = np.nan_to_num(sols_b.seasonal.avg[k])
+            b = np.nan_to_num(sols_f.seasonal.avg[k])
+            np.testing.assert_allclose(a, b, atol=0.5, err_msg=k)
+
+    def test_raw_last_year_fallback(self):
+        st = ebm.SpaceTime.sin(40, 200, 2)
+        par = ebm.default_parameters("MIZ")
+        par["D"] = np.linspace(0.55, 0.65, K)
+        sols = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=K, engine="fused", raw_mode="last", dtype=DTYPE,
+        )
+        assert sols.raw["E"].shape == (K, st.nt, st.nx)
+        assert np.isfinite(np.nan_to_num(sols.raw["E"])).all()
+
+    def test_rejects_classic(self):
+        st = ebm.SpaceTime.sin(40, 1000, 1)
+        par = ebm.default_parameters("Classic")
+        init = Collection(E=np.zeros(st.nx), Tg=np.zeros(st.nx))
+        with pytest.raises(ValueError, match="MIZ"):
+            ens.ensemble_integrate(
+                "Classic", st, ebm.Forcing(0.0), par, init, n_members=4,
+                engine="fused", dtype=DTYPE,
+            )
+
+    def test_rejects_unknown_engine(self):
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        with pytest.raises(ValueError, match="unknown engine"):
+            ens.ensemble_integrate(
+                "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+                n_members=4, engine="bogus", dtype=DTYPE,
+            )
+
+    def test_rejects_non_D_sweep(self):
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        par["A"] = np.linspace(190, 196, K)
+        with pytest.raises(ValueError, match="sweep only 'D'"):
+            ens.ensemble_integrate(
+                "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+                n_members=K, engine="fused", dtype=DTYPE,
+            )
