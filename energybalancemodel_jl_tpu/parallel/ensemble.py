@@ -13,7 +13,10 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import hashlib
 import itertools
+import os
+import warnings
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -62,6 +65,20 @@ def batched_parameters(base: Collection, sweeps: Dict[str, Sequence[float]]) -> 
         out[n] = np.asarray([g[j] for g in grids], dtype=np.float64)
     out["__K__"] = K  # popped by ensemble_integrate
     return out
+
+
+def _ensemble_config_key(model, st, forcing, par, dtype, solver, engine, K) -> str:
+    """Config fingerprint for checkpoint validation; swept ``(K,)`` parameter
+    leaves are digested (scalars stay readable, as in ``integrate``)."""
+    def leaf(k, v):
+        a = np.asarray(v, dtype=np.float64)
+        if a.ndim == 0:
+            return f"{k}={float(a)}"
+        return f"{k}#{a.shape}:{hashlib.sha1(np.ascontiguousarray(a).tobytes()).hexdigest()[:16]}"
+
+    pars = ",".join(leaf(k, v) for k, v in sorted(par.items()))
+    return (f"ens|{model}|{st!r}|{forcing!r}|{pars}|{np.dtype(dtype).name}"
+            f"|{solver}|{engine}|K={int(K)}")
 
 
 def _param_axes(par: Collection) -> Collection:
@@ -121,6 +138,9 @@ def ensemble_integrate(
     donate: bool = True,
     jit_wrapper=None,
     engine: str = "auto",
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> EnsembleSolutions:
     """Integrate an ensemble of independent runs in one vmapped scan.
 
@@ -129,6 +149,12 @@ def ensemble_integrate(
     shared. ``raw_mode='last'`` additionally collects the final year's raw
     states per member. ``jit_wrapper`` lets the sharding layer substitute a
     ``jit`` with in/out shardings (see :mod:`.sharding`).
+
+    ``checkpoint`` names an HDF5 file written every ``checkpoint_every``
+    simulated years (the full ensemble carry + per-year seasonal storage);
+    ``resume=True`` continues a matching interrupted run bit-exactly from
+    the first unfinished year (same protocol as
+    :func:`~energybalancemodel_jl_tpu.integrate`, see :mod:`..checkpoint`).
     """
     spec = get_model(model)
     if dtype is None:
@@ -234,14 +260,51 @@ def ensemble_integrate(
     f_tab = forcing.table(st)
 
     winter_acc, summer_acc, avg_acc = [], [], []
+    start_year = 0
+    ckpt_key = ""
+    if checkpoint is not None:
+        from .. import checkpoint as ckpt_mod
+
+        ckpt_key = _ensemble_config_key(
+            spec.name, st, forcing, par, dtype, solver, engine, K
+        )
+        if resume:
+            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
+                c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
+                    ckpt_mod.read_checkpoint(checkpoint)
+                )
+                winter_acc, summer_acc, avg_acc = (
+                    list(winter_acc), list(summer_acc), list(avg_acc)
+                )
+                carry = Collection(
+                    {k: jnp.asarray(v, dtype=dtype) for k, v in c_np.items()}
+                )
+            elif os.path.exists(checkpoint):
+                warnings.warn(
+                    f"Checkpoint {checkpoint} does not match this ensemble's "
+                    "configuration; starting from init."
+                )
+
     raw = None
-    for y in range(st.dur):
+    for y in range(start_year, st.dur):
         collect = raw_mode == "last" and y == st.dur - 1
         fn = run_full if collect else run_seasonal
         carry, seasonal, _conv, ys = fn(carry, par_j, f_tab[y])
         winter_acc.append(seasonal.winter)
         summer_acc.append(seasonal.summer)
         avg_acc.append(seasonal.avg)
+        if checkpoint is not None and (
+            (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
+        ):
+            from .. import checkpoint as ckpt_mod
+
+            ckpt_mod.write_checkpoint(
+                checkpoint,
+                Collection({k: np.asarray(v) for k, v in carry.items()}),
+                y + 1,
+                (winter_acc, summer_acc, avg_acc),
+                ckpt_key,
+            )
         if collect:
             raw = Collection({k: np.asarray(v) for k, v in ys.items()})
             if engine in ("batched", "fused"):

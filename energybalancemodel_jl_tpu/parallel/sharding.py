@@ -26,6 +26,7 @@ __all__ = [
     "ensemble_mesh",
     "sharded_ensemble_integrate",
     "shard_map_year_fn",
+    "shard_map_fused_year_fn",
 ]
 
 
@@ -117,5 +118,67 @@ def shard_map_year_fn(model_name: str, st, mesh: Mesh, dtype_name: str = "float3
         mesh=mesh,
         in_specs=(spec_b, spec_b, P()),
         out_specs=(spec_b, P()),
+    )
+    return jax.jit(smapped)
+
+
+def shard_map_fused_year_fn(st, mesh: Mesh, par: Collection,
+                            dtype_name: str = "float32",
+                            cfg: Optional[StepConfig] = None,
+                            block_k: int = 128):
+    """Multi-chip fused-year step: each chip runs the whole-year Pallas
+    kernel (:mod:`..ops.pallas_year`) on its local ensemble shard — pure DP,
+    zero collectives in the hot loop (SURVEY.md §2: the ensemble is the
+    scalable axis).
+
+    ``par`` fixes which leaves are swept (``(K,)`` leaves shard over the
+    mesh; only ``D`` may be swept, as in ``engine='fused'``). Returns
+    ``fn(carry, par, fyear) -> (carry, Seasonal, converged)`` with carry
+    leaves ``(K, nx)``, ``K`` divisible by the mesh size.
+    """
+    from jax import shard_map
+
+    from ..ops.pallas_year import default_interpret, pallas_miz_year
+
+    if cfg is None:
+        if dtype_name == "float64":
+            cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9)
+        else:
+            cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4, newton_max_step=50.0)
+    axis = mesh.axis_names[0]
+    interp = default_interpret()
+
+    def local_step(carry, par, fyear):
+        carry, seasonal, conv, _ = pallas_miz_year(
+            carry, par, fyear, st, cfg, block_k=block_k, interpret=interp
+        )
+        return carry, seasonal, jax.lax.pmin(conv, axis)
+
+    spec_b = P(axis)
+    par_specs = Collection(
+        {k: (spec_b if np.ndim(v) > 0 else P()) for k, v in par.items()}
+    )
+    carry_specs = Collection(
+        {k: spec_b for k in ("Ei", "Ew", "h", "D", "phi", "T0")}
+    )
+    seasonal_specs = jax.tree_util.tree_map(
+        lambda _: spec_b,
+        Collection({k: 0 for k in (
+            "E", "T", "h", "Ei", "Ew", "Ti", "Tw", "D", "phi", "n")}),
+    )
+    from ..solutions import Seasonal
+
+    smapped = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(carry_specs, par_specs, P()),
+        out_specs=(
+            carry_specs,
+            Seasonal(seasonal_specs, seasonal_specs, seasonal_specs),
+            P(),
+        ),
+        # the kernel's out_shape carries no varying-mesh-axes annotation;
+        # per-shard independence is what this wrapper establishes
+        check_vma=False,
     )
     return jax.jit(smapped)

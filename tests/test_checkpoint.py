@@ -129,3 +129,82 @@ class TestHighResRampCheckpoint:
         loaded = ebm.load(out)
         assert not loaded.forcing.constant
         np.testing.assert_array_equal(loaded.raw["E"], resumed.raw["E"])
+
+
+class TestEnsembleCheckpoint:
+    """Ensemble-level checkpoint/resume (parallel/ensemble.py)."""
+
+    def ens_kwargs(self, dur):
+        st = ebm.SpaceTime.sin(16, 30, dur)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = np.linspace(0.55, 0.65, 6)
+        return dict(st=st, forcing=ebm.Forcing(0.0), par=par,
+                    init=ebm.zeros_init(st))
+
+    def run(self, dur, **kw):
+        from energybalancemodel_jl_tpu.parallel.ensemble import ensemble_integrate
+
+        a = self.ens_kwargs(dur)
+        return ensemble_integrate(
+            "MIZ", a["st"], a["forcing"], a["par"], a["init"],
+            n_members=6, **kw,
+        )
+
+    def test_resume_is_bit_exact(self, tmp_path):
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+        from energybalancemodel_jl_tpu.parallel.ensemble import (
+            _ensemble_config_key,
+        )
+
+        full = self.run(4)
+        # emulate a crash after year 2: run a 2-year ensemble with
+        # checkpointing, graft its state under the 4-year key, resume
+        pre = str(tmp_path / "pre.h5")
+        self.run(2, checkpoint=pre)
+        carry, years, acc, _ = ckpt.read_checkpoint(pre)
+        assert years == 2
+        a4 = self.ens_kwargs(4)
+        import jax.numpy as jnp
+        key4 = _ensemble_config_key(
+            "MIZ", a4["st"], a4["forcing"], a4["par"],
+            jnp.dtype("float64"), "pcr", "batched", 6,
+        )
+        ck = str(tmp_path / "run.h5")
+        ckpt.write_checkpoint(ck, carry, years, acc, key4)
+        resumed = self.run(4, checkpoint=ck, resume=True)
+        for k in ("E", "h", "phi"):
+            np.testing.assert_array_equal(
+                resumed.seasonal.avg[k], full.seasonal.avg[k], err_msg=k
+            )
+
+    def test_mismatched_key_warns_and_restarts(self, tmp_path):
+        ck = str(tmp_path / "run.h5")
+        self.run(2, checkpoint=ck)
+        a = self.ens_kwargs(2)
+        par = ebm.Collection(a["par"])
+        par["D"] = np.linspace(0.5, 0.7, 6)  # different sweep -> new digest
+        from energybalancemodel_jl_tpu.parallel.ensemble import ensemble_integrate
+
+        with pytest.warns(UserWarning, match="does not match"):
+            ensemble_integrate("MIZ", a["st"], a["forcing"], par, a["init"],
+                               n_members=6, checkpoint=ck, resume=True)
+
+    def test_fused_engine_checkpoints(self, tmp_path):
+        import jax.numpy as jnp
+
+        ck = str(tmp_path / "run.h5")
+        st = ebm.SpaceTime.sin(40, 200, 2)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = np.linspace(0.55, 0.65, 6)
+        from energybalancemodel_jl_tpu.parallel.ensemble import ensemble_integrate
+
+        kw = dict(n_members=6, dtype=jnp.dtype("float32"), engine="fused")
+        first = ensemble_integrate("MIZ", st, ebm.Forcing(0.0), par,
+                                   ebm.zeros_init(st), checkpoint=ck, **kw)
+        # resume of the COMPLETED run returns the stored seasonal data
+        resumed = ensemble_integrate("MIZ", st, ebm.Forcing(0.0), par,
+                                     ebm.zeros_init(st), checkpoint=ck,
+                                     resume=True, **kw)
+        np.testing.assert_array_equal(
+            resumed.seasonal.avg["E"], first.seasonal.avg["E"]
+        )

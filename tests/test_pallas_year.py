@@ -167,6 +167,37 @@ class TestFusedYear:
             pallas_miz_year(carry, par, fyear, st, FIXED_CFG, interpret=True)
 
 
+class TestShardedFused:
+    def test_matches_unsharded_on_virtual_mesh(self):
+        """Each chip runs the whole-year kernel on its ensemble shard; pure
+        DP must reproduce the unsharded kernel (fixed iterations make block
+        grouping irrelevant)."""
+        from energybalancemodel_jl_tpu.parallel.sharding import (
+            ensemble_mesh, shard_map_fused_year_fn,
+        )
+
+        k = 32
+        st, par, carry, fyear = small_setup(k=k)
+        mesh = ensemble_mesh(8)
+        fn = shard_map_fused_year_fn(st, mesh, par, DTYPE.name, FIXED_CFG)
+        c_s, seas_s, conv_s = fn(carry, par, fyear)
+        c_u, seas_u, conv_u, _ = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True
+        )
+        assert float(np.asarray(conv_s)) == float(np.asarray(conv_u))
+        for key in c_u:
+            np.testing.assert_allclose(
+                np.asarray(c_s[key]), np.asarray(c_u[key]), atol=1e-4,
+                err_msg=key,
+            )
+        for key in ("E", "h", "phi"):
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(seas_s.avg[key])),
+                np.nan_to_num(np.asarray(seas_u.avg[key])),
+                atol=1e-4, err_msg=key,
+            )
+
+
 class TestFusedEngine:
     def test_matches_batched_engine(self):
         # dur=1: over longer horizons the adaptive-Newton grouping difference
