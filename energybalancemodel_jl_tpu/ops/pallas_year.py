@@ -40,30 +40,34 @@ from ..solutions import Seasonal
 from ..utils.collection import Collection
 from .pallas_newton import default_interpret, pad_to_lanes
 
-__all__ = ["pallas_miz_year", "default_interpret"]
+__all__ = ["pallas_miz_year", "pallas_classic_year", "default_interpret"]
 
 # scan-carry fields of the MIZ model (models/miz.py init_carry)
 CARRY_KEYS = ("Ei", "Ew", "h", "D", "phi", "T0")
 # recorded solution variables, in ModelSpec order
 OUT_VARS = ("E", "T", "h", "Ei", "Ew", "Ti", "Tw", "D", "phi", "n")
-# scalar physical parameters the step function reads (diffusivity D is
-# per-member and rides in VMEM instead)
-SCAL_NAMES = (
+# physical parameters the step function reads. All ride in VMEM as
+# per-member (Kt, 1) columns, so ANY of them may be (K,)-swept across the
+# ensemble (scalars are broadcast) — same sweep surface as the batch-native
+# engine. The last entry is the statics-derived Tm^m2, hoisted out of the
+# step so the kernel needs no float power (Mosaic cannot lower powf).
+PAR_NAMES = (
     "k", "Tm", "A", "B", "ai", "Fb", "cw", "m1",
-    "Lf", "alpha", "rl", "Dmin", "Dmax", "hmin", "kappa",
+    "Lf", "alpha", "rl", "Dmin", "Dmax", "hmin", "kappa", "D",
 )
-# extra SMEM scalars appended after SCAL_NAMES: statics-derived Tm^m2
-# (hoisted so the kernel needs no float power, which Mosaic cannot lower)
-N_SCAL = len(SCAL_NAMES) + 1
+_TM_POW = len(PAR_NAMES)
+N_PAR = len(PAR_NAMES) + 1
+# parameters shaping the shared insolation/coalbedo tables — must be scalar
+# (a sweep would make the statics per-member; use engine='vmap')
+TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
 
 
 def _kernel(
-    scal_ref,   # SMEM (len(SCAL_NAMES),)
     f_ref,      # SMEM (nt,) forcing per step
     cin_ref,    # VMEM (6, Kt, nxp) carry in
     insol_ref,  # VMEM (nt, nxp) insolation table
     rows_ref,   # VMEM (4, nxp): aw, glo, gdi, gup
-    dv_ref,     # VMEM (Kt, 1) per-member diffusivity
+    pars_ref,   # VMEM (Kt, N_PAR) per-member parameters (one per lane)
     cout_ref,   # VMEM (6, Kt, nxp) carry out
     wint_ref,   # VMEM (10, Kt, nxp) winter snapshot
     summ_ref,   # VMEM (10, Kt, nxp) summer snapshot
@@ -76,15 +80,18 @@ def _kernel(
     dtype = cin_ref.dtype
     Kt, nxp = cin_ref.shape[1], cin_ref.shape[2]
 
-    par = Collection({n: scal_ref[i] for i, n in enumerate(SCAL_NAMES)})
-    par["D"] = dv_ref[:]  # (Kt, 1) broadcasts against (Kt, nxp) state
+    # (Kt, 1) columns broadcast against (Kt, nxp) state exactly like the
+    # batch-native engine's (K, 1)-augmented parameter leaves
+    par = Collection(
+        {n: pars_ref[:, i:i + 1] for i, n in enumerate(PAR_NAMES)}
+    )
     stat = Collection(
         aw=rows_ref[0:1],
         glo=rows_ref[1:2],
         gdi=rows_ref[2:3],
         gup=rows_ref[3:4],
         dt=dt,
-        Tm_pow_m2=scal_ref[len(SCAL_NAMES)],
+        Tm_pow_m2=pars_ref[:, _TM_POW:_TM_POW + 1],
     )
     carry0 = Collection({k: cin_ref[j] for j, k in enumerate(CARRY_KEYS)})
     # annual sums accumulate in the output ref itself (read-modify-write per
@@ -137,9 +144,11 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     """Run one MIZ model year for a ``(K, nx)`` ensemble in fused blocks.
 
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
-    ``(carry, par, fyear) -> (carry, Seasonal, converged, None)`` with
-    ``par`` a Collection of scalars plus an optionally ``(K,)``-swept
-    diffusivity ``D`` (sweep other parameters with the vmap engine).
+    ``(carry, par, fyear) -> (carry, Seasonal, converged, None)``.
+    Any physical parameter leaf may be scalar (shared) or ``(K,)`` (swept
+    per member) except the insolation-table parameters (``TABLE_PARAMS``),
+    which must be scalar — the same sweep surface as the batch-native
+    engine.
     """
     import dataclasses
 
@@ -161,22 +170,28 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     s0 = st.summer_inx - 1
 
     par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
-    D = par["D"]
-    Dv = jnp.broadcast_to(jnp.reshape(D, (-1, 1))[:, :1], (K, 1)) \
-        if jnp.ndim(D) > 0 else jnp.full((K, 1), D, dtype=dtype)
-    scal = []
-    for name in SCAL_NAMES:
-        v = par[name]
-        if jnp.ndim(v) != 0:
+    for name in sorted(TABLE_PARAMS):
+        if name in par and jnp.ndim(par[name]) != 0:
             raise ValueError(
                 f"the fused year kernel requires scalar parameter {name!r} "
-                "(only 'D' may be per-member); use the vmap engine to sweep it"
+                "(it shapes the shared insolation/coalbedo tables); "
+                "use engine='vmap' to sweep it"
             )
-        scal.append(v)
 
     stat = miz.statics(st, par, dtype)
-    scal.append(jnp.asarray(stat["Tm_pow_m2"], dtype))
-    scal = jnp.stack(scal)
+
+    def column(v):
+        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+        if v.shape[0] != K:
+            raise ValueError(
+                f"swept parameter leaves must have shape ({K},), got {v.shape}"
+            )
+        return v
+
+    pars = jnp.stack(
+        [column(par[n]) for n in PAR_NAMES] + [column(stat["Tm_pow_m2"])],
+        axis=1,
+    )  # (K, N_PAR) — parameters on lanes, members on sublanes
 
     def pad_kx(v, fill=0.0):
         return jnp.pad(v, ((0, Kp - K), (0, nxp - nx)), constant_values=fill)
@@ -189,7 +204,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     rows = jnp.stack(
         [pad_lane(stat.aw), pad_lane(stat.glo), pad_lane(stat.gdi), pad_lane(stat.gup)]
     )
-    Dvp = jnp.pad(Dv, ((0, Kp - K), (0, 0)))
+    pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)))
     f = jnp.asarray(fyear, dtype=dtype)
 
     nb = Kp // Kt
@@ -210,11 +225,10 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         ),
         in_specs=[
             smem,
-            smem,
             blk6,
             pl.BlockSpec((nt, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kt, N_PAR), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             blk6,
@@ -224,7 +238,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
             pl.BlockSpec((Kt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(scal, f, cin, insol, rows, Dvp)
+    )(f, cin, insol, rows, pars_p)
 
     new_carry = Collection(
         {k: cout[j, :K, :nx] for j, k in enumerate(CARRY_KEYS)}
@@ -235,3 +249,193 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         avg=Collection({k: avg[i, :K, :nx] for i, k in enumerate(OUT_VARS)}),
     )
     return new_carry, seasonal, jnp.min(conv), None
+
+
+# ---------------------------------------------------------------------------
+# Classic (WE15) fused year
+# ---------------------------------------------------------------------------
+
+# classic scan-carry fields and recorded variables (models/classic.py)
+C_CARRY_KEYS = ("E", "Tg")
+C_OUT_VARS = ("E", "T", "h")
+# per-member parameter lanes for the classic kernel: statics-derived scalar
+# combinations (reference get_statics, /root/reference/src/classic.jl:12-34)
+# plus the raw parameters the step reads. "Dcg" = dt*D/cg scales the
+# parameter-free uniform-grid bands into the implicit-matrix bands in-kernel.
+C_PAR_NAMES = (
+    "cg_tau", "dt_tau", "dc", "M", "kLf", "Dcg", "ai", "A", "Fb", "cw", "Lf",
+)
+
+
+def _classic_kernel(
+    f_ref,      # SMEM (nt,) forcing per step
+    cin_ref,    # VMEM (2, Kt, nxp) carry in: E, Tg
+    S_ref,      # VMEM (nt+1, nxp) insolation table with wraparound row
+    rows_ref,   # VMEM (4, nxp): aw, geom.lo, geom.di, geom.up (uniform grid)
+    pars_ref,   # VMEM (Kt, N) per-member parameter lanes (C_PAR_NAMES)
+    cout_ref,   # VMEM (2, Kt, nxp)
+    wint_ref,   # VMEM (3, Kt, nxp)
+    summ_ref,   # VMEM (3, Kt, nxp)
+    avg_ref,    # VMEM (3, Kt, nxp)
+    *, nt: int, w0: int, s0: int, dt: float, cfg,
+):
+    from ..models import classic
+
+    dtype = cin_ref.dtype
+    Kt, nxp = cin_ref.shape[1], cin_ref.shape[2]
+
+    col = {n: pars_ref[:, i:i + 1] for i, n in enumerate(C_PAR_NAMES)}
+    aw = rows_ref[0:1]
+    # implicit-matrix bands, scaled per member once (kdi pads to 1 + dt_tau
+    # on the decoupled lanes — nonzero, so the padded PCR rows stay healthy)
+    klo = -col["Dcg"] * rows_ref[1:2]
+    kup = -col["Dcg"] * rows_ref[3:4]
+    kdi = (1.0 + col["dt_tau"]) - col["Dcg"] * rows_ref[2:3]
+    stat = Collection(
+        cg_tau=col["cg_tau"], dt_tau=col["dt_tau"], dc=col["dc"],
+        M=col["M"], kLf=col["kLf"], aw=aw, klo=klo, kdi=kdi, kup=kup, dt=dt,
+    )
+    par = Collection(ai=col["ai"], A=col["A"], Fb=col["Fb"],
+                     cw=col["cw"], Lf=col["Lf"])
+    carry0 = Collection({k: cin_ref[j] for j, k in enumerate(C_CARRY_KEYS)})
+    for i in range(len(C_OUT_VARS)):
+        avg_ref[i] = jnp.zeros((Kt, nxp), dtype)
+
+    def body(t, carry):
+        xs = Collection(
+            S_i=S_ref[pl.ds(t, 1), :],
+            S_ip1=S_ref[pl.ds(t + 1, 1), :],  # wraparound column (:61)
+            f=f_ref[t],
+        )
+        carry, out = classic.step(carry, xs, stat, par, cfg)
+        for i, k in enumerate(C_OUT_VARS):
+            avg_ref[i] = avg_ref[i] + out[k]
+
+        @pl.when(t == w0)
+        def _():
+            for i, k in enumerate(C_OUT_VARS):
+                wint_ref[i] = out[k]
+
+        @pl.when(t == s0)
+        def _():
+            for i, k in enumerate(C_OUT_VARS):
+                summ_ref[i] = out[k]
+
+        return carry
+
+    carry = jax.lax.fori_loop(0, nt, body, carry0)
+    for j, k in enumerate(C_CARRY_KEYS):
+        cout_ref[j] = carry[k]
+    for i in range(len(C_OUT_VARS)):
+        avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret")
+)
+def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
+                        interpret: bool = False):
+    """Fused whole-year WE15 integration (classic twin of
+    :func:`pallas_miz_year`, same signature and sweep surface: any
+    non-table parameter leaf may be ``(K,)``-swept)."""
+    import dataclasses
+
+    from ..models import classic
+
+    if cfg.solver != "pcr":
+        cfg = dataclasses.replace(cfg, solver="pcr")
+
+    dtype = carry["E"].dtype
+    K, nx = carry["E"].shape
+    nxp = pad_to_lanes(nx)
+    Kt = min(block_k, _round_up(K, 8))
+    Kp = _round_up(K, Kt)
+    nt = st.nt
+    w0 = st.winter_inx - 1
+    s0 = st.summer_inx - 1
+
+    par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    for name in sorted(TABLE_PARAMS):
+        if name in par and jnp.ndim(par[name]) != 0:
+            raise ValueError(
+                f"the fused year kernel requires scalar parameter {name!r} "
+                "(it shapes the shared insolation/coalbedo tables); "
+                "use engine='vmap' to sweep it"
+            )
+
+    # statics with (K, 1)-augmented leaves (as in the batch-native engine):
+    # its band assembly multiplies parameters against (nx,) geometry rows
+    par_aug = Collection(
+        {k: (v[:, None] if jnp.ndim(v) == 1 else v) for k, v in par.items()}
+    )
+    stat = classic.statics(st, par_aug, dtype)
+
+    def column(v):
+        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+        if v.shape[0] != K:
+            raise ValueError(
+                f"swept parameter leaves must have shape ({K},), got {v.shape}"
+            )
+        return v
+
+    cols = dict(
+        cg_tau=stat["cg_tau"], dt_tau=stat["dt_tau"], dc=stat["dc"],
+        M=stat["M"], kLf=stat["kLf"],
+        Dcg=st.dt * par["D"] / par["cg"],
+        ai=par["ai"], A=par["A"], Fb=par["Fb"], cw=par["cw"], Lf=par["Lf"],
+    )
+    pars = jnp.stack([column(cols[n]) for n in C_PAR_NAMES], axis=1)
+
+    def pad_kx(v):
+        return jnp.pad(v, ((0, Kp - K), (0, nxp - nx)))
+
+    def pad_lane(v):
+        return jnp.pad(jnp.asarray(v, dtype), (0, nxp - nx))
+
+    from ..models.classic import uniform_bands
+
+    geom = uniform_bands(nx)
+    cin = jnp.stack([pad_kx(jnp.asarray(carry[k], dtype)) for k in C_CARRY_KEYS])
+    S = jnp.pad(stat.S, ((0, 0), (0, nxp - nx)))
+    rows = jnp.stack(
+        [pad_lane(stat.aw), pad_lane(geom.lo), pad_lane(geom.di), pad_lane(geom.up)]
+    )
+    pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)))
+    f = jnp.asarray(fyear, dtype=dtype)
+
+    nb = Kp // Kt
+    nv = len(C_OUT_VARS)
+    blk2 = pl.BlockSpec((2, Kt, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((nv, Kt, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    cout, wint, summ, avg = pl.pallas_call(
+        functools.partial(
+            _classic_kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+        ),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((2, Kp, nxp), dtype),
+            jax.ShapeDtypeStruct((nv, Kp, nxp), dtype),
+            jax.ShapeDtypeStruct((nv, Kp, nxp), dtype),
+            jax.ShapeDtypeStruct((nv, Kp, nxp), dtype),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            blk2,
+            pl.BlockSpec((nt + 1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kt, len(C_PAR_NAMES)), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(blk2, blk3, blk3, blk3),
+        interpret=interpret,
+    )(f, cin, S, rows, pars_p)
+
+    new_carry = Collection(
+        {k: cout[j, :K, :nx] for j, k in enumerate(C_CARRY_KEYS)}
+    )
+    seasonal = Seasonal(
+        winter=Collection({k: wint[i, :K, :nx] for i, k in enumerate(C_OUT_VARS)}),
+        summer=Collection({k: summ[i, :K, :nx] for i, k in enumerate(C_OUT_VARS)}),
+        avg=Collection({k: avg[i, :K, :nx] for i, k in enumerate(C_OUT_VARS)}),
+    )
+    return new_carry, seasonal, None, None

@@ -200,23 +200,30 @@ def ensemble_integrate(
     if engine == "fused":
         # whole-year Pallas kernel (ops/pallas_year.py): the entire nt-step
         # year runs in VMEM per K-block — the throughput engine
-        if spec.name != "MIZ":
-            raise ValueError("engine='fused' supports the MIZ model only")
+        if spec.name not in ("MIZ", "Classic"):
+            raise ValueError(
+                f"engine='fused' has no whole-year kernel for model "
+                f"{spec.name!r}; use engine='vmap' or 'batched'"
+            )
         if jit_wrapper is not None:
             raise ValueError("engine='fused' does not compose with sharding "
                              "jit wrappers; use engine='vmap'")
-        extra = batched_names - {"D"}
-        if extra:
+        if not batched_legal:
             raise ValueError(
-                f"engine='fused' can sweep only 'D'; swept {sorted(extra)} — "
-                "use engine='vmap' or 'batched'"
+                f"engine='fused' cannot sweep table parameters "
+                f"{sorted(batched_names & TABLE_PARAMS)}; use engine='vmap'"
             )
-        from ..ops.pallas_year import default_interpret, pallas_miz_year
+        from ..ops.pallas_year import (
+            default_interpret, pallas_classic_year, pallas_miz_year,
+        )
 
+        year_kernel = (
+            pallas_miz_year if spec.name == "MIZ" else pallas_classic_year
+        )
         interp = default_interpret()
 
         def run_seasonal_fused(carry, p, fy):
-            return pallas_miz_year(carry, p, fy, st, cfg, interpret=interp)
+            return year_kernel(carry, p, fy, st, cfg, interpret=interp)
 
     if engine == "fused":
         # seasonal years run in the fused kernel (plain (K,)-swept D); a

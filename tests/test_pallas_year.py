@@ -159,11 +159,32 @@ class TestFusedYear:
         e = np.asarray(seas.avg["E"])
         np.testing.assert_array_equal(e, np.broadcast_to(e[:1], e.shape))
 
-    def test_rejects_swept_scalar_params(self):
+    def test_sweeps_any_physical_param(self):
+        """Non-table parameters sweep per member inside the kernel — e.g. an
+        OLR-intercept (A) sweep matches the batch-native XLA engine."""
         st, par, carry, fyear = small_setup()
         par = Collection(par)
         par["A"] = jnp.asarray(np.linspace(190, 196, K), DTYPE)
-        with pytest.raises(ValueError, match="scalar parameter 'A'"):
+        run_year = ens._native_year_fn("MIZ", st, FIXED_CFG, DTYPE.name, False, False)
+        c_x, s_x, _, _ = run_year(carry, ens._augment_batched(par), fyear)
+        c_p, s_p, _, _ = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                                         interpret=True)
+        # members differ (the sweep took effect) ...
+        e = np.asarray(s_p.avg["E"])
+        assert not np.allclose(e[0], e[-1])
+        # ... and match the XLA engine per member
+        for key in ("E", "h", "phi"):
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(s_x.avg[key])),
+                np.nan_to_num(np.asarray(s_p.avg[key])),
+                atol=0.05, err_msg=key,
+            )
+
+    def test_rejects_swept_table_params(self):
+        st, par, carry, fyear = small_setup()
+        par = Collection(par)
+        par["S0"] = jnp.asarray(np.linspace(415, 425, K), DTYPE)
+        with pytest.raises(ValueError, match="scalar parameter 'S0'"):
             pallas_miz_year(carry, par, fyear, st, FIXED_CFG, interpret=True)
 
 
@@ -232,15 +253,47 @@ class TestFusedEngine:
         assert sols.raw["E"].shape == (K, st.nt, st.nx)
         assert np.isfinite(np.nan_to_num(sols.raw["E"])).all()
 
-    def test_rejects_classic(self):
+    def test_classic_fused_matches_batched(self):
+        """The classic (WE15) model has its own whole-year kernel."""
         st = ebm.SpaceTime.sin(40, 1000, 1)
-        par = ebm.default_parameters("Classic")
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        par["D"] = np.linspace(0.55, 0.65, K)
         init = Collection(E=np.zeros(st.nx), Tg=np.zeros(st.nx))
-        with pytest.raises(ValueError, match="MIZ"):
-            ens.ensemble_integrate(
-                "Classic", st, ebm.Forcing(0.0), par, init, n_members=4,
-                engine="fused", dtype=DTYPE,
+        kw = dict(n_members=K, dtype=DTYPE)
+        sols_f = ens.ensemble_integrate(
+            "Classic", st, ebm.Forcing(0.0), par, init, engine="fused", **kw
+        )
+        sols_b = ens.ensemble_integrate(
+            "Classic", st, ebm.Forcing(0.0), par, init, engine="batched", **kw
+        )
+        assert sols_f.seasonal.avg["E"].shape == (K, st.dur, st.nx)
+        for k in ("E", "T", "h"):
+            np.testing.assert_allclose(
+                sols_b.seasonal.avg[k], sols_f.seasonal.avg[k], atol=0.05,
+                err_msg=k,
             )
+
+    def test_rejects_model_without_kernel(self):
+        from energybalancemodel_jl_tpu.models.base import (
+            ModelSpec, register_model,
+        )
+        import energybalancemodel_jl_tpu.models.base as base
+
+        spec = ModelSpec(
+            name="_NoKernel", statics=None, init_carry=None, step=None,
+            step_inputs=None, solution_vars=("E",), init_vars=(),
+        )
+        register_model(spec)
+        try:
+            st = ebm.SpaceTime.sin(40, 200, 1)
+            with pytest.raises(ValueError, match="no whole-year kernel"):
+                ens.ensemble_integrate(
+                    "_NoKernel", st, ebm.Forcing(0.0),
+                    ebm.default_parameters("MIZ"), Collection(),
+                    n_members=4, engine="fused", dtype=DTYPE,
+                )
+        finally:
+            base._REGISTRY.pop("_NoKernel", None)
 
     def test_rejects_unknown_engine(self):
         st = ebm.SpaceTime.sin(40, 200, 1)
@@ -251,11 +304,11 @@ class TestFusedEngine:
                 n_members=4, engine="bogus", dtype=DTYPE,
             )
 
-    def test_rejects_non_D_sweep(self):
+    def test_rejects_table_param_sweep(self):
         st = ebm.SpaceTime.sin(40, 200, 1)
         par = ebm.default_parameters("MIZ")
-        par["A"] = np.linspace(190, 196, K)
-        with pytest.raises(ValueError, match="sweep only 'D'"):
+        par["S0"] = np.linspace(415, 425, K)
+        with pytest.raises(ValueError, match="table parameters"):
             ens.ensemble_integrate(
                 "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
                 n_members=K, engine="fused", dtype=DTYPE,
