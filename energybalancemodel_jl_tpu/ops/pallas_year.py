@@ -136,6 +136,18 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _check_table_fits(nt_rows: int, nxp: int, itemsize: int):
+    """The whole-year kernel keeps the (nt, nx) insolation table VMEM-resident;
+    past ~8 MB it cannot coexist with the block working set (16 MB/core)."""
+    table_mb = nt_rows * nxp * itemsize / 2**20
+    if table_mb > 8.0:
+        raise ValueError(
+            f"insolation table of {nt_rows}x{nxp} ({table_mb:.1f} MB) exceeds "
+            "the whole-year kernel's VMEM budget; use engine='batched' for "
+            "this resolution (or shard the grid axis with parallel.spatial)"
+        )
+
+
 @functools.partial(
     jax.jit, static_argnames=("st", "cfg", "block_k", "interpret")
 )
@@ -163,6 +175,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     dtype = carry["Ei"].dtype
     K, nx = carry["Ei"].shape
     nxp = pad_to_lanes(nx)
+    _check_table_fits(st.nt, nxp, jnp.dtype(dtype).itemsize)
     Kt = min(block_k, _round_up(K, 8))
     Kp = _round_up(K, Kt)
     nt = st.nt
@@ -348,6 +361,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     dtype = carry["E"].dtype
     K, nx = carry["E"].shape
     nxp = pad_to_lanes(nx)
+    _check_table_fits(st.nt + 1, nxp, jnp.dtype(dtype).itemsize)
     Kt = min(block_k, _round_up(K, 8))
     Kp = _round_up(K, Kt)
     nt = st.nt

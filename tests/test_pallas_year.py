@@ -313,3 +313,14 @@ class TestFusedEngine:
                 "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
                 n_members=K, engine="fused", dtype=DTYPE,
             )
+
+
+def test_vmem_guard_rejects_huge_tables():
+    st = ebm.SpaceTime.sin(1024, 4000, 1)  # (4000, 1024) f32 table = 16 MB
+    par = ebm.default_parameters("MIZ")
+    spec = get_model("MIZ")
+    carry = spec.init_carry(ebm.zeros_init(st), st, DTYPE)
+    carry = Collection({k: jnp.broadcast_to(v, (8,) + v.shape) for k, v in carry.items()})
+    with pytest.raises(ValueError, match="VMEM budget"):
+        pallas_miz_year(carry, Collection({k: jnp.asarray(v, DTYPE) for k, v in par.items()}),
+                        jnp.zeros(st.nt, DTYPE), st, FIXED_CFG, interpret=True)
