@@ -165,6 +165,52 @@ def _jitted_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug):
     return jax.jit(make_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug))
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_years_fn(model_name, st, cfg, dtype_name, debug, n_years):
+    """``n_years`` seasonal-only years in ONE dispatch: an outer ``lax.scan``
+    over the year function. Cuts host->device round-trips from one per year
+    to one per chunk — the dominant cost of long single runs on remote/
+    tunneled TPUs (dispatch latency >> device time at ensemble width 1)."""
+    year_fn = make_year_fn(model_name, st, cfg, dtype_name, False, debug)
+
+    def years_fn(carry, par, f_years):
+        def body(c, frow):
+            c, seasonal, conv, _ = year_fn(c, par, frow)
+            if conv is None:
+                conv = jnp.ones(())
+            return c, (seasonal, conv)
+
+        carry, (seasons, convs) = lax.scan(body, carry, f_years)
+        return carry, seasons, convs
+
+    return jax.jit(years_fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_fused_single(model_name, st, cfg, dtype_name, interpret):
+    """Single-run adapter for the whole-year Pallas kernels: lift the (nx,)
+    carry to a 1-member batch, run the kernel, squeeze back — all inside ONE
+    jit (eager reshape/slice ops would each pay a device round-trip, which
+    dwarfs the 12 ms kernel on remote TPUs)."""
+    from .ops.pallas_year import pallas_classic_year, pallas_miz_year
+
+    kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
+
+    def fn(carry, par, frow):
+        c1 = Collection({k: v[None] for k, v in carry.items()})
+        c1, seas, conv, _ = kern(c1, par, frow, st, cfg, interpret=interpret)
+        carry = Collection({k: v[0] for k, v in c1.items()})
+        squeeze = lambda coll: Collection({k: v[0] for k, v in coll.items()})
+        seasonal = Seasonal(
+            winter=squeeze(seas.winter),
+            summer=squeeze(seas.summer),
+            avg=squeeze(seas.avg),
+        )
+        return carry, seasonal, conv
+
+    return jax.jit(fn)
+
+
 def integrate(
     model: str,
     st: SpaceTime,
@@ -176,6 +222,8 @@ def integrate(
     verbose: bool = False,
     dtype=None,
     solver: str = "pcr",
+    engine: str = "scan",
+    years_per_dispatch: int = 1,
     raw_mode: Optional[str] = None,
     progress: Optional[bool] = None,
     newton_max_iter: int = 30,
@@ -202,6 +250,18 @@ def integrate(
     matching checkpoint continues the run bit-exactly from the first
     unfinished year (see :mod:`.checkpoint`). ``profile_dir`` captures a
     ``jax.profiler`` trace of the run for TensorBoard.
+
+    ``engine='fused'`` runs seasonal-only years through the whole-year
+    Pallas kernel (:mod:`.ops.pallas_year`) — the TPU fast path for long
+    single runs; raw-collected years fall back to the scan. Requires
+    ``debug=None`` and scalar parameters outside the model's sweep surface;
+    ``engine='scan'`` (default) is the jitted ``lax.scan`` path and the
+    float64 parity configuration.
+
+    ``years_per_dispatch > 1`` batches that many seasonal-only years into a
+    single device dispatch (an outer ``lax.scan`` over years) — the lever
+    for long single runs where per-dispatch latency dominates device time
+    (remote/tunneled TPUs). Progress and checkpoints advance per chunk.
     """
     spec = get_model(model)
     if dtype is None:
@@ -234,6 +294,26 @@ def integrate(
         newton_max_step=max_step,
         verbose=verbose,
     )
+    fused_kernel = None
+    if engine == "fused":
+        if spec.name not in ("MIZ", "Classic"):
+            raise ValueError(
+                f"engine='fused' has no whole-year kernel for model "
+                f"{spec.name!r}; use engine='scan'"
+            )
+        if debug is not None:
+            raise ValueError(
+                "engine='fused' does not support the debug hook; use "
+                "engine='scan'"
+            )
+        from .ops.pallas_year import default_interpret
+
+        fused_kernel = _jitted_fused_single(
+            spec.name, st, cfg, dtype.name, default_interpret()
+        )
+    elif engine != "scan":
+        raise ValueError(f"unknown engine {engine!r}; expected 'scan' or 'fused'")
+
     year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug)
     year_full = _jitted_year_fn(spec.name, st, cfg, dtype.name, True, debug)
 
@@ -252,6 +332,8 @@ def integrate(
             f"{spec.name}|{st!r}|{forcing!r}|{sorted((k, float(v)) for k, v in par.items())}"
             f"|{dtype.name}|{solver}"
         )
+        if engine != "scan":
+            ckpt_key += f"|{engine}"
         if resume:
             if raw_mode == "all":
                 raise ValueError("resume is not supported with raw_mode='all' "
@@ -287,10 +369,67 @@ def integrate(
         profiler_cm = jax.profiler.trace(profile_dir)
         profiler_cm.__enter__()
 
-    for y in range(start_year, st.dur):
+    def _ckpt_write(years_done):
+        from . import checkpoint as ckpt_mod
+
+        ckpt_mod.write_checkpoint(
+            checkpoint,
+            Collection({k: np.asarray(v) for k, v in carry.items()}),
+            years_done,
+            (winter_acc, summer_acc, avg_acc),
+            ckpt_key,
+        )
+
+    y = start_year
+    while y < st.dur:
         collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
-        fn = year_full if collect else year_seasonal
-        carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
+        # multi-year chunk: batch consecutive seasonal-only years into one
+        # dispatch (per-dispatch latency amortization)
+        if years_per_dispatch > 1 and not collect and fused_kernel is None:
+            last_seasonal = st.dur - (1 if raw_mode == "last" else 0)
+            chunk = min(years_per_dispatch, last_seasonal - y)
+            if checkpoint is not None:
+                every = max(checkpoint_every, 1)
+                chunk = min(chunk, (y // every + 1) * every - y)
+            if chunk > 1:
+                years_fn = _jitted_years_fn(
+                    spec.name, st, cfg, dtype.name, debug, chunk
+                )
+                carry, seasons, convs = years_fn(carry, par_j, f_tab[y:y + chunk])
+                for j in range(chunk):
+                    winter_acc.append(
+                        Collection({k: v[j] for k, v in seasons.winter.items()})
+                    )
+                    summer_acc.append(
+                        Collection({k: v[j] for k, v in seasons.summer.items()})
+                    )
+                    avg_acc.append(
+                        Collection({k: v[j] for k, v in seasons.avg.items()})
+                    )
+                if verbose:
+                    conv = np.asarray(convs)
+                    if not conv.all():
+                        warnings.warn(
+                            "Solving for T0 failed in year(s) "
+                            f"{[y + 1 + int(i) for i in np.flatnonzero(conv < 1.0)]}."
+                        )
+                y += chunk
+                if checkpoint is not None and (
+                    y % max(checkpoint_every, 1) == 0 or y == st.dur
+                ):
+                    _ckpt_write(y)
+                if prog is not None:
+                    prog.update(y * st.nt, feedargs=(float(st.T[y * st.nt - 1]),))
+                continue
+        if fused_kernel is not None and not collect:
+            # single run as a 1-member ensemble block (padded to the sublane
+            # minimum inside the kernel); raw-collect years take the scan
+            # path below. One dispatch per year.
+            carry, seasonal, converged = fused_kernel(carry, par_j, f_tab[y])
+            ys = None
+        else:
+            fn = year_full if collect else year_seasonal
+            carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
         winter_acc.append(seasonal.winter)
         summer_acc.append(seasonal.summer)
         avg_acc.append(seasonal.avg)
@@ -306,22 +445,21 @@ def integrate(
         if checkpoint is not None and (
             (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
         ):
-            from . import checkpoint as ckpt_mod
-
-            ckpt_mod.write_checkpoint(
-                checkpoint,
-                Collection({k: np.asarray(v) for k, v in carry.items()}),
-                y + 1,
-                (winter_acc, summer_acc, avg_acc),
-                ckpt_key,
-            )
+            _ckpt_write(y + 1)
         if prog is not None:
             prog.update((y + 1) * st.nt, feedargs=(float(st.T[(y + 1) * st.nt - 1]),))
+        y += 1
 
     if profiler_cm is not None:
         profiler_cm.__exit__(None, None, None)
 
     varnames = list(spec.solution_vars) + (["debug"] if debug is not None else [])
+    # ONE bulk device->host fetch for every stored array: per-leaf np.asarray
+    # would pay a full round-trip per (nx,) vector (3 stores x 10 vars x dur
+    # years), which dominates wall time on remote/tunneled TPUs
+    raw_chunks, winter_acc, summer_acc, avg_acc = jax.device_get(
+        (raw_chunks, winter_acc, summer_acc, avg_acc)
+    )
     if raw_chunks:
         raw = Collection(
             {

@@ -318,6 +318,12 @@ def ensemble_integrate(
                 # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
                 raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
 
+    # one bulk device->host fetch (per-leaf np.asarray would pay a round-trip
+    # per array on remote/tunneled TPUs)
+    winter_acc, summer_acc, avg_acc = jax.device_get(
+        (winter_acc, summer_acc, avg_acc)
+    )
+
     def stack(acc):
         # per-year (K, nx) -> (K, dur, nx)
         return Collection(

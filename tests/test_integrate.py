@@ -118,3 +118,36 @@ class TestDriver:
         first = integrate("MIZ", st1, Forcing(0.0), par, zeros_init(st1),
                           lastonly=False, progress=False)
         np.testing.assert_array_equal(sols.raw["E"][: st1.nt], first.raw["E"])
+
+
+class TestYearsPerDispatch:
+    """Multi-year chunked dispatch (one outer scan per chunk) must reproduce
+    the per-year dispatch path."""
+
+    def test_chunked_equals_per_year(self):
+        st, base = small_run()
+        _, chunked = small_run(years_per_dispatch=8)
+        for k in ("E", "h", "phi"):
+            np.testing.assert_allclose(
+                np.nan_to_num(base.seasonal.avg[k]),
+                np.nan_to_num(chunked.seasonal.avg[k]),
+                rtol=0, atol=1e-12, err_msg=k,
+            )
+            np.testing.assert_allclose(
+                base.raw[k], chunked.raw[k], rtol=0, atol=1e-12, err_msg=k
+            )
+
+    def test_chunk_respects_checkpoint_boundaries(self, tmp_path):
+        import energybalancemodel_jl_tpu as ebm
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+
+        st = ebm.SpaceTime.sin(16, 30, 5)
+        ck = str(tmp_path / "c.h5")
+        ebm.integrate(
+            "MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+            ebm.zeros_init(st), progress=False, raw_mode="none",
+            checkpoint=ck, checkpoint_every=2, years_per_dispatch=64,
+        )
+        _, years, acc, _ = ckpt.read_checkpoint(ck)
+        assert years == st.dur
+        assert len(acc[0]) == st.dur
