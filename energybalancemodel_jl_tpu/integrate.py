@@ -372,12 +372,13 @@ def integrate(
     def _ckpt_write(years_done):
         from . import checkpoint as ckpt_mod
 
+        # one bulk fetch: per-leaf np.asarray pays a device round-trip per
+        # array, which grows with the accumulated years
+        carry_np, accs_np = jax.device_get(
+            (carry, (winter_acc, summer_acc, avg_acc))
+        )
         ckpt_mod.write_checkpoint(
-            checkpoint,
-            Collection({k: np.asarray(v) for k, v in carry.items()}),
-            years_done,
-            (winter_acc, summer_acc, avg_acc),
-            ckpt_key,
+            checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
         )
 
     y = start_year

@@ -305,15 +305,14 @@ def ensemble_integrate(
         ):
             from .. import checkpoint as ckpt_mod
 
+            carry_np, accs_np = jax.device_get(
+                (carry, (winter_acc, summer_acc, avg_acc))
+            )
             ckpt_mod.write_checkpoint(
-                checkpoint,
-                Collection({k: np.asarray(v) for k, v in carry.items()}),
-                y + 1,
-                (winter_acc, summer_acc, avg_acc),
-                ckpt_key,
+                checkpoint, Collection(carry_np), y + 1, accs_np, ckpt_key
             )
         if collect:
-            raw = Collection({k: np.asarray(v) for k, v in ys.items()})
+            raw = Collection(jax.device_get(dict(ys)))
             if engine in ("batched", "fused"):
                 # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
                 raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})

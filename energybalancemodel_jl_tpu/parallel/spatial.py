@@ -192,6 +192,11 @@ def spatial_integrate(
             raw_chunks.append(ys)
 
     varnames = list(spec.solution_vars)
+    # one bulk device->host fetch (see integrate.py: per-leaf np.asarray
+    # pays a round-trip per array on remote TPUs)
+    raw_chunks, winter_acc, summer_acc, avg_acc = jax.device_get(
+        (raw_chunks, winter_acc, summer_acc, avg_acc)
+    )
     if raw_chunks:
         raw = Collection(
             {k: np.concatenate([np.asarray(c[k]) for c in raw_chunks], axis=0)
