@@ -138,6 +138,7 @@ def ensemble_integrate(
     donate: bool = True,
     jit_wrapper=None,
     engine: str = "auto",
+    mesh=None,
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
@@ -155,6 +156,11 @@ def ensemble_integrate(
     ``resume=True`` continues a matching interrupted run bit-exactly from
     the first unfinished year (same protocol as
     :func:`~energybalancemodel_jl_tpu.integrate`, see :mod:`..checkpoint`).
+
+    ``mesh`` (with ``engine='fused'``): a 1-D ``jax.sharding.Mesh`` — each
+    chip runs the whole-year kernel on its ensemble shard (pure DP over
+    ICI, zero hot-loop collectives); requires ``raw_mode='none'`` and ``K``
+    divisible by the mesh size.
     """
     spec = get_model(model)
     if dtype is None:
@@ -190,6 +196,11 @@ def ensemble_integrate(
             f"unknown engine {engine!r}; expected 'vmap', 'batched', 'fused', "
             "or 'auto'"
         )
+    if mesh is not None and engine != "fused":
+        raise ValueError(
+            "mesh= requires engine='fused'; use sharded_ensemble_integrate "
+            "for the vmap engine"
+        )
     if engine == "batched" and not batched_legal:
         raise ValueError(
             f"engine='batched' cannot sweep table parameters "
@@ -217,13 +228,35 @@ def ensemble_integrate(
             default_interpret, pallas_classic_year, pallas_miz_year,
         )
 
-        year_kernel = (
-            pallas_miz_year if spec.name == "MIZ" else pallas_classic_year
-        )
-        interp = default_interpret()
+        if mesh is not None:
+            if raw_mode != "none":
+                raise ValueError(
+                    "engine='fused' with a mesh supports raw_mode='none' "
+                    "only (seasonal storage); collect raw data unsharded"
+                )
+            if int(K) % mesh.size != 0:
+                raise ValueError(
+                    f"ensemble size {K} is not divisible by the mesh size "
+                    f"{mesh.size}"
+                )
+            from .sharding import shard_map_fused_year_fn
 
-        def run_seasonal_fused(carry, p, fy):
-            return year_kernel(carry, p, fy, st, cfg, interpret=interp)
+            sharded_fn = shard_map_fused_year_fn(
+                st, mesh, Collection({k: jnp.asarray(v, dtype) for k, v in par.items()}),
+                dtype.name, cfg, model=spec.name,
+            )
+
+            def run_seasonal_fused(carry, p, fy):
+                c, seas, conv = sharded_fn(carry, p, fy)
+                return c, seas, conv, None
+        else:
+            year_kernel = (
+                pallas_miz_year if spec.name == "MIZ" else pallas_classic_year
+            )
+            interp = default_interpret()
+
+            def run_seasonal_fused(carry, p, fy):
+                return year_kernel(carry, p, fy, st, cfg, interpret=interp)
 
     if engine == "fused":
         # seasonal years run in the fused kernel (plain (K,)-swept D); a

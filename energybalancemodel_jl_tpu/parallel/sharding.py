@@ -125,20 +125,26 @@ def shard_map_year_fn(model_name: str, st, mesh: Mesh, dtype_name: str = "float3
 def shard_map_fused_year_fn(st, mesh: Mesh, par: Collection,
                             dtype_name: str = "float32",
                             cfg: Optional[StepConfig] = None,
-                            block_k: int = 128):
+                            block_k: int = 128,
+                            model: str = "MIZ"):
     """Multi-chip fused-year step: each chip runs the whole-year Pallas
     kernel (:mod:`..ops.pallas_year`) on its local ensemble shard — pure DP,
     zero collectives in the hot loop (SURVEY.md §2: the ensemble is the
     scalable axis).
 
-    ``par`` fixes which leaves are swept (``(K,)`` leaves shard over the
-    mesh; only ``D`` may be swept, as in ``engine='fused'``). Returns
-    ``fn(carry, par, fyear) -> (carry, Seasonal, converged)`` with carry
-    leaves ``(K, nx)``, ``K`` divisible by the mesh size.
+    ``par`` fixes which leaves are swept: ``(K,)`` leaves shard over the
+    mesh, scalars replicate (any non-table parameter, as in
+    ``engine='fused'``). Returns ``fn(carry, par, fyear) -> (carry,
+    Seasonal, converged)`` with carry leaves ``(K, nx)``, ``K`` divisible
+    by the mesh size.
     """
     from jax import shard_map
 
-    from ..ops.pallas_year import default_interpret, pallas_miz_year
+    from ..models.base import get_model
+    from ..ops import pallas_year as py
+    from ..ops.pallas_year import (
+        default_interpret, pallas_classic_year, pallas_miz_year,
+    )
 
     if cfg is None:
         if dtype_name == "float64":
@@ -147,24 +153,25 @@ def shard_map_fused_year_fn(st, mesh: Mesh, par: Collection,
             cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4, newton_max_step=50.0)
     axis = mesh.axis_names[0]
     interp = default_interpret()
+    is_miz = model == "MIZ"
+    kern = pallas_miz_year if is_miz else pallas_classic_year
+    carry_keys = py.CARRY_KEYS if is_miz else py.C_CARRY_KEYS
 
     def local_step(carry, par, fyear):
-        carry, seasonal, conv, _ = pallas_miz_year(
+        carry, seasonal, conv, _ = kern(
             carry, par, fyear, st, cfg, block_k=block_k, interpret=interp
         )
+        if conv is None:
+            conv = jnp.ones(())
         return carry, seasonal, jax.lax.pmin(conv, axis)
 
     spec_b = P(axis)
     par_specs = Collection(
         {k: (spec_b if np.ndim(v) > 0 else P()) for k, v in par.items()}
     )
-    carry_specs = Collection(
-        {k: spec_b for k in ("Ei", "Ew", "h", "D", "phi", "T0")}
-    )
-    seasonal_specs = jax.tree_util.tree_map(
-        lambda _: spec_b,
-        Collection({k: 0 for k in (
-            "E", "T", "h", "Ei", "Ew", "Ti", "Tw", "D", "phi", "n")}),
+    carry_specs = Collection({k: spec_b for k in carry_keys})
+    seasonal_specs = Collection(
+        {k: spec_b for k in get_model(model).solution_vars}
     )
     from ..solutions import Seasonal
 

@@ -368,3 +368,50 @@ class TestIntegrateFused:
             ebm.integrate("MIZ", st, ebm.Forcing(0.0),
                           ebm.default_parameters("MIZ"), ebm.zeros_init(st),
                           engine="bogus", progress=False, dtype=DTYPE)
+
+
+class TestMeshedFusedEngine:
+    def test_high_level_api_on_virtual_mesh(self):
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        st = ebm.SpaceTime.sin(40, 200, 2)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = np.linspace(0.55, 0.65, 16)
+        kw = dict(n_members=16, dtype=DTYPE, newton_max_iter=8)
+        meshed = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="fused", mesh=ensemble_mesh(8), **kw,
+        )
+        local = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="fused", **kw,
+        )
+        assert meshed.seasonal.avg["E"].shape == (16, st.dur, st.nx)
+        for k in ("E", "h", "phi"):
+            np.testing.assert_allclose(
+                np.nan_to_num(meshed.seasonal.avg[k]),
+                np.nan_to_num(local.seasonal.avg[k]),
+                atol=0.5, err_msg=k,
+            )
+
+    def test_mesh_requires_fused(self):
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        with pytest.raises(ValueError, match="mesh= requires"):
+            ens.ensemble_integrate(
+                "MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+                ebm.zeros_init(st), n_members=8, engine="batched",
+                mesh=ensemble_mesh(8), dtype=DTYPE,
+            )
+
+    def test_mesh_rejects_raw(self):
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        with pytest.raises(ValueError, match="raw_mode='none'"):
+            ens.ensemble_integrate(
+                "MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+                ebm.zeros_init(st), n_members=8, engine="fused",
+                mesh=ensemble_mesh(8), raw_mode="last", dtype=DTYPE,
+            )
