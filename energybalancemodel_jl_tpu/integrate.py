@@ -31,13 +31,29 @@ import numpy as np
 from jax import lax
 
 from .forcing import Forcing
-from .models.base import StepConfig, get_model
+from .models.base import StepConfig, default_step_config, get_model
 from .solutions import Seasonal, Solutions
 from .spacetime import SpaceTime
 from .utils.collection import Collection
 from .utils.progress import Progress
 
 __all__ = ["integrate", "make_year_fn", "default_dtype"]
+
+
+def _split_chunks(acc):
+    """Flatten chunked-dispatch entries ``("chunk", Collection of (n, ...))``
+    into per-year Collections (host-side, after the bulk fetch)."""
+    out = []
+    for e in acc:
+        if isinstance(e, tuple) and e[0] == "chunk":
+            coll = e[1]
+            n = len(next(iter(coll.values())))
+            out.extend(
+                Collection({k: v[j] for k, v in coll.items()}) for j in range(n)
+            )
+        else:
+            out.append(e)
+    return out
 
 
 def default_dtype():
@@ -261,7 +277,9 @@ def integrate(
     ``years_per_dispatch > 1`` batches that many seasonal-only years into a
     single device dispatch (an outer ``lax.scan`` over years) — the lever
     for long single runs where per-dispatch latency dominates device time
-    (remote/tunneled TPUs). Progress and checkpoints advance per chunk.
+    (remote/tunneled TPUs). Progress and checkpoints advance per chunk;
+    results match the per-year path to compiled-graph rounding (not
+    guaranteed bitwise — the chunking is part of the checkpoint key).
     """
     spec = get_model(model)
     if dtype is None:
@@ -275,23 +293,8 @@ def integrate(
     if raw_mode not in ("last", "all", "none"):
         raise ValueError(f"raw_mode must be 'last'|'all'|'none', got {raw_mode!r}")
 
-    # Tighter than the reference's (1e-8, 1e-6) in float64: the trajectory is
-    # sensitive at the ice edge, so the Newton root is driven near the fp
-    # floor to keep solver noise out of the dynamics (warm starts keep the
-    # extra iterations ~0-1 per step).
-    # float32: residuals are O(100) W/m^2, so 1e-2 absolute is ~eps-limited
-    # and physically far below any signal of interest; the step cap guards
-    # low-precision Newton iterates (f64 converges unclipped).
-    if dtype == jnp.float64:
-        abstol, reltol, max_step = 1e-11, 1e-9, None
-    else:
-        abstol, reltol, max_step = 0.5, 1e-4, 50.0
-    cfg = StepConfig(
-        solver=solver,
-        newton_max_iter=newton_max_iter,
-        newton_abstol=abstol,
-        newton_reltol=reltol,
-        newton_max_step=max_step,
+    cfg = default_step_config(
+        dtype.name, solver=solver, newton_max_iter=newton_max_iter,
         verbose=verbose,
     )
     fused_kernel = None
@@ -334,6 +337,10 @@ def integrate(
         )
         if engine != "scan":
             ckpt_key += f"|{engine}"
+        if years_per_dispatch > 1:
+            # chunked dispatch compiles a different graph; graph-level
+            # rounding amplifies, so a resume must use the same chunking
+            ckpt_key += f"|ypd{years_per_dispatch}"
         if resume:
             if raw_mode == "all":
                 raise ValueError("resume is not supported with raw_mode='all' "
@@ -352,6 +359,12 @@ def integrate(
                 warnings.warn(
                     f"Checkpoint {checkpoint} does not match this run's "
                     "configuration; starting from init."
+                )
+            if start_year >= st.dur and raw_mode == "last":
+                warnings.warn(
+                    "Resuming an already-completed run: per-step raw data is "
+                    "not checkpointed, so the returned Solutions has empty "
+                    "raw storage (seasonal storage is complete)."
                 )
 
     if progress is None:
@@ -377,6 +390,7 @@ def integrate(
         carry_np, accs_np = jax.device_get(
             (carry, (winter_acc, summer_acc, avg_acc))
         )
+        accs_np = tuple(_split_chunks(a) for a in accs_np)
         ckpt_mod.write_checkpoint(
             checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
         )
@@ -397,16 +411,13 @@ def integrate(
                     spec.name, st, cfg, dtype.name, debug, chunk
                 )
                 carry, seasons, convs = years_fn(carry, par_j, f_tab[y:y + chunk])
-                for j in range(chunk):
-                    winter_acc.append(
-                        Collection({k: v[j] for k, v in seasons.winter.items()})
-                    )
-                    summer_acc.append(
-                        Collection({k: v[j] for k, v in seasons.summer.items()})
-                    )
-                    avg_acc.append(
-                        Collection({k: v[j] for k, v in seasons.avg.items()})
-                    )
+                # keep the stacked (chunk, nx) arrays whole until the single
+                # bulk device_get: eager per-year slicing would dispatch
+                # 3 * nvars * chunk tiny device ops — the latency this
+                # feature exists to amortize
+                winter_acc.append(("chunk", seasons.winter))
+                summer_acc.append(("chunk", seasons.summer))
+                avg_acc.append(("chunk", seasons.avg))
                 if verbose:
                     conv = np.asarray(convs)
                     if not conv.all():
@@ -437,11 +448,13 @@ def integrate(
         if collect:
             raw_chunks.append(ys)
         if verbose and converged is not None:
+            # the flag is a float (1.0 = converged) — boolean reductions have
+            # no AD rules, see models/miz.py — so compare, don't invert
             conv = np.asarray(converged)
             if not conv.all():
                 warnings.warn(
-                    f"Solving for T0 failed at {int((~conv).sum())} step(s) of "
-                    f"year {y + 1}."
+                    f"Solving for T0 failed at {int(np.count_nonzero(conv < 1.0))} "
+                    f"flag(s) of year {y + 1}."
                 )
         if checkpoint is not None and (
             (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
@@ -461,6 +474,9 @@ def integrate(
     raw_chunks, winter_acc, summer_acc, avg_acc = jax.device_get(
         (raw_chunks, winter_acc, summer_acc, avg_acc)
     )
+    winter_acc = _split_chunks(winter_acc)
+    summer_acc = _split_chunks(summer_acc)
+    avg_acc = _split_chunks(avg_acc)
     if raw_chunks:
         raw = Collection(
             {

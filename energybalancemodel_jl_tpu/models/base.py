@@ -22,7 +22,10 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Dict, Tuple
 
-__all__ = ["ModelSpec", "StepConfig", "register_model", "get_model", "available_models"]
+__all__ = [
+    "ModelSpec", "StepConfig", "default_step_config",
+    "register_model", "get_model", "available_models",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +39,26 @@ class StepConfig:
     newton_max_step: float = None  # trust-region-style step cap (float32 safeguard)
     verbose: bool = False  # warn on Newton non-convergence (reference :61-63)
     spatial_axis: str = None  # mesh axis name when the grid axis is sharded
+
+
+def default_step_config(dtype_name: str, solver: str = "pcr",
+                        **overrides) -> StepConfig:
+    """The per-dtype Newton tolerances every driver shares.
+
+    float64 (the parity config): tighter than the reference's (1e-8, 1e-6) —
+    the trajectory is sensitive at the ice edge, so the root is driven near
+    the fp floor to keep solver noise out of the dynamics (warm starts keep
+    the extra iterations ~0-1 per step).
+    float32: residuals are O(100) W/m^2, so 0.5 absolute is ~eps-limited and
+    physically far below any signal of interest; the step cap guards
+    low-precision iterates (f64 converges unclipped).
+    """
+    if dtype_name == "float64":
+        tol = dict(newton_abstol=1e-11, newton_reltol=1e-9)
+    else:
+        tol = dict(newton_abstol=0.5, newton_reltol=1e-4, newton_max_step=50.0)
+    tol.update(overrides)
+    return StepConfig(solver=solver, **tol)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,14 +56,18 @@ PAR_NAMES = (
     "Lf", "alpha", "rl", "Dmin", "Dmax", "hmin", "kappa", "D",
 )
 _TM_POW = len(PAR_NAMES)
-N_PAR = len(PAR_NAMES) + 1
+# one more per-member lane: a constant forcing offset (the virtual "F"
+# sweep — per-member time-VARYING forcing would need a dynamic lane slice,
+# which Mosaic cannot lower; constant offsets cover the WE15 F-bifurcation)
+_F_OFF = len(PAR_NAMES) + 1
+N_PAR = len(PAR_NAMES) + 2
 # parameters shaping the shared insolation/coalbedo tables — must be scalar
 # (a sweep would make the statics per-member; use engine='vmap')
 TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
 
 
 def _kernel(
-    f_ref,      # SMEM (nt,) forcing per step
+    f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
     cin_ref,    # VMEM (6, Kt, nxp) carry in
     insol_ref,  # VMEM (nt, nxp) insolation table
     rows_ref,   # VMEM (4, nxp): aw, glo, gdi, gup
@@ -102,7 +106,8 @@ def _kernel(
 
     def body(t, state):
         carry, conv = state
-        xs = Collection(insol=insol_ref[pl.ds(t, 1), :], f=f_ref[t])
+        f_t = f_ref[t] + pars_ref[:, _F_OFF:_F_OFF + 1]
+        xs = Collection(insol=insol_ref[pl.ds(t, 1), :], f=f_t)
         carry, out = miz.step(carry, xs, stat, par, cfg)
         out = dict(out)
         conv = jnp.minimum(conv, out.pop("newton_converged"))
@@ -202,7 +207,9 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         return v
 
     pars = jnp.stack(
-        [column(par[n]) for n in PAR_NAMES] + [column(stat["Tm_pow_m2"])],
+        [column(par[n]) for n in PAR_NAMES]
+        + [column(stat["Tm_pow_m2"]),
+           column(par.get("F", jnp.zeros((), dtype)))],
         axis=1,
     )  # (K, N_PAR) — parameters on lanes, members on sublanes
 
@@ -217,7 +224,11 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     rows = jnp.stack(
         [pad_lane(stat.aw), pad_lane(stat.glo), pad_lane(stat.gdi), pad_lane(stat.gup)]
     )
-    pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)))
+    # padded members replicate the last member's PARAMETERS (edge mode) over
+    # zero state: zero-padded parameters would give the Newton residual a
+    # 0/0 (k = hmin = 0) whose NaN never satisfies the tolerance and poisons
+    # the block's min-reduced convergence flag
+    pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge")
     f = jnp.asarray(fyear, dtype=dtype)
 
     nb = Kp // Kt
@@ -278,10 +289,11 @@ C_OUT_VARS = ("E", "T", "h")
 C_PAR_NAMES = (
     "cg_tau", "dt_tau", "dc", "M", "kLf", "Dcg", "ai", "A", "Fb", "cw", "Lf",
 )
+_C_F_OFF = len(C_PAR_NAMES)  # per-member constant forcing offset lane
 
 
 def _classic_kernel(
-    f_ref,      # SMEM (nt,) forcing per step
+    f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
     cin_ref,    # VMEM (2, Kt, nxp) carry in: E, Tg
     S_ref,      # VMEM (nt+1, nxp) insolation table with wraparound row
     rows_ref,   # VMEM (4, nxp): aw, geom.lo, geom.di, geom.up (uniform grid)
@@ -318,7 +330,7 @@ def _classic_kernel(
         xs = Collection(
             S_i=S_ref[pl.ds(t, 1), :],
             S_ip1=S_ref[pl.ds(t + 1, 1), :],  # wraparound column (:61)
-            f=f_ref[t],
+            f=f_ref[t] + pars_ref[:, _C_F_OFF:_C_F_OFF + 1],
         )
         carry, out = classic.step(carry, xs, stat, par, cfg)
         for i, k in enumerate(C_OUT_VARS):
@@ -398,7 +410,11 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         Dcg=st.dt * par["D"] / par["cg"],
         ai=par["ai"], A=par["A"], Fb=par["Fb"], cw=par["cw"], Lf=par["Lf"],
     )
-    pars = jnp.stack([column(cols[n]) for n in C_PAR_NAMES], axis=1)
+    pars = jnp.stack(
+        [column(cols[n]) for n in C_PAR_NAMES]
+        + [column(par.get("F", jnp.zeros((), dtype)))],
+        axis=1,
+    )
 
     def pad_kx(v):
         return jnp.pad(v, ((0, Kp - K), (0, nxp - nx)))
@@ -414,7 +430,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     rows = jnp.stack(
         [pad_lane(stat.aw), pad_lane(geom.lo), pad_lane(geom.di), pad_lane(geom.up)]
     )
-    pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)))
+    pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge")
     f = jnp.asarray(fyear, dtype=dtype)
 
     nb = Kp // Kt
@@ -437,7 +453,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
             blk2,
             pl.BlockSpec((nt + 1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kt, len(C_PAR_NAMES)), lambda i: (i, 0),
+            pl.BlockSpec((Kt, len(C_PAR_NAMES) + 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(blk2, blk3, blk3, blk3),

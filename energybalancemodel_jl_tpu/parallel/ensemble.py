@@ -25,7 +25,7 @@ import numpy as np
 
 from ..forcing import Forcing
 from ..integrate import default_dtype, make_year_fn
-from ..models.base import StepConfig, get_model
+from ..models.base import StepConfig, default_step_config, get_model
 from ..solutions import Seasonal
 from ..spacetime import SpaceTime
 from ..utils.collection import Collection
@@ -91,11 +91,13 @@ class _AxesKey:
 
 
 @functools.lru_cache(maxsize=64)
-def _batched_year_fn(model_name, st, cfg, dtype_name, collect_raw, axes_key, donate):
-    """vmapped + jitted year function, cached across ensemble calls."""
+def _batched_year_fn(model_name, st, cfg, dtype_name, collect_raw, axes_key,
+                     donate, f_batched: bool = False):
+    """vmapped + jitted year function, cached across ensemble calls.
+    ``f_batched`` maps the forcing over members too (per-member F rows)."""
     fn = make_year_fn(model_name, st, cfg, dtype_name, collect_raw)
     axes = Collection(dict(axes_key.items))
-    vm = jax.vmap(fn, in_axes=(0, axes, None))
+    vm = jax.vmap(fn, in_axes=(0, axes, 0 if f_batched else None))
     return jax.jit(vm, donate_argnums=(0,) if donate else ())
 
 
@@ -174,14 +176,16 @@ def ensemble_integrate(
         if len(sizes) != 1:
             raise ValueError("Cannot infer ensemble size; pass n_members")
         K = sizes.pop()
+    par_user = Collection(par)  # stored/checkpoint-keyed, incl. virtual "F"
+    # virtual sweep parameter "F": a per-member constant added to the climate
+    # forcing (the WE15 bifurcation axis, reference plot_seasonal studies) —
+    # realized as per-member forcing-table rows, not a physics parameter
+    F_off = par.pop("F", None)
+    if F_off is not None and np.ndim(F_off) == 0:
+        F_off = np.full((int(K),), float(F_off))
 
-    if dtype == jnp.float64:
-        abstol, reltol, max_step = 1e-11, 1e-9, None
-    else:
-        abstol, reltol, max_step = 0.5, 1e-4, 50.0
-    cfg = StepConfig(
-        solver=solver, newton_max_iter=newton_max_iter,
-        newton_abstol=abstol, newton_reltol=reltol, newton_max_step=max_step,
+    cfg = default_step_config(
+        dtype.name, solver=solver, newton_max_iter=newton_max_iter
     )
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
     axes = _param_axes(par_j)
@@ -228,6 +232,9 @@ def ensemble_integrate(
             default_interpret, pallas_classic_year, pallas_miz_year,
         )
 
+        par_fused = Collection(par_j)
+        if F_off is not None:
+            par_fused["F"] = jnp.asarray(F_off, dtype=dtype)
         if mesh is not None:
             if raw_mode != "none":
                 raise ValueError(
@@ -242,12 +249,11 @@ def ensemble_integrate(
             from .sharding import shard_map_fused_year_fn
 
             sharded_fn = shard_map_fused_year_fn(
-                st, mesh, Collection({k: jnp.asarray(v, dtype) for k, v in par.items()}),
-                dtype.name, cfg, model=spec.name,
+                st, mesh, par_fused, dtype.name, cfg, model=spec.name,
             )
 
             def run_seasonal_fused(carry, p, fy):
-                c, seas, conv = sharded_fn(carry, p, fy)
+                c, seas, conv = sharded_fn(carry, par_fused, fy)
                 return c, seas, conv, None
         else:
             year_kernel = (
@@ -256,7 +262,8 @@ def ensemble_integrate(
             interp = default_interpret()
 
             def run_seasonal_fused(carry, p, fy):
-                return year_kernel(carry, p, fy, st, cfg, interpret=interp)
+                return year_kernel(carry, par_fused, fy, st, cfg,
+                                   interpret=interp)
 
     if engine == "fused":
         # seasonal years run in the fused kernel (plain (K,)-swept D); a
@@ -277,13 +284,16 @@ def ensemble_integrate(
                 spec.name, st, cfg, dtype.name, collect_raw, donate
             )
     elif jit_wrapper is not None:
+        f_axis = None if F_off is None else 0
+
         def batch(collect_raw):
             fn = make_year_fn(spec.name, st, cfg, dtype.name, collect_raw)
-            return jit_wrapper(jax.vmap(fn, in_axes=(0, axes, None)))
+            return jit_wrapper(jax.vmap(fn, in_axes=(0, axes, f_axis)))
     else:
         def batch(collect_raw):
             return _batched_year_fn(
-                spec.name, st, cfg, dtype.name, collect_raw, axes_key, donate
+                spec.name, st, cfg, dtype.name, collect_raw, axes_key, donate,
+                f_batched=F_off is not None,
             )
 
     run_seasonal = batch(False)
@@ -297,7 +307,28 @@ def ensemble_integrate(
             for k, v in carry.items()
         }
     )
-    f_tab = forcing.table(st)
+    f_base = forcing.table(st)
+    f_tab = f_base  # (dur, nt)
+    if F_off is not None:
+        F_off = np.asarray(F_off, dtype=np.float64).reshape(-1)
+        if F_off.shape[0] != int(K):
+            raise ValueError(
+                f"par['F'] must have shape ({K},), got {F_off.shape}"
+            )
+        f_tab = f_base[None] + F_off[:, None, None]  # (K, dur, nt)
+
+    def fyear_of(year, collect=False):
+        if F_off is None:
+            return f_tab[year]
+        if engine == "fused" and not collect:
+            # the kernel applies the per-member offset itself (an extra
+            # parameter lane); it consumes the shared rows
+            return f_base[year]
+        fy = f_tab[:, year]  # (K, nt) per-member rows
+        if engine == "batched" or (engine == "fused" and collect):
+            # batch-native scan consumes time-leading leaves
+            return np.swapaxes(fy, 0, 1)[:, :, None]
+        return fy
 
     winter_acc, summer_acc, avg_acc = [], [], []
     start_year = 0
@@ -306,7 +337,7 @@ def ensemble_integrate(
         from .. import checkpoint as ckpt_mod
 
         ckpt_key = _ensemble_config_key(
-            spec.name, st, forcing, par, dtype, solver, engine, K
+            spec.name, st, forcing, par_user, dtype, solver, engine, K
         )
         if resume:
             if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
@@ -324,12 +355,18 @@ def ensemble_integrate(
                     f"Checkpoint {checkpoint} does not match this ensemble's "
                     "configuration; starting from init."
                 )
+            if start_year >= st.dur and raw_mode == "last":
+                warnings.warn(
+                    "Resuming an already-completed run: per-step raw data is "
+                    "not checkpointed, so the returned EnsembleSolutions has "
+                    "raw=None (seasonal storage is complete)."
+                )
 
     raw = None
     for y in range(start_year, st.dur):
         collect = raw_mode == "last" and y == st.dur - 1
         fn = run_full if collect else run_seasonal
-        carry, seasonal, _conv, ys = fn(carry, par_j, f_tab[y])
+        carry, seasonal, _conv, ys = fn(carry, par_j, fyear_of(y, collect))
         winter_acc.append(seasonal.winter)
         summer_acc.append(seasonal.summer)
         avg_acc.append(seasonal.avg)
@@ -368,7 +405,7 @@ def ensemble_integrate(
     return EnsembleSolutions(
         spacetime=st,
         forcing=forcing,
-        parameters=Collection(par),
+        parameters=par_user,
         n_members=int(K),
         seasonal=Seasonal(stack(winter_acc), stack(summer_acc), stack(avg_acc)),
         raw=raw,

@@ -18,7 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..integrate import make_year_fn
-from ..models.base import StepConfig
+from ..models.base import StepConfig, default_step_config
 from ..utils.collection import Collection
 from . import ensemble as ens
 
@@ -91,10 +91,7 @@ def shard_map_year_fn(model_name: str, st, mesh: Mesh, dtype_name: str = "float3
     from jax import shard_map
 
     if cfg is None:
-        if dtype_name == "float64":
-            cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9)
-        else:
-            cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4, newton_max_step=50.0)
+        cfg = default_step_config(dtype_name)
     axis = mesh.axis_names[0]
     year_fn = make_year_fn(model_name, st, cfg, dtype_name, False)
     vm = jax.vmap(year_fn, in_axes=(0, 0, None))
@@ -147,10 +144,7 @@ def shard_map_fused_year_fn(st, mesh: Mesh, par: Collection,
     )
 
     if cfg is None:
-        if dtype_name == "float64":
-            cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9)
-        else:
-            cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4, newton_max_step=50.0)
+        cfg = default_step_config(dtype_name)
     axis = mesh.axis_names[0]
     interp = default_interpret()
     is_miz = model == "MIZ"

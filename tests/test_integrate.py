@@ -122,7 +122,9 @@ class TestDriver:
 
 class TestYearsPerDispatch:
     """Multi-year chunked dispatch (one outer scan per chunk) must reproduce
-    the per-year dispatch path."""
+    the per-year dispatch path (to compiled-graph rounding: the outer scan
+    is a different graph, so equality is tolerance-level, not bitwise —
+    which is also why the chunking is recorded in the checkpoint key)."""
 
     def test_chunked_equals_per_year(self):
         st, base = small_run()
@@ -131,10 +133,10 @@ class TestYearsPerDispatch:
             np.testing.assert_allclose(
                 np.nan_to_num(base.seasonal.avg[k]),
                 np.nan_to_num(chunked.seasonal.avg[k]),
-                rtol=0, atol=1e-12, err_msg=k,
+                rtol=0, atol=1e-7, err_msg=k,
             )
             np.testing.assert_allclose(
-                base.raw[k], chunked.raw[k], rtol=0, atol=1e-12, err_msg=k
+                base.raw[k], chunked.raw[k], rtol=0, atol=1e-7, err_msg=k
             )
 
     def test_chunk_respects_checkpoint_boundaries(self, tmp_path):

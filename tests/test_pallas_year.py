@@ -415,3 +415,24 @@ class TestMeshedFusedEngine:
                 ebm.zeros_init(st), n_members=8, engine="fused",
                 mesh=ensemble_mesh(8), raw_mode="last", dtype=DTYPE,
             )
+
+
+def test_padded_members_do_not_poison_convergence():
+    """Zero-padded parameter rows used to make the Newton residual 0/0 and
+    force converged=0.0 for any padded K (including all single runs)."""
+    st = ebm.SpaceTime.sin(40, 200, 1)
+    par = Collection(
+        {k: jnp.asarray(v, DTYPE) for k, v in ebm.default_parameters("MIZ").items()}
+    )
+    cfg = StepConfig(solver="pcr", newton_abstol=0.5, newton_reltol=1e-4,
+                     newton_max_step=50.0)
+    spec = get_model("MIZ")
+    for k in (1, 3):
+        carry = spec.init_carry(ebm.zeros_init(st), st, DTYPE)
+        carry = Collection(
+            {n: jnp.broadcast_to(v, (k,) + v.shape) for n, v in carry.items()}
+        )
+        _, _, conv, _ = pallas_miz_year(
+            carry, par, jnp.zeros(st.nt, DTYPE), st, cfg, interpret=True
+        )
+        assert float(np.asarray(conv)) == 1.0, k

@@ -198,3 +198,70 @@ class TestHalo:
         st = ebm.SpaceTime.sin(30, 10, 1)
         with pytest.raises(ValueError, match="divide evenly"):
             sharded_diffusion(st, grid_mesh())
+
+
+class TestForcingSweep:
+    """Virtual 'F' sweep: per-member constant forcing offsets (the WE15
+    bifurcation axis; reference studies sweep F via plot_seasonal)."""
+
+    def setup_case(self):
+        import energybalancemodel_jl_tpu as ebm
+
+        st = ebm.SpaceTime.sin(20, 40, 2)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        Fs = np.array([-2.0, 0.0, 3.0])
+        return ebm, st, par, Fs
+
+    def members_equal_solo_runs(self, engine):
+        import energybalancemodel_jl_tpu as ebm
+        from energybalancemodel_jl_tpu.parallel.ensemble import ensemble_integrate
+
+        ebm_, st, par, Fs = self.setup_case()
+        par = ebm.Collection(par)
+        par["F"] = Fs
+        ens_sols = ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=3, engine=engine,
+        )
+        assert "F" in ens_sols.parameters
+        for i, F in enumerate(Fs):
+            solo = ebm.integrate(
+                "MIZ", st, ebm.Forcing(float(F)),
+                ebm.default_parameters("MIZ"), ebm.zeros_init(st),
+                progress=False, raw_mode="none",
+            )
+            for k in ("E", "phi"):
+                np.testing.assert_allclose(
+                    ens_sols.seasonal.avg[k][i], solo.seasonal.avg[k],
+                    rtol=0, atol=1e-9, err_msg=f"{engine}:{k}:F={F}",
+                )
+
+    def test_vmap_engine(self):
+        self.members_equal_solo_runs("vmap")
+
+    def test_batched_engine(self):
+        self.members_equal_solo_runs("batched")
+
+    def test_fused_engine(self):
+        import energybalancemodel_jl_tpu as ebm
+        import jax.numpy as jnp
+        from energybalancemodel_jl_tpu.parallel.ensemble import ensemble_integrate
+
+        _, st, par, Fs = self.setup_case()
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.linspace(-2.0, 2.0, 8)
+        dt32 = jnp.dtype("float32")
+        fused = ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=8, engine="fused", dtype=dt32, newton_max_iter=8,
+        )
+        batched = ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=8, engine="batched", dtype=dt32, newton_max_iter=8,
+        )
+        e = np.nan_to_num(fused.seasonal.avg["E"])
+        assert not np.allclose(e[0], e[-1])  # the sweep took effect
+        np.testing.assert_allclose(
+            e, np.nan_to_num(batched.seasonal.avg["E"]), atol=0.5
+        )
