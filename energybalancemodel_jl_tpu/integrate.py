@@ -203,6 +203,40 @@ def _jitted_years_fn(model_name, st, cfg, dtype_name, debug, n_years):
 
 
 @functools.lru_cache(maxsize=64)
+def _jitted_fused_years(model_name, st, cfg, dtype_name, interpret, n_years):
+    """``n_years`` fused whole-year kernel launches in ONE dispatch: a
+    ``lax.scan`` over the Pallas year kernel. Unlike the XLA chunked path
+    (:func:`_jitted_years_fn`), the kernel is a black box the scan merely
+    feeds the carry through — per-year results are BITWISE identical to the
+    one-dispatch-per-year fused path, so checkpoints may mix chunkings."""
+    from .ops.pallas_year import pallas_classic_year, pallas_miz_year
+
+    kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
+
+    def fn(carry, par, f_years):
+        c1 = Collection({k: v[None] for k, v in carry.items()})
+
+        def body(c, frow):
+            c, seas, conv, _ = kern(c, par, frow, st, cfg, interpret=interpret)
+            if conv is None:  # classic kernel has no Newton flag
+                conv = jnp.ones(())
+            return c, (seas, conv)
+
+        c1, (seasons, convs) = lax.scan(body, c1, f_years)
+        carry = Collection({k: v[0] for k, v in c1.items()})
+        # kernel outputs are (n_years, 1, nx): drop the 1-member axis
+        squeeze = lambda coll: Collection({k: v[:, 0] for k, v in coll.items()})
+        seasonal = Seasonal(
+            winter=squeeze(seasons.winter),
+            summer=squeeze(seasons.summer),
+            avg=squeeze(seasons.avg),
+        )
+        return carry, seasonal, convs
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
 def _jitted_fused_single(model_name, st, cfg, dtype_name, interpret):
     """Single-run adapter for the whole-year Pallas kernels: lift the (nx,)
     carry to a 1-member batch, run the kernel, squeeze back — all inside ONE
@@ -277,9 +311,12 @@ def integrate(
     ``years_per_dispatch > 1`` batches that many seasonal-only years into a
     single device dispatch (an outer ``lax.scan`` over years) — the lever
     for long single runs where per-dispatch latency dominates device time
-    (remote/tunneled TPUs). Progress and checkpoints advance per chunk;
-    results match the per-year path to compiled-graph rounding (not
-    guaranteed bitwise — the chunking is part of the checkpoint key).
+    (remote/tunneled TPUs). Progress and checkpoints advance per chunk.
+    With ``engine='scan'`` results match the per-year path to compiled-graph
+    rounding only (the chunking is part of the checkpoint key); with
+    ``engine='fused'`` the scan feeds the carry through the unchanged Pallas
+    kernel, so results are bitwise chunking-invariant and checkpoints may
+    mix chunkings.
     """
     spec = get_model(model)
     if dtype is None:
@@ -337,9 +374,11 @@ def integrate(
         )
         if engine != "scan":
             ckpt_key += f"|{engine}"
-        if years_per_dispatch > 1:
-            # chunked dispatch compiles a different graph; graph-level
-            # rounding amplifies, so a resume must use the same chunking
+        if years_per_dispatch > 1 and engine != "fused":
+            # chunked XLA dispatch compiles a different graph; graph-level
+            # rounding amplifies, so a resume must use the same chunking.
+            # (The fused kernel is a black box the chunking scan feeds the
+            # carry through — bitwise chunking-invariant, key unchanged.)
             ckpt_key += f"|ypd{years_per_dispatch}"
         if resume:
             if raw_mode == "all":
@@ -400,16 +439,24 @@ def integrate(
         collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
         # multi-year chunk: batch consecutive seasonal-only years into one
         # dispatch (per-dispatch latency amortization)
-        if years_per_dispatch > 1 and not collect and fused_kernel is None:
+        if years_per_dispatch > 1 and not collect:
             last_seasonal = st.dur - (1 if raw_mode == "last" else 0)
             chunk = min(years_per_dispatch, last_seasonal - y)
             if checkpoint is not None:
                 every = max(checkpoint_every, 1)
                 chunk = min(chunk, (y // every + 1) * every - y)
             if chunk > 1:
-                years_fn = _jitted_years_fn(
-                    spec.name, st, cfg, dtype.name, debug, chunk
-                )
+                if fused_kernel is not None:
+                    from .ops.pallas_year import default_interpret
+
+                    years_fn = _jitted_fused_years(
+                        spec.name, st, cfg, dtype.name, default_interpret(),
+                        chunk,
+                    )
+                else:
+                    years_fn = _jitted_years_fn(
+                        spec.name, st, cfg, dtype.name, debug, chunk
+                    )
                 carry, seasons, convs = years_fn(carry, par_j, f_tab[y:y + chunk])
                 # keep the stacked (chunk, nx) arrays whole until the single
                 # bulk device_get: eager per-year slicing would dispatch

@@ -23,8 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax import lax
+
 from ..forcing import Forcing
-from ..integrate import default_dtype, make_year_fn
+from ..integrate import _split_chunks, default_dtype, make_year_fn
 from ..models.base import StepConfig, default_step_config, get_model
 from ..solutions import Seasonal
 from ..spacetime import SpaceTime
@@ -141,6 +143,7 @@ def ensemble_integrate(
     jit_wrapper=None,
     engine: str = "auto",
     mesh=None,
+    years_per_dispatch: int = 1,
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
@@ -163,6 +166,12 @@ def ensemble_integrate(
     chip runs the whole-year kernel on its ensemble shard (pure DP over
     ICI, zero hot-loop collectives); requires ``raw_mode='none'`` and ``K``
     divisible by the mesh size.
+
+    ``years_per_dispatch > 1`` (``engine='fused'`` only) batches that many
+    consecutive seasonal-only years into one dispatch — a ``lax.scan`` over
+    the whole-year kernel. The kernel is a black box the scan feeds the
+    carry through, so results (and checkpoints) are bitwise
+    chunking-invariant.
     """
     spec = get_model(model)
     if dtype is None:
@@ -204,6 +213,12 @@ def ensemble_integrate(
         raise ValueError(
             "mesh= requires engine='fused'; use sharded_ensemble_integrate "
             "for the vmap engine"
+        )
+    if years_per_dispatch > 1 and engine != "fused":
+        raise ValueError(
+            "years_per_dispatch > 1 requires engine='fused' (the XLA "
+            "engines dispatch per year; chunking them would change the "
+            "compiled graph and the checkpoint semantics)"
         )
     if engine == "batched" and not batched_legal:
         raise ValueError(
@@ -299,6 +314,19 @@ def ensemble_integrate(
     run_seasonal = batch(False)
     run_full = batch(True)
 
+    fused_years = None
+    if engine == "fused" and years_per_dispatch > 1:
+        # one dispatch per chunk: scan the whole-year kernel over years.
+        # jit re-specializes per chunk length, so one wrapper serves all
+        # chunk sizes (at most two arise: the steady size and a remainder).
+        @jax.jit
+        def fused_years(carry, f_years):
+            def body(c, fy):
+                c, seas, _conv, _ = run_seasonal_fused(c, None, fy)
+                return c, seas
+
+            return lax.scan(body, carry, f_years)
+
     # broadcast initial conditions to (K, nx)
     carry = spec.init_carry(init, st, dtype)
     carry = Collection(
@@ -362,9 +390,42 @@ def ensemble_integrate(
                     "raw=None (seasonal storage is complete)."
                 )
 
+    def _ckpt_write(years_done):
+        from .. import checkpoint as ckpt_mod
+
+        carry_np, accs_np = jax.device_get(
+            (carry, (winter_acc, summer_acc, avg_acc))
+        )
+        accs_np = tuple(_split_chunks(a) for a in accs_np)
+        ckpt_mod.write_checkpoint(
+            checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
+        )
+
     raw = None
-    for y in range(start_year, st.dur):
+    y = start_year
+    while y < st.dur:
         collect = raw_mode == "last" and y == st.dur - 1
+        if fused_years is not None and not collect:
+            last_seasonal = st.dur - (1 if raw_mode == "last" else 0)
+            chunk = min(years_per_dispatch, last_seasonal - y)
+            if checkpoint is not None:
+                every = max(checkpoint_every, 1)
+                chunk = min(chunk, (y // every + 1) * every - y)
+            if chunk > 1:
+                carry, seasons = fused_years(
+                    carry, jnp.asarray(f_base[y:y + chunk], dtype=dtype)
+                )
+                # keep the stacked (chunk, K, nx) arrays whole until the
+                # single bulk device_get (see integrate._split_chunks)
+                winter_acc.append(("chunk", seasons.winter))
+                summer_acc.append(("chunk", seasons.summer))
+                avg_acc.append(("chunk", seasons.avg))
+                y += chunk
+                if checkpoint is not None and (
+                    y % max(checkpoint_every, 1) == 0 or y == st.dur
+                ):
+                    _ckpt_write(y)
+                continue
         fn = run_full if collect else run_seasonal
         carry, seasonal, _conv, ys = fn(carry, par_j, fyear_of(y, collect))
         winter_acc.append(seasonal.winter)
@@ -373,25 +434,22 @@ def ensemble_integrate(
         if checkpoint is not None and (
             (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
         ):
-            from .. import checkpoint as ckpt_mod
-
-            carry_np, accs_np = jax.device_get(
-                (carry, (winter_acc, summer_acc, avg_acc))
-            )
-            ckpt_mod.write_checkpoint(
-                checkpoint, Collection(carry_np), y + 1, accs_np, ckpt_key
-            )
+            _ckpt_write(y + 1)
         if collect:
             raw = Collection(jax.device_get(dict(ys)))
             if engine in ("batched", "fused"):
                 # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
                 raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
+        y += 1
 
     # one bulk device->host fetch (per-leaf np.asarray would pay a round-trip
     # per array on remote/tunneled TPUs)
     winter_acc, summer_acc, avg_acc = jax.device_get(
         (winter_acc, summer_acc, avg_acc)
     )
+    winter_acc = _split_chunks(winter_acc)
+    summer_acc = _split_chunks(summer_acc)
+    avg_acc = _split_chunks(avg_acc)
 
     def stack(acc):
         # per-year (K, nx) -> (K, dur, nx)
