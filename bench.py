@@ -7,8 +7,8 @@ single CPU core, /root/reference/src/EnergyBalanceModel.jl:59-61) in float32
 with seasonal-only storage, times steady-state years after a compile warmup,
 and prints ONE JSON line.
 
-Environment knobs: EBM_BENCH_K (ensemble size, default 4096),
-EBM_BENCH_YEARS (timed years, default 3), EBM_BENCH_DTYPE (float32|float64),
+Environment knobs: EBM_BENCH_K (ensemble size, default 8192),
+EBM_BENCH_YEARS (timed years, default 5), EBM_BENCH_DTYPE (float32|float64),
 EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
 (fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K.
 """
@@ -38,8 +38,8 @@ def main():
     from energybalancemodel_jl_tpu.parallel import ensemble as ens
     from energybalancemodel_jl_tpu.utils.collection import Collection
 
-    K = int(os.environ.get("EBM_BENCH_K", "4096"))
-    years = int(os.environ.get("EBM_BENCH_YEARS", "3"))
+    K = int(os.environ.get("EBM_BENCH_K", "8192"))
+    years = int(os.environ.get("EBM_BENCH_YEARS", "5"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
     engine = os.environ.get("EBM_BENCH_ENGINE", "fused")

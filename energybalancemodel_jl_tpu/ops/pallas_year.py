@@ -33,6 +33,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -65,6 +66,25 @@ N_PAR = len(PAR_NAMES) + 2
 # (a sweep would make the statics per-member; use engine='vmap')
 TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
 
+# Largest padded member count per pallas_call. The whole-year kernel's
+# scoped-VMEM demand (~16.2 MB) exceeds XLA's conservative 16 MB
+# compile-time default, so the launches pass an explicit
+# vmem_limit_bytes=32 MB (validated on-chip at Kp = 16384: compiles AND
+# runs; without it, whether a launch fits is schedule-dependent — 16384
+# always failed AOT compilation, 8192 failed inside some surrounding
+# graphs). Slabs of 4096 are kept as belt-and-braces: the
+# continuously-exercised envelope, marginally faster at 16384 than one
+# giant launch, and identical checksums (members are independent, the
+# split is semantics-free).
+MAX_LAUNCH_K = 4096
+
+
+def _member_slabs(Kp: int, Kt: int):
+    """Split ``Kp`` padded members into launch slabs of at most
+    ``MAX_LAUNCH_K`` (rounded down to a whole number of ``Kt`` blocks)."""
+    slab = max((MAX_LAUNCH_K // Kt) * Kt, Kt)
+    return [(s, min(slab, Kp - s)) for s in range(0, Kp, slab)]
+
 
 def _kernel(
     f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
@@ -76,7 +96,13 @@ def _kernel(
     wint_ref,   # VMEM (10, Kt, nxp) winter snapshot
     summ_ref,   # VMEM (10, Kt, nxp) summer snapshot
     avg_ref,    # VMEM (10, Kt, nxp) annual mean
-    conv_ref,   # VMEM (Kt, 1) block convergence flag (replicated rows)
+    conv_ref,   # SMEM (1, n_blocks) convergence flags, full-array block
+                # revisited by every grid step (each writes slot
+                # [0, program_id]). One scalar per block in SMEM, NOT a
+                # per-member VMEM column: a (Kp, 1) VMEM output tiles to
+                # T(8,128) = 512 B/member and XLA places custom-call results
+                # in VMEM — 4 MB at Kp = 8192, which is exactly what used to
+                # overflow the 16 MB scoped-VMEM budget on large launches.
     *, nt: int, w0: int, s0: int, dt: float, cfg,
 ):
     from ..models import miz
@@ -134,7 +160,7 @@ def _kernel(
     for i in range(len(OUT_VARS)):
         # same `sum / nt` arithmetic as the XLA seasonal storage path
         avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
-    conv_ref[:] = jnp.full(conv_ref.shape, conv, dtype)
+    conv_ref[0, pl.program_id(0)] = conv
 
 
 def _round_up(n: int, m: int) -> int:
@@ -231,38 +257,64 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge")
     f = jnp.asarray(fyear, dtype=dtype)
 
-    nb = Kp // Kt
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     blk6 = pl.BlockSpec((6, Kt, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     blk10 = pl.BlockSpec((10, Kt, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    cout, wint, summ, avg, conv = pl.pallas_call(
-        functools.partial(
-            _kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
-        ),
-        grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((6, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((10, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((10, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((10, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((Kp, 1), dtype),
-        ),
-        in_specs=[
-            smem,
-            blk6,
-            pl.BlockSpec((nt, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kt, N_PAR), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            blk6,
-            blk10,
-            blk10,
-            blk10,
-            pl.BlockSpec((Kt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(f, cin, insol, rows, pars_p)
+
+    def launch(cin_s, pars_s):
+        ks = cin_s.shape[1]
+        return pl.pallas_call(
+            functools.partial(
+                _kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+            ),
+            grid=(ks // Kt,),
+            out_shape=(
+                jax.ShapeDtypeStruct((6, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((10, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((10, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((10, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((1, ks // Kt), dtype),
+            ),
+            in_specs=[
+                smem,
+                blk6,
+                pl.BlockSpec((nt, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kt, N_PAR), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                blk6,
+                blk10,
+                blk10,
+                blk10,
+                pl.BlockSpec((1, ks // Kt), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            # the kernel's scoped-VMEM demand (~16.2 MB with double-buffered
+            # blocks at Kt=128) sits just above XLA's conservative 16 MB
+            # compile-time default; the raised cap compiles AND runs
+            # (validated at Kp=16384) — the default is not the physical limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(f, cin_s, insol, rows, pars_s)
+
+    parts = [
+        launch(
+            lax.slice_in_dim(cin, s, s + n, axis=1),
+            lax.slice_in_dim(pars_p, s, s + n, axis=0),
+        )
+        for s, n in _member_slabs(Kp, Kt)
+    ]
+    if len(parts) == 1:
+        cout, wint, summ, avg, conv = parts[0]
+    else:
+        couts, wints, summs, avgs, convs = zip(*parts)
+        cout, wint, summ, avg = (
+            jnp.concatenate(vs, axis=-2) for vs in (couts, wints, summs, avgs)
+        )
+        conv = jnp.concatenate(convs, axis=-1)
 
     new_carry = Collection(
         {k: cout[j, :K, :nx] for j, k in enumerate(CARRY_KEYS)}
@@ -433,32 +485,50 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge")
     f = jnp.asarray(fyear, dtype=dtype)
 
-    nb = Kp // Kt
     nv = len(C_OUT_VARS)
     blk2 = pl.BlockSpec((2, Kt, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     blk3 = pl.BlockSpec((nv, Kt, nxp), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
-    cout, wint, summ, avg = pl.pallas_call(
-        functools.partial(
-            _classic_kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
-        ),
-        grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((2, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((nv, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((nv, Kp, nxp), dtype),
-            jax.ShapeDtypeStruct((nv, Kp, nxp), dtype),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            blk2,
-            pl.BlockSpec((nt + 1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Kt, len(C_PAR_NAMES) + 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(blk2, blk3, blk3, blk3),
-        interpret=interpret,
-    )(f, cin, S, rows, pars_p)
+
+    def launch(cin_s, pars_s):
+        ks = cin_s.shape[1]
+        return pl.pallas_call(
+            functools.partial(
+                _classic_kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+            ),
+            grid=(ks // Kt,),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((nv, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((nv, ks, nxp), dtype),
+                jax.ShapeDtypeStruct((nv, ks, nxp), dtype),
+            ),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                blk2,
+                pl.BlockSpec((nt + 1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kt, len(C_PAR_NAMES) + 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(blk2, blk3, blk3, blk3),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(f, cin_s, S, rows, pars_s)
+
+    parts = [
+        launch(
+            lax.slice_in_dim(cin, s, s + n, axis=1),
+            lax.slice_in_dim(pars_p, s, s + n, axis=0),
+        )
+        for s, n in _member_slabs(Kp, Kt)
+    ]
+    cout, wint, summ, avg = (
+        parts[0] if len(parts) == 1 else tuple(
+            jnp.concatenate(vs, axis=-2) for vs in zip(*parts)
+        )
+    )
 
     new_carry = Collection(
         {k: cout[j, :K, :nx] for j, k in enumerate(C_CARRY_KEYS)}

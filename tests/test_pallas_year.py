@@ -593,3 +593,79 @@ class TestFusedYearsPerDispatch:
                 ebm.zeros_init(st), n_members=8, engine="batched",
                 years_per_dispatch=2, dtype=DTYPE,
             )
+
+
+class TestMemberSlabs:
+    """Ensembles beyond MAX_LAUNCH_K padded members split into independent
+    launch slabs (XLA's compile-time scoped-VMEM accounting rejects single
+    launches past ~8192 members); the split must be invisible."""
+
+    def test_slab_schedule(self):
+        from energybalancemodel_jl_tpu.ops import pallas_year as py
+
+        assert py._member_slabs(256, 128) == [(0, 256)] or py.MAX_LAUNCH_K < 256
+        old = py.MAX_LAUNCH_K
+        try:
+            py.MAX_LAUNCH_K = 100
+            assert py._member_slabs(256, 64) == [(0, 64), (64, 64), (128, 64), (192, 64)]
+            py.MAX_LAUNCH_K = 128
+            assert py._member_slabs(384, 64) == [(0, 128), (128, 128), (256, 128)]
+        finally:
+            py.MAX_LAUNCH_K = old
+
+    def test_slab_split_matches_single_launch(self, monkeypatch):
+        from energybalancemodel_jl_tpu.ops import pallas_year as py
+
+        st, par, carry, fyear = small_setup(k=24)
+        one = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                              block_k=8, interpret=True)
+        monkeypatch.setattr(py, "MAX_LAUNCH_K", 16)
+        pallas_miz_year.clear_cache()
+        many = py.pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                                  block_k=8, interpret=True)
+        # same block size in both -> identical per-block kernel work; the
+        # tolerance absorbs interpret-mode fusion differences around the
+        # slice/concat (test_blocking_invariance calibration)
+        for k in one[0]:
+            np.testing.assert_allclose(
+                np.asarray(one[0][k]), np.asarray(many[0][k]), atol=1e-4,
+                err_msg=k,
+            )
+        for k in one[1].avg:
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(one[1].avg[k])),
+                np.nan_to_num(np.asarray(many[1].avg[k])), atol=1e-4,
+                err_msg=k,
+            )
+        assert float(np.asarray(many[2])) == float(np.asarray(one[2]))
+        pallas_miz_year.clear_cache()
+
+    def test_classic_slab_split_matches(self, monkeypatch):
+        from energybalancemodel_jl_tpu.ops import pallas_year as py
+        from energybalancemodel_jl_tpu.ops.pallas_year import pallas_classic_year
+
+        st = ebm.SpaceTime.sin(40, 1000, 1)
+        par = Collection({k: jnp.asarray(v, DTYPE)
+                          for k, v in ebm.default_parameters("Classic").items()})
+        par["D"] = jnp.asarray(np.linspace(0.55, 0.65, 24), DTYPE)
+        spec = get_model("Classic")
+        carry = spec.init_carry(
+            Collection(E=np.zeros(st.nx), Tg=np.zeros(st.nx)), st, DTYPE
+        )
+        carry = Collection(
+            {k: jnp.broadcast_to(v, (24,) + v.shape) for k, v in carry.items()}
+        )
+        fyear = jnp.zeros(st.nt, dtype=DTYPE)
+        cfg = StepConfig(solver="pcr")
+        one = pallas_classic_year(carry, par, fyear, st, cfg,
+                                  block_k=8, interpret=True)
+        monkeypatch.setattr(py, "MAX_LAUNCH_K", 16)
+        pallas_classic_year.clear_cache()
+        many = pallas_classic_year(carry, par, fyear, st, cfg,
+                                   block_k=8, interpret=True)
+        for k in one[0]:
+            np.testing.assert_allclose(
+                np.asarray(one[0][k]), np.asarray(many[0][k]), atol=1e-4,
+                err_msg=k,
+            )
+        pallas_classic_year.clear_cache()
