@@ -273,7 +273,7 @@ def integrate(
     dtype=None,
     solver: str = "pcr",
     engine: str = "scan",
-    years_per_dispatch: int = 1,
+    years_per_dispatch: Optional[int] = None,
     raw_mode: Optional[str] = None,
     progress: Optional[bool] = None,
     newton_max_iter: int = 30,
@@ -316,7 +316,8 @@ def integrate(
     rounding only (the chunking is part of the checkpoint key); with
     ``engine='fused'`` the scan feeds the carry through the unchanged Pallas
     kernel, so results are bitwise chunking-invariant and checkpoints may
-    mix chunkings.
+    mix chunkings. Default (``None``): 8 for the fused engine (bitwise-safe
+    pure win), 1 for the scan engine (keeps the parity graph unchanged).
     """
     spec = get_model(model)
     if dtype is None:
@@ -329,6 +330,8 @@ def integrate(
         raw_mode = "last" if lastonly else "all"
     if raw_mode not in ("last", "all", "none"):
         raise ValueError(f"raw_mode must be 'last'|'all'|'none', got {raw_mode!r}")
+    if years_per_dispatch is None:
+        years_per_dispatch = 8 if engine == "fused" else 1
 
     cfg = default_step_config(
         dtype.name, solver=solver, newton_max_iter=newton_max_iter,
