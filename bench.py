@@ -62,11 +62,13 @@ def main():
         )
 
         block_k = int(os.environ.get("EBM_BENCH_BLOCK_K", "128"))
+        layout = os.environ.get("EBM_BENCH_LAYOUT", "auto")
+        layout = None if layout == "auto" else layout
         interp = default_interpret()
 
         def run_year(carry, p, fy):
             return pallas_miz_year(carry, p, fy, st, cfg, block_k=block_k,
-                                   interpret=interp)
+                                   interpret=interp, layout=layout)
     elif engine == "batched":
         par_j = ens._augment_batched(par_j)
         run_year = ens._native_year_fn("MIZ", st, cfg, dtype.name, False, False)

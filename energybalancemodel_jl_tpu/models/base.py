@@ -39,6 +39,9 @@ class StepConfig:
     newton_max_step: float = None  # trust-region-style step cap (float32 safeguard)
     verbose: bool = False  # warn on Newton non-convergence (reference :61-63)
     spatial_axis: str = None  # mesh axis name when the grid axis is sharded
+    # which array axis holds the grid: -1 (default, x on lanes) or 0 (the
+    # transposed fused-year kernel: x on sublanes, members on lanes)
+    grid_axis: int = -1
 
 
 def default_step_config(dtype_name: str, solver: str = "pcr",

@@ -129,7 +129,8 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     else:
         method = "pcr" if cfg.solver == "pallas" else cfg.solver
     Tg_new = tridiag_solve(
-        stat.klo, kdi, stat.kup, rhs, method=method, axis_name=cfg.spatial_axis
+        stat.klo, kdi, stat.kup, rhs, method=method,
+        axis_name=cfg.spatial_axis, axis=cfg.grid_axis,
     )
 
     h = -E_new / par["Lf"] * negn  # diagnostic ice thickness (:65)

@@ -83,15 +83,15 @@ def step_inputs(stat, fyear):
     return dict(insol=stat.insol, f=fyear)
 
 
-def _dstencil(stat, par, v, axis_name=None):
+def _dstencil(stat, par, v, axis_name=None, axis=-1):
     """``D∇²v`` via the precomputed bands (rebuild of ``diffusion!``
     /root/reference/src/infrastructure.jl:505-527); halo exchange when the
     grid axis is sharded."""
-    vm1, vp1 = neighbor_cells(v, axis_name)
+    vm1, vp1 = neighbor_cells(v, axis_name, axis)
     return par["D"] * (stat.glo * vm1 + stat.gdi * v + stat.gup * vp1)
 
 
-def _t0_residual(T0, args, axis_name=None):
+def _t0_residual(T0, args, axis_name=None, axis=-1):
     """The ``T0eq`` residual (/root/reference/src/miz.jl:33-45) as a pure
     function of explicit arrays (differentiable in every input)."""
     insol, hp, Tw, phi, f, glo, gdi, gup, k, Tm, A, B, ai, D = args
@@ -100,17 +100,17 @@ def _t0_residual(T0, args, axis_name=None):
     r = k * (Tm - T0) / hp
     r = r + ai * insol
     r = r + ((-A) - B * (T0 - Tm))
-    Tbm1, Tbp1 = neighbor_cells(Tb, axis_name)
+    Tbm1, Tbp1 = neighbor_cells(Tb, axis_name, axis)
     r = r + D * (glo * Tbm1 + gdi * Tb + gup * Tbp1)
     r = r + f
     return r
 
 
-def _t0_bands(T0, args, axis_name=None):
+def _t0_bands(T0, args, axis_name=None, axis=-1):
     """Analytic tridiagonal Jacobian bands of :func:`_t0_residual`."""
     insol, hp, Tw, phi, f, glo, gdi, gup, k, Tm, A, B, ai, D = args
     g = phi * (T0 < Tm).astype(T0.dtype)
-    gm1, gp1 = neighbor_cells(g, axis_name)
+    gm1, gp1 = neighbor_cells(g, axis_name, axis)
     jlo = D * glo * gm1
     jdi = -k / hp - B + D * gdi * g
     jup = D * gup * gp1
@@ -129,8 +129,8 @@ def _solver_method(cfg: StepConfig) -> str:
 def _newton_root(T0_warm, args, cfg: StepConfig):
     def residual_and_bands(T0):
         return (
-            _t0_residual(T0, args, cfg.spatial_axis),
-            _t0_bands(T0, args, cfg.spatial_axis),
+            _t0_residual(T0, args, cfg.spatial_axis, cfg.grid_axis),
+            _t0_bands(T0, args, cfg.spatial_axis, cfg.grid_axis),
         )
 
     return newton_tridiag(
@@ -141,6 +141,7 @@ def _newton_root(T0_warm, args, cfg: StepConfig):
         max_iter=cfg.newton_max_iter,
         method=_solver_method(cfg),
         axis_name=cfg.spatial_axis,
+        axis=cfg.grid_axis,
         # float32 config caps the update: physical surface temperatures move
         # by at most a few K per step from a warm start, and the cap keeps
         # low-precision iterates from blowing up through the min(T0, Tm) kink
@@ -166,18 +167,21 @@ def _newton_root_bwd(cfg, residuals, cotangents):
     T0 = jnp.asarray(T0)
     args = jax.tree_util.tree_map(jnp.asarray, args)
     gT0 = cotangents[0]
-    jlo, jdi, jup = _t0_bands(T0, args, cfg.spatial_axis)
+    jlo, jdi, jup = _t0_bands(T0, args, cfg.spatial_axis, cfg.grid_axis)
     # transpose bands: (J^T)lo[i] = jup[i-1], (J^T)up[i] = jlo[i+1]; the
     # shifted-in boundary entries are multiples of the zero stencil-boundary
     # bands, so neighbor exchange (or plain rolls) are safe
-    jup_m1, _ = neighbor_cells(jup, cfg.spatial_axis)
-    _, jlo_p1 = neighbor_cells(jlo, cfg.spatial_axis)
+    jup_m1, _ = neighbor_cells(jup, cfg.spatial_axis, cfg.grid_axis)
+    _, jlo_p1 = neighbor_cells(jlo, cfg.spatial_axis, cfg.grid_axis)
     lam = tridiag_solve(
         jup_m1, jdi, jlo_p1, gT0,
         method=_solver_method(cfg),
         axis_name=cfg.spatial_axis,
+        axis=cfg.grid_axis,
     )
-    _, vjp_fn = jax.vjp(lambda a: _t0_residual(T0, a, cfg.spatial_axis), args)
+    _, vjp_fn = jax.vjp(
+        lambda a: _t0_residual(T0, a, cfg.spatial_axis, cfg.grid_axis), args
+    )
     (g_args,) = vjp_fn(-lam)
     return jnp.zeros_like(T0), g_args
 
@@ -290,7 +294,7 @@ def step(carry, xs, stat, par, cfg: StepConfig):
     # -- fluxes (:162-164) ---------------------------------------------
     Tb = Ti * phi + (1.0 - phi) * Tw  # Tbar (:21-28)
     L = par["A"] + par["B"] * (Tb - Tm)  # OLR (:99)
-    dTb = _dstencil(stat, par, Tb, cfg.spatial_axis)
+    dTb = _dstencil(stat, par, Tb, cfg.spatial_axis, cfg.grid_axis)
     Fvi = par["ai"] * insol - L + dTb + par["Fb"] + f  # vert_flux ice (:96-101)
     Fvw = stat.aw * insol - L + dTb + par["Fb"] + f  # vert_flux water
     wl = par["m1"] * (Tw - stat["Tm_pow_m2"])  # wlat (:71) — exponent binds to Tm

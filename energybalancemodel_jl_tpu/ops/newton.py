@@ -28,6 +28,7 @@ def newton_tridiag(
     method: str = "pcr",
     max_step: float = None,
     axis_name: str = None,
+    axis: int = -1,
 ):
     """Solve ``r(x) = 0`` where ``J = dr/dx`` is tridiagonal.
 
@@ -51,6 +52,9 @@ def newton_tridiag(
         Optional elementwise cap on the Newton update — trust-region-style
         safeguard against float32 blow-ups on ill-conditioned iterates
         (the reference's TrustRegion bounds its steps the same way).
+    axis:
+        System axis of the tridiagonal Jacobian (default last; the
+        transposed fused-year kernel solves along the sublane axis 0).
 
     Returns
     -------
@@ -61,7 +65,7 @@ def newton_tridiag(
         # with a sharded grid axis, the convergence decision must be
         # identical on every shard (the body contains collectives — a
         # per-shard loop count would deadlock), so reduce over the mesh
-        n = jnp.max(jnp.abs(r), axis=-1)
+        n = jnp.max(jnp.abs(r), axis=axis)
         if axis_name is not None:
             n = lax.pmax(n, axis_name)
         return n
@@ -78,7 +82,9 @@ def newton_tridiag(
         # the residual/Jacobian of the current iterate are carried from the
         # previous iteration — one evaluation per Newton step
         x, r, (lo, di, up), it, _ = state
-        delta = tridiag_solve(lo, di, up, -r, method=method, axis_name=axis_name)
+        delta = tridiag_solve(
+            lo, di, up, -r, method=method, axis_name=axis_name, axis=axis
+        )
         if max_step is not None:
             delta = jnp.clip(delta, -max_step, max_step)
         # a non-finite update (singular float32 Jacobian) freezes the lane

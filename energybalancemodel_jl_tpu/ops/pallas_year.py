@@ -167,6 +167,143 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _kernel_xk(
+    f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
+    cosv_ref,   # SMEM (nt,) cos(2 pi t) — the insolation table is separable
+                # (S0 - (S1 x) cos - S2 x^2), so instead of a VMEM-resident
+                # (nt, nx) table the kernel rebuilds each step's column from
+                # two static columns and this scalar, bitwise-identically
+    cin_ref,    # VMEM (6, nxs, Kt) carry in — GRID ON SUBLANES, MEMBERS ON
+                # LANES: nx = 180 pads to 184 sublane rows (2% waste) instead
+                # of 256 lanes (30% waste), and a 128-member block fills the
+                # lane dimension exactly
+    cols_ref,   # VMEM (nxs, 8): S0 mask, S1*x, S2*x^2, aw, glo, gdi, gup, 0
+    pars_ref,   # VMEM (N_PAR, Kt) per-member parameters (one per row)
+    cout_ref,   # VMEM (6, nxs, Kt) carry out
+    wint_ref,   # VMEM (10, nxs, Kt) winter snapshot
+    summ_ref,   # VMEM (10, nxs, Kt) summer snapshot
+    avg_ref,    # VMEM (10, nxs, Kt) annual mean
+    conv_ref,   # SMEM (1, n_blocks) convergence flags (see _kernel)
+    *, nt: int, w0: int, s0: int, dt: float, cfg,
+):
+    """Transposed twin of :func:`_kernel` — same physics (``miz.step`` with
+    ``grid_axis=0``), same storage semantics, different data layout."""
+    from ..models import miz
+
+    dtype = cin_ref.dtype
+    nxs, Kt = cin_ref.shape[1], cin_ref.shape[2]
+
+    # (1, Kt) rows broadcast against (nxs, Kt) state
+    par = Collection(
+        {n: pars_ref[i:i + 1, :] for i, n in enumerate(PAR_NAMES)}
+    )
+    stat = Collection(
+        aw=cols_ref[:, 3:4],
+        glo=cols_ref[:, 4:5],
+        gdi=cols_ref[:, 5:6],
+        gup=cols_ref[:, 6:7],
+        dt=dt,
+        Tm_pow_m2=pars_ref[_TM_POW:_TM_POW + 1, :],
+    )
+    colS0 = cols_ref[:, 0:1]
+    colSx = cols_ref[:, 1:2]
+    colS2 = cols_ref[:, 2:3]
+    carry0 = Collection({k: cin_ref[j] for j, k in enumerate(CARRY_KEYS)})
+    for i in range(len(OUT_VARS)):
+        avg_ref[i] = jnp.zeros((nxs, Kt), dtype)
+
+    def body(t, state):
+        carry, conv = state
+        c = cosv_ref[t]
+        # same products, same evaluation order as the statics table build
+        # ((S0 - (S1 x) cos) - S2 x^2) — bitwise-identical columns
+        insol = (colS0 - colSx * c) - colS2
+        f_t = f_ref[t] + pars_ref[_F_OFF:_F_OFF + 1, :]
+        xs = Collection(insol=insol, f=f_t)
+        carry, out = miz.step(carry, xs, stat, par, cfg)
+        out = dict(out)
+        conv = jnp.minimum(conv, out.pop("newton_converged"))
+        for i, k in enumerate(OUT_VARS):
+            avg_ref[i] = avg_ref[i] + out[k]
+
+        @pl.when(t == w0)
+        def _():
+            for i, k in enumerate(OUT_VARS):
+                wint_ref[i] = out[k]
+
+        @pl.when(t == s0)
+        def _():
+            for i, k in enumerate(OUT_VARS):
+                summ_ref[i] = out[k]
+
+        return carry, conv
+
+    carry, conv = jax.lax.fori_loop(
+        0, nt, body, (carry0, jnp.ones((), dtype))
+    )
+    for j, k in enumerate(CARRY_KEYS):
+        cout_ref[j] = carry[k]
+    for i in range(len(OUT_VARS)):
+        avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
+    conv_ref[0, pl.program_id(0)] = conv
+
+
+def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int) -> int:
+    """Rough transposed-layout working set: ``planes`` (nxs, block_k) ref
+    planes + step intermediates (no insolation table — it is separable)."""
+    return planes * _round_up(nx, 8) * block_k * itemsize
+
+
+def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
+                    planes: int) -> str:
+    """Pick the faster in-kernel layout when the caller doesn't.
+
+    'xk' (grid on sublanes, members on lanes) wins when the ensemble fills
+    the 128-lane blocks — measured 2.2x at nx = 180, K = 8192 (BENCH_NOTES).
+    'kx' wins for narrow ensembles/single runs (a lone member still pays all
+    ceil(nx/8) sublane tiles in 'xk') and is the fallback when 'xk' does not
+    fit (non-lane-multiple block_k, VMEM bound).
+    """
+    if layout is not None:
+        return layout
+    if block_k % 128 != 0:
+        return "kx"
+    if _xk_vmem_bytes(nx, block_k, itemsize, planes) > 28 * 2**20:
+        return "kx"
+    # per-step VPU tile counts of each layout (8x128 tiles)
+    kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
+    xk_tiles = (_round_up(nx, 8) // 8) * (_round_up(K, 128) // 128)
+    return "xk" if xk_tiles <= kx_tiles else "kx"
+
+
+def _validate_table_scalars(par, engine_hint: str = "vmap"):
+    for name in sorted(TABLE_PARAMS):
+        if name in par and jnp.ndim(par[name]) != 0:
+            raise ValueError(
+                f"the fused year kernel requires scalar parameter {name!r} "
+                "(it shapes the shared insolation/coalbedo tables); "
+                f"use engine='{engine_hint}' to sweep it"
+            )
+
+
+def _miz_par_stack(par, stat, K, dtype):
+    """(K, N_PAR) per-member parameter stack (see PAR_NAMES)."""
+    def column(v):
+        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+        if v.shape[0] != K:
+            raise ValueError(
+                f"swept parameter leaves must have shape ({K},), got {v.shape}"
+            )
+        return v
+
+    return jnp.stack(
+        [column(par[n]) for n in PAR_NAMES]
+        + [column(stat["Tm_pow_m2"]),
+           column(par.get("F", jnp.zeros((), dtype)))],
+        axis=1,
+    )
+
+
 def _check_table_fits(nt_rows: int, nxp: int, itemsize: int):
     """The whole-year kernel keeps the (nt, nx) insolation table VMEM-resident;
     past ~8 MB it cannot coexist with the block working set (16 MB/core)."""
@@ -180,10 +317,10 @@ def _check_table_fits(nt_rows: int, nxp: int, itemsize: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret")
+    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret", "layout")
 )
 def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
-                    interpret: bool = False):
+                    interpret: bool = False, layout: str = None):
     """Run one MIZ model year for a ``(K, nx)`` ensemble in fused blocks.
 
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
@@ -192,6 +329,12 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     per member) except the insolation-table parameters (``TABLE_PARAMS``),
     which must be scalar — the same sweep surface as the batch-native
     engine.
+
+    ``layout`` selects the in-kernel data layout: ``'kx'`` (members on
+    sublanes, grid on lanes) or ``'xk'`` (transposed — grid on sublanes,
+    members on lanes; ~98% lane utilization at nx = 180 vs 70%, measured
+    2.2x faster at K = 8192). Default ``None`` picks automatically: 'xk'
+    for wide ensembles when it fits, 'kx' otherwise.
     """
     import dataclasses
 
@@ -202,6 +345,14 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     # ('pallas') are meaningless here — normalize to the inline PCR solve
     if cfg.solver != "pcr":
         cfg = dataclasses.replace(cfg, solver="pcr")
+    layout = _resolve_layout(
+        layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
+        jnp.dtype(carry["Ei"].dtype).itemsize, planes=60,
+    )
+    if layout == "xk":
+        return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
+    if layout != "kx":
+        raise ValueError(f"layout must be 'kx'|'xk', got {layout!r}")
 
     dtype = carry["Ei"].dtype
     K, nx = carry["Ei"].shape
@@ -214,30 +365,10 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     s0 = st.summer_inx - 1
 
     par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
-    for name in sorted(TABLE_PARAMS):
-        if name in par and jnp.ndim(par[name]) != 0:
-            raise ValueError(
-                f"the fused year kernel requires scalar parameter {name!r} "
-                "(it shapes the shared insolation/coalbedo tables); "
-                "use engine='vmap' to sweep it"
-            )
-
+    _validate_table_scalars(par)
     stat = miz.statics(st, par, dtype)
-
-    def column(v):
-        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
-        if v.shape[0] != K:
-            raise ValueError(
-                f"swept parameter leaves must have shape ({K},), got {v.shape}"
-            )
-        return v
-
-    pars = jnp.stack(
-        [column(par[n]) for n in PAR_NAMES]
-        + [column(stat["Tm_pow_m2"]),
-           column(par.get("F", jnp.zeros((), dtype)))],
-        axis=1,
-    )  # (K, N_PAR) — parameters on lanes, members on sublanes
+    # (K, N_PAR) — parameters on lanes, members on sublanes
+    pars = _miz_par_stack(par, stat, K, dtype)
 
     def pad_kx(v, fill=0.0):
         return jnp.pad(v, ((0, Kp - K), (0, nxp - nx)), constant_values=fill)
@@ -327,6 +458,141 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     return new_carry, seasonal, jnp.min(conv), None
 
 
+def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
+    """Transposed-layout launch path of :func:`pallas_miz_year`
+    (``layout='xk'``): grid on sublanes, members on lanes."""
+    import dataclasses
+
+    from ..models import miz
+
+    cfg = dataclasses.replace(cfg, grid_axis=0)
+    dtype = carry["Ei"].dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    K, nx = carry["Ei"].shape
+    nxs = _round_up(nx, 8)  # grid rows on sublanes (f32 tile height 8)
+    if block_k % 128 != 0:
+        raise ValueError(
+            f"layout='xk' blocks members onto lanes; block_k must be a "
+            f"multiple of 128, got {block_k}"
+        )
+    # no insolation table in this layout (separable in-kernel evaluation);
+    # the working set is ~42 (nxs, Kt) ref planes + step intermediates
+    if 60 * nxs * block_k * itemsize > 28 * 2**20:
+        raise ValueError(
+            f"nx={nx} working set exceeds the transposed whole-year kernel's "
+            "VMEM budget; use layout='kx', engine='batched', or shard the "
+            "grid axis with parallel.spatial"
+        )
+    Kt = block_k
+    Kp = _round_up(K, Kt)
+    nt = st.nt
+    w0 = st.winter_inx - 1
+    s0 = st.summer_inx - 1
+
+    par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    _validate_table_scalars(par)
+    stat = miz.statics(st, par, dtype)
+    pars_t = jnp.pad(
+        _miz_par_stack(par, stat, K, dtype), ((0, Kp - K), (0, 0)), mode="edge"
+    ).T  # (N_PAR, Kp) — members on lanes
+
+    x = jnp.asarray(st.x, dtype=dtype)
+    t = jnp.asarray(st.t, dtype=dtype)
+    cosv = jnp.cos(2.0 * jnp.pi * t)  # same values the statics table uses
+
+    def pad_col(v):
+        return jnp.pad(jnp.asarray(v, dtype), (0, nxs - nx))
+
+    cols = jnp.stack(
+        [
+            pad_col(jnp.broadcast_to(par["S0"], (nx,))),  # 0 on padded rows
+            pad_col(par["S1"] * x),
+            pad_col(par["S2"] * x**2),
+            pad_col(stat.aw),
+            pad_col(stat.glo),
+            pad_col(stat.gdi),
+            pad_col(stat.gup),
+            jnp.zeros((nxs,), dtype),
+        ],
+        axis=1,
+    )  # (nxs, 8)
+
+    def pad_kx_t(v):
+        # (K, nx) -> (nxs, Kp): pad then transpose
+        return jnp.pad(jnp.asarray(v, dtype), ((0, Kp - K), (0, nxs - nx))).T
+
+    cin = jnp.stack([pad_kx_t(carry[k]) for k in CARRY_KEYS])  # (6, nxs, Kp)
+    f = jnp.asarray(fyear, dtype=dtype)
+
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk6 = pl.BlockSpec((6, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    blk10 = pl.BlockSpec((10, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    def launch(cin_s, pars_s):
+        ks = cin_s.shape[2]
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_xk, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+            ),
+            grid=(ks // Kt,),
+            out_shape=(
+                jax.ShapeDtypeStruct((6, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((10, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((10, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((10, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((1, ks // Kt), dtype),
+            ),
+            in_specs=[
+                smem,
+                smem,
+                blk6,
+                pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_PAR, Kt), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                blk6,
+                blk10,
+                blk10,
+                blk10,
+                pl.BlockSpec((1, ks // Kt), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(f, cosv, cin_s, cols, pars_s)
+
+    parts = [
+        launch(
+            lax.slice_in_dim(cin, s, s + n, axis=2),
+            lax.slice_in_dim(pars_t, s, s + n, axis=1),
+        )
+        for s, n in _member_slabs(Kp, Kt)
+    ]
+    if len(parts) == 1:
+        cout, wint, summ, avg, conv = parts[0]
+    else:
+        couts, wints, summs, avgs, convs = zip(*parts)
+        cout, wint, summ, avg = (
+            jnp.concatenate(vs, axis=-1) for vs in (couts, wints, summs, avgs)
+        )
+        conv = jnp.concatenate(convs, axis=-1)
+
+    def unpack(block, i):
+        return block[i, :nx, :K].T  # back to (K, nx)
+
+    new_carry = Collection(
+        {k: unpack(cout, j) for j, k in enumerate(CARRY_KEYS)}
+    )
+    seasonal = Seasonal(
+        winter=Collection({k: unpack(wint, i) for i, k in enumerate(OUT_VARS)}),
+        summer=Collection({k: unpack(summ, i) for i, k in enumerate(OUT_VARS)}),
+        avg=Collection({k: unpack(avg, i) for i, k in enumerate(OUT_VARS)}),
+    )
+    return new_carry, seasonal, jnp.min(conv), None
+
+
 # ---------------------------------------------------------------------------
 # Classic (WE15) fused year
 # ---------------------------------------------------------------------------
@@ -342,6 +608,29 @@ C_PAR_NAMES = (
     "cg_tau", "dt_tau", "dc", "M", "kLf", "Dcg", "ai", "A", "Fb", "cw", "Lf",
 )
 _C_F_OFF = len(C_PAR_NAMES)  # per-member constant forcing offset lane
+
+
+def _classic_par_stack(par, stat, st, K, dtype):
+    """(K, len(C_PAR_NAMES)+1) per-member parameter stack."""
+    def column(v):
+        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+        if v.shape[0] != K:
+            raise ValueError(
+                f"swept parameter leaves must have shape ({K},), got {v.shape}"
+            )
+        return v
+
+    cols = dict(
+        cg_tau=stat["cg_tau"], dt_tau=stat["dt_tau"], dc=stat["dc"],
+        M=stat["M"], kLf=stat["kLf"],
+        Dcg=st.dt * par["D"] / par["cg"],
+        ai=par["ai"], A=par["A"], Fb=par["Fb"], cw=par["cw"], Lf=par["Lf"],
+    )
+    return jnp.stack(
+        [column(cols[n]) for n in C_PAR_NAMES]
+        + [column(par.get("F", jnp.zeros((), dtype)))],
+        axis=1,
+    )
 
 
 def _classic_kernel(
@@ -408,19 +697,27 @@ def _classic_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret")
+    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret", "layout")
 )
 def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
-                        interpret: bool = False):
+                        interpret: bool = False, layout: str = None):
     """Fused whole-year WE15 integration (classic twin of
-    :func:`pallas_miz_year`, same signature and sweep surface: any
-    non-table parameter leaf may be ``(K,)``-swept)."""
+    :func:`pallas_miz_year`, same signature, sweep surface, and ``layout``
+    options: any non-table parameter leaf may be ``(K,)``-swept)."""
     import dataclasses
 
     from ..models import classic
 
     if cfg.solver != "pcr":
         cfg = dataclasses.replace(cfg, solver="pcr")
+    layout = _resolve_layout(
+        layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
+        jnp.dtype(carry["E"].dtype).itemsize, planes=30,
+    )
+    if layout == "xk":
+        return _classic_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
+    if layout != "kx":
+        raise ValueError(f"layout must be 'kx'|'xk', got {layout!r}")
 
     dtype = carry["E"].dtype
     K, nx = carry["E"].shape
@@ -433,13 +730,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     s0 = st.summer_inx - 1
 
     par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
-    for name in sorted(TABLE_PARAMS):
-        if name in par and jnp.ndim(par[name]) != 0:
-            raise ValueError(
-                f"the fused year kernel requires scalar parameter {name!r} "
-                "(it shapes the shared insolation/coalbedo tables); "
-                "use engine='vmap' to sweep it"
-            )
+    _validate_table_scalars(par)
 
     # statics with (K, 1)-augmented leaves (as in the batch-native engine):
     # its band assembly multiplies parameters against (nx,) geometry rows
@@ -447,26 +738,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         {k: (v[:, None] if jnp.ndim(v) == 1 else v) for k, v in par.items()}
     )
     stat = classic.statics(st, par_aug, dtype)
-
-    def column(v):
-        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
-        if v.shape[0] != K:
-            raise ValueError(
-                f"swept parameter leaves must have shape ({K},), got {v.shape}"
-            )
-        return v
-
-    cols = dict(
-        cg_tau=stat["cg_tau"], dt_tau=stat["dt_tau"], dc=stat["dc"],
-        M=stat["M"], kLf=stat["kLf"],
-        Dcg=st.dt * par["D"] / par["cg"],
-        ai=par["ai"], A=par["A"], Fb=par["Fb"], cw=par["cw"], Lf=par["Lf"],
-    )
-    pars = jnp.stack(
-        [column(cols[n]) for n in C_PAR_NAMES]
-        + [column(par.get("F", jnp.zeros((), dtype)))],
-        axis=1,
-    )
+    pars = _classic_par_stack(par, stat, st, K, dtype)
 
     def pad_kx(v):
         return jnp.pad(v, ((0, Kp - K), (0, nxp - nx)))
@@ -537,5 +809,206 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         winter=Collection({k: wint[i, :K, :nx] for i, k in enumerate(C_OUT_VARS)}),
         summer=Collection({k: summ[i, :K, :nx] for i, k in enumerate(C_OUT_VARS)}),
         avg=Collection({k: avg[i, :K, :nx] for i, k in enumerate(C_OUT_VARS)}),
+    )
+    return new_carry, seasonal, None, None
+
+
+def _classic_kernel_xk(
+    f_ref,      # SMEM (nt,) shared forcing
+    s1c_ref,    # SMEM (nt+1,) S1*cos(2 pi t) incl. wraparound entry — the S
+                # table is separable ((S0 - S2 x^2) - (S1 cos) x); each step
+                # rebuilds its column bitwise-identically from a static column
+                # pair and this scalar
+    cin_ref,    # VMEM (2, nxs, Kt) carry in: E, Tg — grid on sublanes
+    cols_ref,   # VMEM (nxs, 8): S0-S2x^2, x, aw, geom.lo, geom.di, geom.up, 0, 0
+    pars_ref,   # VMEM (len(C_PAR_NAMES)+1, Kt) per-member parameter rows
+    cout_ref,   # VMEM (2, nxs, Kt)
+    wint_ref,   # VMEM (3, nxs, Kt)
+    summ_ref,   # VMEM (3, nxs, Kt)
+    avg_ref,    # VMEM (3, nxs, Kt)
+    *, nt: int, w0: int, s0: int, dt: float, cfg,
+):
+    """Transposed twin of :func:`_classic_kernel` (grid on sublanes,
+    members on lanes; ``classic.step`` with ``grid_axis=0``)."""
+    from ..models import classic
+
+    dtype = cin_ref.dtype
+    nxs, Kt = cin_ref.shape[1], cin_ref.shape[2]
+
+    col = {n: pars_ref[i:i + 1, :] for i, n in enumerate(C_PAR_NAMES)}
+    colA = cols_ref[:, 0:1]   # S0 - S2 x^2 (0 on padded rows)
+    colX = cols_ref[:, 1:2]   # x (0 on padded rows)
+    aw = cols_ref[:, 2:3]
+    # implicit-matrix bands, scaled per member once (kdi = 1 + dt_tau on the
+    # decoupled padded rows — nonzero, so the padded PCR rows stay healthy)
+    klo = -col["Dcg"] * cols_ref[:, 3:4]
+    kdi = (1.0 + col["dt_tau"]) - col["Dcg"] * cols_ref[:, 4:5]
+    kup = -col["Dcg"] * cols_ref[:, 5:6]
+    stat = Collection(
+        cg_tau=col["cg_tau"], dt_tau=col["dt_tau"], dc=col["dc"],
+        M=col["M"], kLf=col["kLf"], aw=aw, klo=klo, kdi=kdi, kup=kup, dt=dt,
+    )
+    par = Collection(ai=col["ai"], A=col["A"], Fb=col["Fb"],
+                     cw=col["cw"], Lf=col["Lf"])
+    carry0 = Collection({k: cin_ref[j] for j, k in enumerate(C_CARRY_KEYS)})
+    for i in range(len(C_OUT_VARS)):
+        avg_ref[i] = jnp.zeros((nxs, Kt), dtype)
+
+    def body(t, carry):
+        xs = Collection(
+            S_i=colA - s1c_ref[t] * colX,
+            S_ip1=colA - s1c_ref[t + 1] * colX,  # wraparound column (:61)
+            f=f_ref[t] + pars_ref[_C_F_OFF:_C_F_OFF + 1, :],
+        )
+        carry, out = classic.step(carry, xs, stat, par, cfg)
+        for i, k in enumerate(C_OUT_VARS):
+            avg_ref[i] = avg_ref[i] + out[k]
+
+        @pl.when(t == w0)
+        def _():
+            for i, k in enumerate(C_OUT_VARS):
+                wint_ref[i] = out[k]
+
+        @pl.when(t == s0)
+        def _():
+            for i, k in enumerate(C_OUT_VARS):
+                summ_ref[i] = out[k]
+
+        return carry
+
+    carry = jax.lax.fori_loop(0, nt, body, carry0)
+    for j, k in enumerate(C_CARRY_KEYS):
+        cout_ref[j] = carry[k]
+    for i in range(len(C_OUT_VARS)):
+        avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
+
+
+def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
+    """Transposed-layout launch path of :func:`pallas_classic_year`
+    (``layout='xk'``)."""
+    import dataclasses
+
+    from ..models import classic
+    from ..models.classic import uniform_bands
+
+    cfg = dataclasses.replace(cfg, grid_axis=0)
+    dtype = carry["E"].dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    K, nx = carry["E"].shape
+    nxs = _round_up(nx, 8)
+    if block_k % 128 != 0:
+        raise ValueError(
+            f"layout='xk' blocks members onto lanes; block_k must be a "
+            f"multiple of 128, got {block_k}"
+        )
+    if 30 * nxs * block_k * itemsize > 28 * 2**20:
+        raise ValueError(
+            f"nx={nx} working set exceeds the transposed whole-year kernel's "
+            "VMEM budget; use layout='kx', engine='batched', or shard the "
+            "grid axis with parallel.spatial"
+        )
+    Kt = block_k
+    Kp = _round_up(K, Kt)
+    nt = st.nt
+    w0 = st.winter_inx - 1
+    s0 = st.summer_inx - 1
+
+    par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    _validate_table_scalars(par)
+    par_aug = Collection(
+        {k: (v[:, None] if jnp.ndim(v) == 1 else v) for k, v in par.items()}
+    )
+    stat = classic.statics(st, par_aug, dtype)
+    pars_t = jnp.pad(
+        _classic_par_stack(par, stat, st, K, dtype),
+        ((0, Kp - K), (0, 0)), mode="edge",
+    ).T  # (len(C_PAR_NAMES)+1, Kp)
+
+    x = jnp.asarray(st.x, dtype=dtype)
+    t = jnp.asarray(st.t, dtype=dtype)
+    cosv = jnp.cos(2.0 * jnp.pi * t)
+    s1c = par["S1"] * cosv  # same products the statics table uses
+    s1c = jnp.concatenate([s1c, s1c[:1]])  # wraparound entry (nt+1,)
+
+    def pad_col(v):
+        return jnp.pad(jnp.asarray(v, dtype), (0, nxs - nx))
+
+    geom = uniform_bands(nx)
+    cols = jnp.stack(
+        [
+            pad_col(par["S0"] - par["S2"] * x**2),
+            pad_col(x),
+            pad_col(stat.aw),
+            pad_col(geom.lo),
+            pad_col(geom.di),
+            pad_col(geom.up),
+            jnp.zeros((nxs,), dtype),
+            jnp.zeros((nxs,), dtype),
+        ],
+        axis=1,
+    )  # (nxs, 8)
+
+    def pad_kx_t(v):
+        return jnp.pad(jnp.asarray(v, dtype), ((0, Kp - K), (0, nxs - nx))).T
+
+    cin = jnp.stack([pad_kx_t(carry[k]) for k in C_CARRY_KEYS])  # (2, nxs, Kp)
+    f = jnp.asarray(fyear, dtype=dtype)
+
+    nv = len(C_OUT_VARS)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    blk2 = pl.BlockSpec((2, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    blk3 = pl.BlockSpec((nv, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    def launch(cin_s, pars_s):
+        ks = cin_s.shape[2]
+        return pl.pallas_call(
+            functools.partial(
+                _classic_kernel_xk, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+            ),
+            grid=(ks // Kt,),
+            out_shape=(
+                jax.ShapeDtypeStruct((2, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
+                jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
+            ),
+            in_specs=[
+                smem,
+                smem,
+                blk2,
+                pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((len(C_PAR_NAMES) + 1, Kt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(blk2, blk3, blk3, blk3),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=32 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(f, s1c, cin_s, cols, pars_s)
+
+    parts = [
+        launch(
+            lax.slice_in_dim(cin, s, s + n, axis=2),
+            lax.slice_in_dim(pars_t, s, s + n, axis=1),
+        )
+        for s, n in _member_slabs(Kp, Kt)
+    ]
+    cout, wint, summ, avg = (
+        parts[0] if len(parts) == 1 else tuple(
+            jnp.concatenate(vs, axis=-1) for vs in zip(*parts)
+        )
+    )
+
+    def unpack(block, i):
+        return block[i, :nx, :K].T
+
+    new_carry = Collection(
+        {k: unpack(cout, j) for j, k in enumerate(C_CARRY_KEYS)}
+    )
+    seasonal = Seasonal(
+        winter=Collection({k: unpack(wint, i) for i, k in enumerate(C_OUT_VARS)}),
+        summer=Collection({k: unpack(summ, i) for i, k in enumerate(C_OUT_VARS)}),
+        avg=Collection({k: unpack(avg, i) for i, k in enumerate(C_OUT_VARS)}),
     )
     return new_carry, seasonal, None, None

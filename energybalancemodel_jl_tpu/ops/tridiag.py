@@ -59,22 +59,28 @@ def thomas_solve(lo, di, up, b):
     return xs
 
 
-def _shift(v, s):
-    """Shift ``v`` by ``s`` along the last axis, filling with zeros.
+def _shift(v, s, axis: int = -1):
+    """Shift ``v`` by ``s`` along ``axis``, filling with zeros.
 
     ``s > 0`` moves entries toward higher indices (out[i] = v[i-s]).
     Static ``s`` — compiles to a pad+slice, no gather.
     """
-    n = v.shape[-1]
+    axis = axis % v.ndim
+    n = v.shape[axis]
     if s == 0 or abs(s) >= n:
         return jnp.zeros_like(v) if abs(s) >= n else v
-    pad = [(0, 0)] * (v.ndim - 1)
+    pad = [(0, 0)] * v.ndim
+    index = [slice(None)] * v.ndim
     if s > 0:
-        return jnp.pad(v, pad + [(s, 0)])[..., :n]
-    return jnp.pad(v, pad + [(0, -s)])[..., -n:]
+        pad[axis] = (s, 0)
+        index[axis] = slice(0, n)
+    else:
+        pad[axis] = (0, -s)
+        index[axis] = slice(-n, None)
+    return jnp.pad(v, pad)[tuple(index)]
 
 
-def pcr_solve(lo, di, up, b):
+def pcr_solve(lo, di, up, b, axis: int = -1):
     """Solve a tridiagonal system by parallel cyclic reduction.
 
     At stride ``s`` every equation eliminates its ``±s`` neighbors:
@@ -88,8 +94,10 @@ def pcr_solve(lo, di, up, b):
     Out-of-range neighbors are identity rows (di = 1, off-diagonals and rhs 0),
     realized by zero-filled shifts of the bands and a ones-filled shift of the
     diagonal. Works on ``(..., n)`` operands — already batched, no vmap needed.
+    ``axis`` selects the system axis (default last; the transposed fused-year
+    kernel solves along the sublane axis 0).
     """
-    n = b.shape[-1]
+    n = b.shape[axis]
     steps = max(1, math.ceil(math.log2(n))) if n > 1 else 0
     one = jnp.ones((), dtype=b.dtype)
 
@@ -103,8 +111,8 @@ def pcr_solve(lo, di, up, b):
 
     def shift_di(d, s):
         # out-of-range diagonal = 1 (identity row)
-        shifted = _shift(d, s)
-        mask = _shift(jnp.ones_like(d), s)
+        shifted = _shift(d, s, axis)
+        mask = _shift(jnp.ones_like(d), s, axis)
         return shifted + (one - mask)
 
     def safe_div(num, den):
@@ -119,19 +127,23 @@ def pcr_solve(lo, di, up, b):
         di_p = shift_di(di, -s)
         alpha = safe_div(-lo, di_m)
         beta = safe_div(-up, di_p)
-        b = b + alpha * _shift(b, s) + beta * _shift(b, -s)
-        di = di + alpha * _shift(up, s) + beta * _shift(lo, -s)
-        lo = alpha * _shift(lo, s)
-        up = beta * _shift(up, -s)
+        b = b + alpha * _shift(b, s, axis) + beta * _shift(b, -s, axis)
+        di = di + alpha * _shift(up, s, axis) + beta * _shift(lo, -s, axis)
+        lo = alpha * _shift(lo, s, axis)
+        up = beta * _shift(up, -s, axis)
         s *= 2
     return b / di
 
 
-def tridiag_solve(lo, di, up, b, method: str = "pcr", axis_name: str = None):
+def tridiag_solve(lo, di, up, b, method: str = "pcr", axis_name: str = None,
+                  axis: int = -1):
     """Dispatch between :func:`pcr_solve` (default, TPU fast path),
     :func:`thomas_solve` (``method='thomas'``, sequential parity path), and
     the distributed :func:`~.spike.spike_tridiag_solve` (``method='spike'``,
-    grid axis sharded over ``axis_name``)."""
+    grid axis sharded over ``axis_name``). ``axis`` (PCR only) selects the
+    system axis."""
+    if axis not in (-1, b.ndim - 1) and method != "pcr":
+        raise ValueError(f"method {method!r} only solves along the last axis")
     if method == "spike":
         from .spike import spike_tridiag_solve
 
@@ -156,5 +168,5 @@ def tridiag_solve(lo, di, up, b, method: str = "pcr", axis_name: str = None):
         up_b = jnp.broadcast_to(up, b.shape)
         return flat_solve(lo_b, di_b, up_b, b)
     if method == "pcr":
-        return pcr_solve(lo, di, up, b)
+        return pcr_solve(lo, di, up, b, axis=axis)
     raise ValueError(f"Unknown tridiagonal solver {method!r}")

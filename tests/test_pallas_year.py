@@ -669,3 +669,123 @@ class TestMemberSlabs:
                 err_msg=k,
             )
         pallas_classic_year.clear_cache()
+
+
+class TestTransposedLayout:
+    """layout='xk' (grid on sublanes, members on lanes) vs layout='kx'."""
+
+    def test_miz_xk_matches_kx(self):
+        st, par, carry, fyear = small_setup()
+        kx = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                             interpret=True, layout="kx")
+        xk = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                             interpret=True, layout="xk")
+        # the layouts differ in PCR pad width (lane vs sublane rounding), and
+        # the f32 trajectory amplifies that at the ice edge — same tolerance
+        # as the kernel-vs-XLA comparison above
+        for k in kx[0]:
+            np.testing.assert_allclose(
+                np.asarray(kx[0][k]), np.asarray(xk[0][k]), atol=0.5,
+                err_msg=k,
+            )
+        for name in ("winter", "summer", "avg"):
+            ck, cx = getattr(kx[1], name), getattr(xk[1], name)
+            for k in ck:
+                a, b = np.asarray(ck[k]), np.asarray(cx[k])
+                np.testing.assert_array_equal(
+                    np.isnan(a), np.isnan(b), err_msg=f"{name}.{k} NaN pattern"
+                )
+                np.testing.assert_allclose(
+                    np.nan_to_num(a), np.nan_to_num(b), atol=0.05,
+                    err_msg=f"{name}.{k}",
+                )
+
+    def test_miz_xk_adaptive_agrees(self):
+        """Default adaptive-Newton config: the layouts group convergence
+        identically (same 128-member blocks), so they agree to solver noise."""
+        st, par, carry, fyear = small_setup()
+        cfg = StepConfig(solver="pcr", newton_abstol=0.5, newton_reltol=1e-4,
+                         newton_max_step=50.0)
+        kx = pallas_miz_year(carry, par, fyear, st, cfg,
+                             interpret=True, layout="kx")
+        xk = pallas_miz_year(carry, par, fyear, st, cfg,
+                             interpret=True, layout="xk")
+        for k in kx[0]:
+            np.testing.assert_allclose(
+                np.asarray(kx[0][k]), np.asarray(xk[0][k]), atol=0.5,
+                err_msg=k,
+            )
+        assert float(np.asarray(xk[2])) == 1.0
+
+    def test_classic_xk_is_bitwise(self):
+        """No adaptive loop in the classic kernel: the transposed layout is
+        elementwise the same arithmetic (separable S columns are built with
+        the table's exact op order; PCR's extra padded sweeps are exact
+        no-ops), so results must be bitwise identical."""
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            pallas_classic_year,
+        )
+
+        st = ebm.SpaceTime.sin(40, 1000, 1)
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        par["D"] = jnp.asarray(np.linspace(0.55, 0.65, K), DTYPE)
+        cw = float(np.asarray(par["cw"]))
+        E0 = np.tile(np.linspace(5.0, -5.0, st.nx), (K, 1))
+        carry = Collection(
+            E=jnp.asarray(E0, DTYPE), Tg=jnp.asarray(E0 / cw, DTYPE)
+        )
+        fyear = jnp.zeros(st.nt, DTYPE)
+        kx = pallas_classic_year(carry, par, fyear, st, FIXED_CFG,
+                                 interpret=True, layout="kx")
+        xk = pallas_classic_year(carry, par, fyear, st, FIXED_CFG,
+                                 interpret=True, layout="xk")
+        for k in kx[0]:
+            np.testing.assert_array_equal(
+                np.asarray(kx[0][k]), np.asarray(xk[0][k]), err_msg=k
+            )
+        for name in ("winter", "summer", "avg"):
+            ck, cx = getattr(kx[1], name), getattr(xk[1], name)
+            for k in ck:
+                np.testing.assert_array_equal(
+                    np.asarray(ck[k]), np.asarray(cx[k]),
+                    err_msg=f"{name}.{k}",
+                )
+
+    def test_xk_scalar_broadcast_and_member_padding(self):
+        # K=8 pads to a 128-lane block; identical members must stay identical
+        st, par, carry, fyear = small_setup()
+        par = Collection(par)
+        par["D"] = jnp.asarray(0.6, DTYPE)
+        c, seas, conv, _ = pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                                           interpret=True, layout="xk")
+        assert c["Ei"].shape == (K, st.nx)
+        e = np.asarray(seas.avg["E"])
+        np.testing.assert_array_equal(e, np.broadcast_to(e[:1], e.shape))
+
+    def test_xk_rejects_non_lane_block(self):
+        st, par, carry, fyear = small_setup()
+        with pytest.raises(ValueError, match="multiple of 128"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            block_k=64, interpret=True, layout="xk")
+
+    def test_xk_vmem_guard(self):
+        st = ebm.SpaceTime.sin(2048, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        spec = get_model("MIZ")
+        carry = spec.init_carry(ebm.zeros_init(st), st, DTYPE)
+        carry = Collection(
+            {k: jnp.broadcast_to(v, (8,) + v.shape) for k, v in carry.items()}
+        )
+        with pytest.raises(ValueError, match="VMEM budget"):
+            pallas_miz_year(
+                carry,
+                Collection({k: jnp.asarray(v, DTYPE) for k, v in par.items()}),
+                jnp.zeros(st.nt, DTYPE), st, FIXED_CFG,
+                interpret=True, layout="xk",
+            )
+
+    def test_rejects_unknown_layout(self):
+        st, par, carry, fyear = small_setup()
+        with pytest.raises(ValueError, match="layout"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            interpret=True, layout="bogus")
