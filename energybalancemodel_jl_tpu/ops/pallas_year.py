@@ -62,9 +62,13 @@ _TM_POW = len(PAR_NAMES)
 # which Mosaic cannot lower; constant offsets cover the WE15 F-bifurcation)
 _F_OFF = len(PAR_NAMES) + 1
 N_PAR = len(PAR_NAMES) + 2
-# parameters shaping the shared insolation/coalbedo tables — must be scalar
-# (a sweep would make the statics per-member; use engine='vmap')
+# parameters shaping the insolation/coalbedo tables. The 'kx' layout keeps
+# the (nt, nx) table VMEM-resident and shared, so these must be scalar
+# there; the transposed 'xk' layout rebuilds the (separable) insolation
+# in-kernel from per-member parameter rows, so ALL of them are sweepable.
 TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
+# extra per-member parameter rows of the 'xk' kernels, after PAR_NAMES
+XK_TABLE_ROWS = ("S0", "S1", "S2", "a0", "a2")
 
 # Largest padded member count per pallas_call. The whole-year kernel's
 # scoped-VMEM demand (~16.2 MB) exceeds XLA's conservative 16 MB
@@ -177,8 +181,10 @@ def _kernel_xk(
                 # LANES: nx = 180 pads to 184 sublane rows (2% waste) instead
                 # of 256 lanes (30% waste), and a 128-member block fills the
                 # lane dimension exactly
-    cols_ref,   # VMEM (nxs, 8): S0 mask, S1*x, S2*x^2, aw, glo, gdi, gup, 0
-    pars_ref,   # VMEM (N_PAR, Kt) per-member parameters (one per row)
+    cols_ref,   # VMEM (nxs, 8): pad mask, x, x^2, glo, gdi, gup, 0, 0
+    pars_ref,   # VMEM (N_PAR + 5, Kt) per-member parameters (one per row;
+                # the last 5 are XK_TABLE_ROWS — swept insolation/coalbedo
+                # parameters, impossible in the 'kx' shared-table layout)
     cout_ref,   # VMEM (6, nxs, Kt) carry out
     wint_ref,   # VMEM (10, nxs, Kt) winter snapshot
     summ_ref,   # VMEM (10, nxs, Kt) summer snapshot
@@ -197,17 +203,22 @@ def _kernel_xk(
     par = Collection(
         {n: pars_ref[i:i + 1, :] for i, n in enumerate(PAR_NAMES)}
     )
+    tab = {n: pars_ref[N_PAR + i:N_PAR + i + 1, :]
+           for i, n in enumerate(XK_TABLE_ROWS)}
+    mask = cols_ref[:, 0:1]   # 1 on real grid rows, 0 on sublane padding
+    colX = cols_ref[:, 1:2]   # x
+    colX2 = cols_ref[:, 2:3]  # x^2
     stat = Collection(
-        aw=cols_ref[:, 3:4],
-        glo=cols_ref[:, 4:5],
-        gdi=cols_ref[:, 5:6],
-        gup=cols_ref[:, 6:7],
+        # coalbedo a0 - a2 x^2 (statics aw) from per-member rows — the same
+        # two-operand products/subtraction, so scalar members are bitwise
+        # identical to the host-built column; padded rows are exactly 0
+        aw=tab["a0"] * mask - tab["a2"] * colX2,
+        glo=cols_ref[:, 3:4],
+        gdi=cols_ref[:, 4:5],
+        gup=cols_ref[:, 5:6],
         dt=dt,
         Tm_pow_m2=pars_ref[_TM_POW:_TM_POW + 1, :],
     )
-    colS0 = cols_ref[:, 0:1]
-    colSx = cols_ref[:, 1:2]
-    colS2 = cols_ref[:, 2:3]
     carry0 = Collection({k: cin_ref[j] for j, k in enumerate(CARRY_KEYS)})
     for i in range(len(OUT_VARS)):
         avg_ref[i] = jnp.zeros((nxs, Kt), dtype)
@@ -217,7 +228,7 @@ def _kernel_xk(
         c = cosv_ref[t]
         # same products, same evaluation order as the statics table build
         # ((S0 - (S1 x) cos) - S2 x^2) — bitwise-identical columns
-        insol = (colS0 - colSx * c) - colS2
+        insol = (tab["S0"] * mask - (tab["S1"] * colX) * c) - tab["S2"] * colX2
         f_t = f_ref[t] + pars_ref[_F_OFF:_F_OFF + 1, :]
         xs = Collection(insol=insol, f=f_t)
         carry, out = miz.step(carry, xs, stat, par, cfg)
@@ -254,21 +265,36 @@ def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int) -> int:
     return planes * _round_up(nx, 8) * block_k * itemsize
 
 
+def _table_swept(par) -> bool:
+    return any(
+        k in TABLE_PARAMS and jnp.ndim(v) > 0 for k, v in par.items()
+    )
+
+
 def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
-                    planes: int) -> str:
+                    planes: int, table_swept: bool = False) -> str:
     """Pick the faster in-kernel layout when the caller doesn't.
 
     'xk' (grid on sublanes, members on lanes) wins when the ensemble fills
     the 128-lane blocks — measured 2.2x at nx = 180, K = 8192 (BENCH_NOTES).
     'kx' wins for narrow ensembles/single runs (a lone member still pays all
     ceil(nx/8) sublane tiles in 'xk') and is the fallback when 'xk' does not
-    fit (non-lane-multiple block_k, VMEM bound).
+    fit (non-lane-multiple block_k, VMEM bound). Swept table parameters
+    force 'xk' (only that layout can rebuild the insolation per member).
     """
     if layout is not None:
         return layout
-    if block_k % 128 != 0:
-        return "kx"
-    if _xk_vmem_bytes(nx, block_k, itemsize, planes) > 28 * 2**20:
+    fits = (block_k % 128 == 0
+            and _xk_vmem_bytes(nx, block_k, itemsize, planes) <= 28 * 2**20)
+    if table_swept:
+        if not fits:
+            raise ValueError(
+                "sweeping insolation-table parameters needs the transposed "
+                f"'xk' kernel layout, which nx={nx}/block_k={block_k} cannot "
+                "use; use engine='vmap' for this configuration"
+            )
+        return "xk"
+    if not fits:
         return "kx"
     # per-step VPU tile counts of each layout (8x128 tiles)
     kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
@@ -276,13 +302,13 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
     return "xk" if xk_tiles <= kx_tiles else "kx"
 
 
-def _validate_table_scalars(par, engine_hint: str = "vmap"):
+def _validate_table_scalars(par, hint: str = "layout='xk' or engine='vmap'"):
     for name in sorted(TABLE_PARAMS):
         if name in par and jnp.ndim(par[name]) != 0:
             raise ValueError(
-                f"the fused year kernel requires scalar parameter {name!r} "
-                "(it shapes the shared insolation/coalbedo tables); "
-                f"use engine='{engine_hint}' to sweep it"
+                f"the 'kx' fused year kernel requires scalar parameter "
+                f"{name!r} (it shapes the shared insolation/coalbedo "
+                f"tables); use {hint} to sweep it"
             )
 
 
@@ -326,15 +352,17 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
     ``(carry, par, fyear) -> (carry, Seasonal, converged, None)``.
     Any physical parameter leaf may be scalar (shared) or ``(K,)`` (swept
-    per member) except the insolation-table parameters (``TABLE_PARAMS``),
-    which must be scalar — the same sweep surface as the batch-native
-    engine.
+    per member). In the transposed ``'xk'`` layout this includes the
+    insolation-table parameters (``TABLE_PARAMS``) — the kernel rebuilds
+    the separable insolation from per-member rows; the ``'kx'`` layout
+    shares one VMEM table and requires them scalar.
 
     ``layout`` selects the in-kernel data layout: ``'kx'`` (members on
     sublanes, grid on lanes) or ``'xk'`` (transposed — grid on sublanes,
     members on lanes; ~98% lane utilization at nx = 180 vs 70%, measured
     2.2x faster at K = 8192). Default ``None`` picks automatically: 'xk'
-    for wide ensembles when it fits, 'kx' otherwise.
+    for wide ensembles (and whenever table parameters are swept) when it
+    fits, 'kx' otherwise.
     """
     import dataclasses
 
@@ -348,6 +376,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     layout = _resolve_layout(
         layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
         jnp.dtype(carry["Ei"].dtype).itemsize, planes=60,
+        table_swept=_table_swept(par),
     )
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -463,8 +492,6 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     (``layout='xk'``): grid on sublanes, members on lanes."""
     import dataclasses
 
-    from ..models import miz
-
     cfg = dataclasses.replace(cfg, grid_axis=0)
     dtype = carry["Ei"].dtype
     itemsize = jnp.dtype(dtype).itemsize
@@ -490,11 +517,27 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     s0 = st.summer_inx - 1
 
     par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
-    _validate_table_scalars(par)
-    stat = miz.statics(st, par, dtype)
-    pars_t = jnp.pad(
-        _miz_par_stack(par, stat, K, dtype), ((0, Kp - K), (0, 0)), mode="edge"
-    ).T  # (N_PAR, Kp) — members on lanes
+    # table parameters ride as per-member rows here (sweepable, unlike 'kx');
+    # statics are NOT used — the kernel rebuilds insolation/coalbedo itself
+    from .diffusion import diffusion_bands
+
+    geom = diffusion_bands(st)
+    stat_min = Collection(Tm_pow_m2=par["Tm"] ** par["m2"])
+
+    def column(v):
+        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+        if v.shape[0] != K:
+            raise ValueError(
+                f"swept parameter leaves must have shape ({K},), got {v.shape}"
+            )
+        return v
+
+    pars = jnp.concatenate(
+        [_miz_par_stack(par, stat_min, K, dtype),
+         jnp.stack([column(par[n]) for n in XK_TABLE_ROWS], axis=1)],
+        axis=1,
+    )  # (K, N_PAR + 5)
+    pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
 
     x = jnp.asarray(st.x, dtype=dtype)
     t = jnp.asarray(st.t, dtype=dtype)
@@ -505,13 +548,13 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
 
     cols = jnp.stack(
         [
-            pad_col(jnp.broadcast_to(par["S0"], (nx,))),  # 0 on padded rows
-            pad_col(par["S1"] * x),
-            pad_col(par["S2"] * x**2),
-            pad_col(stat.aw),
-            pad_col(stat.glo),
-            pad_col(stat.gdi),
-            pad_col(stat.gup),
+            pad_col(jnp.ones((nx,), dtype)),  # pad mask
+            pad_col(x),
+            pad_col(x**2),
+            pad_col(jnp.asarray(geom.lo, dtype)),
+            pad_col(jnp.asarray(geom.di, dtype)),
+            pad_col(jnp.asarray(geom.up, dtype)),
+            jnp.zeros((nxs,), dtype),
             jnp.zeros((nxs,), dtype),
         ],
         axis=1,
@@ -547,7 +590,8 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
                 smem,
                 blk6,
                 pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((N_PAR, Kt), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N_PAR + 5, Kt), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 blk6,
@@ -608,6 +652,7 @@ C_PAR_NAMES = (
     "cg_tau", "dt_tau", "dc", "M", "kLf", "Dcg", "ai", "A", "Fb", "cw", "Lf",
 )
 _C_F_OFF = len(C_PAR_NAMES)  # per-member constant forcing offset lane
+_C_XK_TAB = len(C_PAR_NAMES) + 1  # first XK_TABLE_ROWS row ('xk' layout only)
 
 
 def _classic_par_stack(par, stat, st, K, dtype):
@@ -713,6 +758,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     layout = _resolve_layout(
         layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
         jnp.dtype(carry["E"].dtype).itemsize, planes=30,
+        table_swept=_table_swept(par),
     )
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -815,13 +861,14 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
 
 def _classic_kernel_xk(
     f_ref,      # SMEM (nt,) shared forcing
-    s1c_ref,    # SMEM (nt+1,) S1*cos(2 pi t) incl. wraparound entry — the S
+    cosv_ref,   # SMEM (nt+1,) cos(2 pi t) incl. wraparound entry — the S
                 # table is separable ((S0 - S2 x^2) - (S1 cos) x); each step
-                # rebuilds its column bitwise-identically from a static column
-                # pair and this scalar
+                # rebuilds its column bitwise-identically from static columns,
+                # per-member parameter rows, and this scalar
     cin_ref,    # VMEM (2, nxs, Kt) carry in: E, Tg — grid on sublanes
-    cols_ref,   # VMEM (nxs, 8): S0-S2x^2, x, aw, geom.lo, geom.di, geom.up, 0, 0
-    pars_ref,   # VMEM (len(C_PAR_NAMES)+1, Kt) per-member parameter rows
+    cols_ref,   # VMEM (nxs, 8): pad mask, x, x^2, geom.lo, geom.di, geom.up, 0, 0
+    pars_ref,   # VMEM (len(C_PAR_NAMES)+6, Kt) per-member parameter rows
+                # (the last 5 are XK_TABLE_ROWS — sweepable here)
     cout_ref,   # VMEM (2, nxs, Kt)
     wint_ref,   # VMEM (3, nxs, Kt)
     summ_ref,   # VMEM (3, nxs, Kt)
@@ -836,9 +883,15 @@ def _classic_kernel_xk(
     nxs, Kt = cin_ref.shape[1], cin_ref.shape[2]
 
     col = {n: pars_ref[i:i + 1, :] for i, n in enumerate(C_PAR_NAMES)}
-    colA = cols_ref[:, 0:1]   # S0 - S2 x^2 (0 on padded rows)
-    colX = cols_ref[:, 1:2]   # x (0 on padded rows)
-    aw = cols_ref[:, 2:3]
+    tab = {n: pars_ref[_C_XK_TAB + i:_C_XK_TAB + i + 1, :]
+           for i, n in enumerate(XK_TABLE_ROWS)}
+    mask = cols_ref[:, 0:1]   # 1 on real grid rows, 0 on sublane padding
+    colX = cols_ref[:, 1:2]   # x
+    colX2 = cols_ref[:, 2:3]  # x^2
+    # statics rebuilt from per-member rows, same op order as the table build
+    # (bitwise-identical for scalar members; 0 on padded rows)
+    colA = tab["S0"] * mask - tab["S2"] * colX2   # S0 - S2 x^2
+    aw = tab["a0"] * mask - tab["a2"] * colX2
     # implicit-matrix bands, scaled per member once (kdi = 1 + dt_tau on the
     # decoupled padded rows — nonzero, so the padded PCR rows stay healthy)
     klo = -col["Dcg"] * cols_ref[:, 3:4]
@@ -856,8 +909,8 @@ def _classic_kernel_xk(
 
     def body(t, carry):
         xs = Collection(
-            S_i=colA - s1c_ref[t] * colX,
-            S_ip1=colA - s1c_ref[t + 1] * colX,  # wraparound column (:61)
+            S_i=colA - (tab["S1"] * cosv_ref[t]) * colX,
+            S_ip1=colA - (tab["S1"] * cosv_ref[t + 1]) * colX,  # wraparound (:61)
             f=f_ref[t] + pars_ref[_C_F_OFF:_C_F_OFF + 1, :],
         )
         carry, out = classic.step(carry, xs, stat, par, cfg)
@@ -888,7 +941,6 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     (``layout='xk'``)."""
     import dataclasses
 
-    from ..models import classic
     from ..models.classic import uniform_bands
 
     cfg = dataclasses.replace(cfg, grid_axis=0)
@@ -914,21 +966,35 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     s0 = st.summer_inx - 1
 
     par = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
-    _validate_table_scalars(par)
-    par_aug = Collection(
-        {k: (v[:, None] if jnp.ndim(v) == 1 else v) for k, v in par.items()}
+    # table parameters ride as per-member rows (sweepable); the statics
+    # scalars are recomputed here with the same ops classic.statics uses
+    stat_min = Collection(
+        cg_tau=par["cg"] / par["tau"],
+        dt_tau=st.dt / par["tau"],
+        M=par["B"] + par["cg"] / par["tau"],
+        kLf=par["k"] * par["Lf"],
     )
-    stat = classic.statics(st, par_aug, dtype)
-    pars_t = jnp.pad(
-        _classic_par_stack(par, stat, st, K, dtype),
-        ((0, Kp - K), (0, 0)), mode="edge",
-    ).T  # (len(C_PAR_NAMES)+1, Kp)
+    stat_min["dc"] = stat_min["dt_tau"] * stat_min["cg_tau"]
+
+    def column(v):
+        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+        if v.shape[0] != K:
+            raise ValueError(
+                f"swept parameter leaves must have shape ({K},), got {v.shape}"
+            )
+        return v
+
+    pars = jnp.concatenate(
+        [_classic_par_stack(par, stat_min, st, K, dtype),
+         jnp.stack([column(par[n]) for n in XK_TABLE_ROWS], axis=1)],
+        axis=1,
+    )  # (K, len(C_PAR_NAMES)+6)
+    pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
 
     x = jnp.asarray(st.x, dtype=dtype)
     t = jnp.asarray(st.t, dtype=dtype)
     cosv = jnp.cos(2.0 * jnp.pi * t)
-    s1c = par["S1"] * cosv  # same products the statics table uses
-    s1c = jnp.concatenate([s1c, s1c[:1]])  # wraparound entry (nt+1,)
+    cosv = jnp.concatenate([cosv, cosv[:1]])  # wraparound entry (nt+1,)
 
     def pad_col(v):
         return jnp.pad(jnp.asarray(v, dtype), (0, nxs - nx))
@@ -936,9 +1002,9 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     geom = uniform_bands(nx)
     cols = jnp.stack(
         [
-            pad_col(par["S0"] - par["S2"] * x**2),
+            pad_col(jnp.ones((nx,), dtype)),  # pad mask
             pad_col(x),
-            pad_col(stat.aw),
+            pad_col(x**2),
             pad_col(geom.lo),
             pad_col(geom.di),
             pad_col(geom.up),
@@ -977,7 +1043,7 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
                 smem,
                 blk2,
                 pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((len(C_PAR_NAMES) + 1, Kt), lambda i: (0, i),
+                pl.BlockSpec((len(C_PAR_NAMES) + 6, Kt), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(blk2, blk3, blk3, blk3),
@@ -985,7 +1051,7 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
             interpret=interpret,
-        )(f, s1c, cin_s, cols, pars_s)
+        )(f, cosv, cin_s, cols, pars_s)
 
     parts = [
         launch(

@@ -238,10 +238,16 @@ def ensemble_integrate(
         if jit_wrapper is not None:
             raise ValueError("engine='fused' does not compose with sharding "
                              "jit wrappers; use engine='vmap'")
-        if not batched_legal:
+        if not batched_legal and raw_mode != "none":
+            # seasonal-only years run in the 'xk' kernel, which rebuilds the
+            # separable insolation from per-member parameter rows — but raw
+            # collection falls back to the batch-native XLA year, which
+            # shares one insolation table across the batch
             raise ValueError(
-                f"engine='fused' cannot sweep table parameters "
-                f"{sorted(batched_names & TABLE_PARAMS)}; use engine='vmap'"
+                f"engine='fused' can sweep table parameters "
+                f"{sorted(batched_names & TABLE_PARAMS)} with "
+                f"raw_mode='none' only (raw collection uses the batch-native "
+                "fallback); use engine='vmap' to also collect raw states"
             )
         from ..ops.pallas_year import (
             default_interpret, pallas_classic_year, pallas_miz_year,
