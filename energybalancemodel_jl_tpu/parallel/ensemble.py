@@ -238,17 +238,10 @@ def ensemble_integrate(
         if jit_wrapper is not None:
             raise ValueError("engine='fused' does not compose with sharding "
                              "jit wrappers; use engine='vmap'")
-        if not batched_legal and raw_mode != "none":
-            # seasonal-only years run in the 'xk' kernel, which rebuilds the
-            # separable insolation from per-member parameter rows — but raw
-            # collection falls back to the batch-native XLA year, which
-            # shares one insolation table across the batch
-            raise ValueError(
-                f"engine='fused' can sweep table parameters "
-                f"{sorted(batched_names & TABLE_PARAMS)} with "
-                f"raw_mode='none' only (raw collection uses the batch-native "
-                "fallback); use engine='vmap' to also collect raw states"
-            )
+        # table-parameter sweeps run fine in the fused 'xk' kernel (it
+        # rebuilds the separable insolation from per-member rows); only the
+        # raw-collect fallback year must then use the vmap engine instead of
+        # the batch-native one (which shares one insolation table)
         from ..ops.pallas_year import (
             default_interpret, pallas_classic_year, pallas_miz_year,
         )
@@ -287,15 +280,25 @@ def ensemble_integrate(
                                    interpret=interp)
 
     if engine == "fused":
-        # seasonal years run in the fused kernel (plain (K,)-swept D); a
-        # raw-collect year falls back to the batch-native XLA path, whose
-        # carry pytree is identical
-        par_aug = _augment_batched(par_j)
-        native_full = _native_year_fn(spec.name, st, cfg, dtype.name, True, donate)
+        # seasonal years run in the fused kernel; a raw-collect year falls
+        # back to an XLA path with the identical carry pytree — batch-native
+        # normally, vmap when table parameters are swept (only the vmap
+        # engine builds per-member insolation tables outside the kernel)
+        if batched_legal:
+            par_aug = _augment_batched(par_j)
+            native_full = _native_year_fn(
+                spec.name, st, cfg, dtype.name, True, donate
+            )
+            raw_fallback = lambda c, p, fy: native_full(c, par_aug, fy)
+        else:
+            raw_fallback = _batched_year_fn(
+                spec.name, st, cfg, dtype.name, True, axes_key, donate,
+                f_batched=F_off is not None,
+            )
 
         def batch(collect_raw):
             if collect_raw:
-                return lambda c, p, fy: native_full(c, par_aug, fy)
+                return raw_fallback
             return run_seasonal_fused
     elif engine == "batched" and jit_wrapper is None:
         par_j = _augment_batched(par_j)
@@ -359,7 +362,7 @@ def ensemble_integrate(
             # parameter lane); it consumes the shared rows
             return f_base[year]
         fy = f_tab[:, year]  # (K, nt) per-member rows
-        if engine == "batched" or (engine == "fused" and collect):
+        if engine == "batched" or (engine == "fused" and collect and batched_legal):
             # batch-native scan consumes time-leading leaves
             return np.swapaxes(fy, 0, 1)[:, :, None]
         return fy
@@ -443,7 +446,7 @@ def ensemble_integrate(
             _ckpt_write(y + 1)
         if collect:
             raw = Collection(jax.device_get(dict(ys)))
-            if engine in ("batched", "fused"):
+            if engine == "batched" or (engine == "fused" and batched_legal):
                 # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
                 raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
         y += 1

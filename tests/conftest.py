@@ -21,6 +21,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    # XLA:CPU segfaults when compiling a large while_loop/shard_map graph
+    # late in the run (after ~150 prior in-process compilations; the same
+    # tests pass standalone — cumulative compiler/JIT state, not a test
+    # bug). The tests are order-independent — compile the biggest graphs
+    # first. Stable sort keeps the rest of the order unchanged.
+    items.sort(key=lambda it: 0 if "test_spatial" in it.nodeid else 1)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _reset_jax_compile_state():
+    # second half of the workaround above: drop compiled executables (and
+    # their JIT memory) between test modules so the in-process compiler
+    # state never accumulates to the crash point
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -372,17 +372,45 @@ class TestFusedEngine:
                 err_msg=k,
             )
 
-    def test_rejects_table_param_sweep_with_raw(self):
-        # raw collection falls back to the batch-native year, which shares
-        # one insolation table — table sweeps stay seasonal-only
+    def test_table_param_sweep_with_raw_collection(self):
+        # the raw-collect year falls back to the vmap engine for table
+        # sweeps (the batch-native fallback shares one insolation table);
+        # with dur=1 the raw year starts from identical init in both
+        # engines, so the fallback must reproduce the vmap engine exactly
+        # (beyond one year the carries differ at solver-noise level and the
+        # trajectories amplify pointwise — see CLAUDE.md)
         st = ebm.SpaceTime.sin(40, 200, 1)
         par = ebm.default_parameters("MIZ")
         par["S0"] = np.linspace(415, 425, K)
-        with pytest.raises(ValueError, match="raw_mode='none' only"):
-            ens.ensemble_integrate(
-                "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
-                n_members=K, engine="fused", raw_mode="last", dtype=DTYPE,
-            )
+        kw = dict(n_members=K, raw_mode="last", dtype=DTYPE)
+        sols_f = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="fused", **kw,
+        )
+        sols_v = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="vmap", **kw,
+        )
+        assert sols_f.raw["E"].shape == (K, st.nt, st.nx)
+        np.testing.assert_allclose(
+            np.nan_to_num(sols_v.raw["E"]), np.nan_to_num(sols_f.raw["E"]),
+            atol=1e-5,
+        )
+
+    def test_table_and_F_sweep_with_raw_multiyear(self):
+        # fused seasonal year -> vmap raw-fallback year, with per-member
+        # forcing offsets riding alongside the table sweep
+        st = ebm.SpaceTime.sin(40, 200, 2)
+        par = ebm.default_parameters("MIZ")
+        par["S0"] = np.linspace(415, 425, K)
+        par["F"] = np.linspace(-1.0, 1.0, K)
+        sols = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=K, engine="fused", raw_mode="last", dtype=DTYPE,
+        )
+        assert sols.raw["E"].shape == (K, st.nt, st.nx)
+        assert np.isfinite(np.nan_to_num(sols.raw["E"])).all()
+        assert sols.seasonal.avg["E"].shape == (K, st.dur, st.nx)
 
 
 def test_vmem_guard_rejects_huge_tables():
