@@ -259,10 +259,47 @@ def _kernel_xk(
     conv_ref[0, pl.program_id(0)] = conv
 
 
+# plane counts of the transposed layout's VMEM working-set estimate
+# (refs + step intermediates; no insolation table — it is separable)
+XK_PLANES_MIZ = 60
+XK_PLANES_CLASSIC = 30
+_XK_VMEM_BUDGET = 28 * 2**20
+
+
 def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int) -> int:
     """Rough transposed-layout working set: ``planes`` (nxs, block_k) ref
-    planes + step intermediates (no insolation table — it is separable)."""
+    planes + step intermediates."""
     return planes * _round_up(nx, 8) * block_k * itemsize
+
+
+def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int):
+    """None if the transposed layout can launch, else the reason it can't.
+
+    Single source of truth for the auto-resolver and the launch guards —
+    they must never drift apart (an auto-selected layout must not fail its
+    own guard)."""
+    if block_k % 128 != 0:
+        return (
+            f"layout='xk' blocks members onto lanes; block_k must be a "
+            f"multiple of 128, got {block_k}"
+        )
+    if _xk_vmem_bytes(nx, block_k, itemsize, planes) > _XK_VMEM_BUDGET:
+        return (
+            f"nx={nx} working set exceeds the transposed whole-year "
+            "kernel's VMEM budget; use layout='kx', engine='batched', or "
+            "shard the grid axis with parallel.spatial"
+        )
+    return None
+
+
+def _member_column(v, K: int):
+    """Validate/broadcast one per-member parameter leaf to shape (K,)."""
+    v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
+    if v.shape[0] != K:
+        raise ValueError(
+            f"swept parameter leaves must have shape ({K},), got {v.shape}"
+        )
+    return v
 
 
 def _table_swept(par) -> bool:
@@ -284,17 +321,21 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
     """
     if layout is not None:
         return layout
-    fits = (block_k % 128 == 0
-            and _xk_vmem_bytes(nx, block_k, itemsize, planes) <= 28 * 2**20)
+    unfit_reason = _xk_fits(nx, block_k, itemsize, planes)
     if table_swept:
-        if not fits:
+        if unfit_reason is not None:
+            hint = (
+                "leave block_k at its default (128)"
+                if block_k % 128 != 0
+                else "use engine='vmap' for this configuration"
+            )
             raise ValueError(
                 "sweeping insolation-table parameters needs the transposed "
-                f"'xk' kernel layout, which nx={nx}/block_k={block_k} cannot "
-                "use; use engine='vmap' for this configuration"
+                f"'xk' kernel layout, which cannot launch here "
+                f"({unfit_reason}); {hint}"
             )
         return "xk"
-    if not fits:
+    if unfit_reason is not None:
         return "kx"
     # per-step VPU tile counts of each layout (8x128 tiles)
     kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
@@ -314,18 +355,10 @@ def _validate_table_scalars(par, hint: str = "layout='xk' or engine='vmap'"):
 
 def _miz_par_stack(par, stat, K, dtype):
     """(K, N_PAR) per-member parameter stack (see PAR_NAMES)."""
-    def column(v):
-        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
-        if v.shape[0] != K:
-            raise ValueError(
-                f"swept parameter leaves must have shape ({K},), got {v.shape}"
-            )
-        return v
-
     return jnp.stack(
-        [column(par[n]) for n in PAR_NAMES]
-        + [column(stat["Tm_pow_m2"]),
-           column(par.get("F", jnp.zeros((), dtype)))],
+        [_member_column(par[n], K) for n in PAR_NAMES]
+        + [_member_column(stat["Tm_pow_m2"], K),
+           _member_column(par.get("F", jnp.zeros((), dtype)), K)],
         axis=1,
     )
 
@@ -497,19 +530,9 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     itemsize = jnp.dtype(dtype).itemsize
     K, nx = carry["Ei"].shape
     nxs = _round_up(nx, 8)  # grid rows on sublanes (f32 tile height 8)
-    if block_k % 128 != 0:
-        raise ValueError(
-            f"layout='xk' blocks members onto lanes; block_k must be a "
-            f"multiple of 128, got {block_k}"
-        )
-    # no insolation table in this layout (separable in-kernel evaluation);
-    # the working set is ~42 (nxs, Kt) ref planes + step intermediates
-    if 60 * nxs * block_k * itemsize > 28 * 2**20:
-        raise ValueError(
-            f"nx={nx} working set exceeds the transposed whole-year kernel's "
-            "VMEM budget; use layout='kx', engine='batched', or shard the "
-            "grid axis with parallel.spatial"
-        )
+    unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_MIZ)
+    if unfit is not None:
+        raise ValueError(unfit)
     Kt = block_k
     Kp = _round_up(K, Kt)
     nt = st.nt
@@ -523,18 +546,9 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
 
     geom = diffusion_bands(st)
     stat_min = Collection(Tm_pow_m2=par["Tm"] ** par["m2"])
-
-    def column(v):
-        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
-        if v.shape[0] != K:
-            raise ValueError(
-                f"swept parameter leaves must have shape ({K},), got {v.shape}"
-            )
-        return v
-
     pars = jnp.concatenate(
         [_miz_par_stack(par, stat_min, K, dtype),
-         jnp.stack([column(par[n]) for n in XK_TABLE_ROWS], axis=1)],
+         jnp.stack([_member_column(par[n], K) for n in XK_TABLE_ROWS], axis=1)],
         axis=1,
     )  # (K, N_PAR + 5)
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
@@ -657,14 +671,6 @@ _C_XK_TAB = len(C_PAR_NAMES) + 1  # first XK_TABLE_ROWS row ('xk' layout only)
 
 def _classic_par_stack(par, stat, st, K, dtype):
     """(K, len(C_PAR_NAMES)+1) per-member parameter stack."""
-    def column(v):
-        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
-        if v.shape[0] != K:
-            raise ValueError(
-                f"swept parameter leaves must have shape ({K},), got {v.shape}"
-            )
-        return v
-
     cols = dict(
         cg_tau=stat["cg_tau"], dt_tau=stat["dt_tau"], dc=stat["dc"],
         M=stat["M"], kLf=stat["kLf"],
@@ -672,8 +678,8 @@ def _classic_par_stack(par, stat, st, K, dtype):
         ai=par["ai"], A=par["A"], Fb=par["Fb"], cw=par["cw"], Lf=par["Lf"],
     )
     return jnp.stack(
-        [column(cols[n]) for n in C_PAR_NAMES]
-        + [column(par.get("F", jnp.zeros((), dtype)))],
+        [_member_column(cols[n], K) for n in C_PAR_NAMES]
+        + [_member_column(par.get("F", jnp.zeros((), dtype)), K)],
         axis=1,
     )
 
@@ -976,17 +982,9 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     )
     stat_min["dc"] = stat_min["dt_tau"] * stat_min["cg_tau"]
 
-    def column(v):
-        v = jnp.reshape(v, (-1,)) if jnp.ndim(v) > 0 else jnp.broadcast_to(v, (K,))
-        if v.shape[0] != K:
-            raise ValueError(
-                f"swept parameter leaves must have shape ({K},), got {v.shape}"
-            )
-        return v
-
     pars = jnp.concatenate(
         [_classic_par_stack(par, stat_min, st, K, dtype),
-         jnp.stack([column(par[n]) for n in XK_TABLE_ROWS], axis=1)],
+         jnp.stack([_member_column(par[n], K) for n in XK_TABLE_ROWS], axis=1)],
         axis=1,
     )  # (K, len(C_PAR_NAMES)+6)
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T

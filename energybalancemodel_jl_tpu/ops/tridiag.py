@@ -97,6 +97,16 @@ def pcr_solve(lo, di, up, b, axis: int = -1):
     ``axis`` selects the system axis (default last; the transposed fused-year
     kernel solves along the sublane axis 0).
     """
+    if axis not in (-1, b.ndim - 1):
+        for name, band in (("lo", lo), ("di", di), ("up", up)):
+            if jnp.ndim(band) != b.ndim:
+                # lower-rank bands broadcast against the trailing axes, which
+                # is only the system axis when axis == -1; anything else
+                # would silently couple the wrong axis
+                raise ValueError(
+                    f"pcr_solve with axis={axis} needs full-rank bands; "
+                    f"{name} has ndim {jnp.ndim(band)} vs rhs ndim {b.ndim}"
+                )
     n = b.shape[axis]
     steps = max(1, math.ceil(math.log2(n))) if n > 1 else 0
     one = jnp.ones((), dtype=b.dtype)

@@ -143,7 +143,7 @@ def ensemble_integrate(
     jit_wrapper=None,
     engine: str = "auto",
     mesh=None,
-    years_per_dispatch: int = 1,
+    years_per_dispatch: Optional[int] = None,
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
@@ -171,7 +171,8 @@ def ensemble_integrate(
     consecutive seasonal-only years into one dispatch — a ``lax.scan`` over
     the whole-year kernel. The kernel is a black box the scan feeds the
     carry through, so results (and checkpoints) are bitwise
-    chunking-invariant.
+    chunking-invariant. Default (``None``): 8 for the fused engine (a pure
+    dispatch-latency win), 1 for the XLA engines.
     """
     spec = get_model(model)
     if dtype is None:
@@ -214,6 +215,8 @@ def ensemble_integrate(
             "mesh= requires engine='fused'; use sharded_ensemble_integrate "
             "for the vmap engine"
         )
+    if years_per_dispatch is None:
+        years_per_dispatch = 8 if engine == "fused" else 1
     if years_per_dispatch > 1 and engine != "fused":
         raise ValueError(
             "years_per_dispatch > 1 requires engine='fused' (the XLA "
