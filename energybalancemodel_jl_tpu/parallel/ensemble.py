@@ -156,6 +156,11 @@ def ensemble_integrate(
     states per member. ``jit_wrapper`` lets the sharding layer substitute a
     ``jit`` with in/out shardings (see :mod:`.sharding`).
 
+    ``engine='auto'`` (default) picks the fused whole-year kernel on TPU
+    (the throughput engine) unless the run needs an XLA-engine feature
+    (``solver='thomas'/'pallas'``, a sharding ``jit_wrapper``, a custom
+    model without a kernel); elsewhere it picks ``'batched'``/``'vmap'``.
+
     ``checkpoint`` names an HDF5 file written every ``checkpoint_every``
     simulated years (the full ensemble carry + per-year seasonal storage);
     ``resume=True`` continues a matching interrupted run bit-exactly from
@@ -204,7 +209,20 @@ def ensemble_integrate(
     batched_names = {k for k, v in par_j.items() if jnp.ndim(v) > 0}
     batched_legal = not (batched_names & TABLE_PARAMS)
     if engine == "auto":
-        engine = "batched" if (batched_legal and jit_wrapper is None) else "vmap"
+        # on TPU the fused whole-year kernel is the throughput engine
+        # (~5x the XLA paths, BENCH_NOTES.md) and covers every sweep; pick
+        # it whenever the run doesn't need an XLA-engine-only feature
+        # (solver choice, sharding jit wrappers, a model without a kernel).
+        # On CPU the kernels run in interpret mode (slow) — stay on XLA.
+        if (
+            jax.default_backend() == "tpu"
+            and spec.name in ("MIZ", "Classic")
+            and jit_wrapper is None
+            and solver in ("pcr", "pcr_fused")
+        ):
+            engine = "fused"
+        else:
+            engine = "batched" if (batched_legal and jit_wrapper is None) else "vmap"
     if engine not in ("vmap", "batched", "fused"):
         raise ValueError(
             f"unknown engine {engine!r}; expected 'vmap', 'batched', 'fused', "

@@ -34,16 +34,12 @@ def main(outdir="."):
     fig = ebm.plot_seasonal(sols)
     ebm.save(fig, os.path.join(outdir, "hysteresis.png"), dpi=120)
 
-    # bifurcation across diffusivity: one on-chip ensemble. On TPU the
-    # fused whole-year kernel (engine='fused') is the throughput path for
-    # D sweeps; float32 is plenty for the hysteresis statistics.
-    import jax
-
+    # bifurcation across diffusivity: one on-chip ensemble. engine='auto'
+    # picks the fused whole-year kernel on TPU; float32 is plenty for the
+    # hysteresis statistics.
     Ds = np.linspace(0.45, 0.75, 16)
-    engine = "fused" if jax.default_backend() == "tpu" else "auto"
-    dtype = "float32" if engine == "fused" else None
     ens = sweep("MIZ", st, ramp, par, {"D": Ds}, ebm.zeros_init(st),
-                engine=engine, dtype=dtype)
+                dtype="float32")
     area = np.array(
         [
             [

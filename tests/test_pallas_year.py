@@ -298,6 +298,39 @@ class TestFusedEngine:
                 err_msg=k,
             )
 
+    def test_auto_engine_prefers_fused_on_tpu(self, monkeypatch):
+        """engine='auto' resolves to the fused kernel on TPU backends (and
+        still runs here: the kernel drops to interpret mode off-TPU)."""
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        par["D"] = np.linspace(0.55, 0.65, K)
+        kw = dict(n_members=K, dtype=DTYPE)
+        explicit = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="fused", **kw,
+        )
+        import energybalancemodel_jl_tpu.ops.pallas_year as pyear
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        # the backend patch above would also flip default_interpret; keep
+        # the kernels in interpret mode (we are still on CPU)
+        monkeypatch.setattr(pyear, "default_interpret", lambda: True)
+        auto = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="auto", **kw,
+        )
+        for k in ("E", "T"):
+            np.testing.assert_array_equal(
+                np.nan_to_num(explicit.seasonal.avg[k]),
+                np.nan_to_num(auto.seasonal.avg[k]), err_msg=k,
+            )
+        # thomas solver is an XLA-engine feature: auto must not pick fused
+        sols = ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            engine="auto", solver="thomas", **kw,
+        )
+        assert np.isfinite(np.nan_to_num(sols.seasonal.avg["E"])).all()
+
     def test_rejects_model_without_kernel(self):
         from energybalancemodel_jl_tpu.models.base import (
             ModelSpec, register_model,
