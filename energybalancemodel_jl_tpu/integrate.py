@@ -272,7 +272,7 @@ def integrate(
     verbose: bool = False,
     dtype=None,
     solver: str = "pcr",
-    engine: str = "scan",
+    engine: str = "auto",
     years_per_dispatch: Optional[int] = None,
     raw_mode: Optional[str] = None,
     progress: Optional[bool] = None,
@@ -305,8 +305,11 @@ def integrate(
     Pallas kernel (:mod:`.ops.pallas_year`) — the TPU fast path for long
     single runs; raw-collected years fall back to the scan. Requires
     ``debug=None`` and scalar parameters outside the model's sweep surface;
-    ``engine='scan'`` (default) is the jitted ``lax.scan`` path and the
-    float64 parity configuration.
+    ``engine='scan'`` is the jitted ``lax.scan`` path and the float64
+    parity configuration. ``'auto'`` (default) picks ``'fused'`` on a TPU
+    backend for float32 runs without a ``debug`` hook (and a PCR-family
+    solver), ``'scan'`` everywhere else — in particular, the float64
+    parity config always gets the scan graph.
 
     ``years_per_dispatch > 1`` batches that many seasonal-only years into a
     single device dispatch (an outer ``lax.scan`` over years) — the lever
@@ -330,6 +333,20 @@ def integrate(
         raw_mode = "last" if lastonly else "all"
     if raw_mode not in ("last", "all", "none"):
         raise ValueError(f"raw_mode must be 'last'|'all'|'none', got {raw_mode!r}")
+    if engine == "auto":
+        # fused is the TPU fast path; scan is the parity graph (always used
+        # for float64 — Mosaic has no practical f64 path) and the only
+        # engine with the debug hook and non-PCR solvers
+        if (
+            jax.default_backend() == "tpu"
+            and spec.name in ("MIZ", "Classic")
+            and debug is None
+            and solver in ("pcr", "pcr_fused")
+            and dtype != jnp.float64
+        ):
+            engine = "fused"
+        else:
+            engine = "scan"
     if years_per_dispatch is None:
         years_per_dispatch = 8 if engine == "fused" else 1
 
@@ -355,7 +372,9 @@ def integrate(
             spec.name, st, cfg, dtype.name, default_interpret()
         )
     elif engine != "scan":
-        raise ValueError(f"unknown engine {engine!r}; expected 'scan' or 'fused'")
+        raise ValueError(
+            f"unknown engine {engine!r}; expected 'auto', 'scan' or 'fused'"
+        )
 
     year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug)
     year_full = _jitted_year_fn(spec.name, st, cfg, dtype.name, True, debug)

@@ -147,6 +147,7 @@ def ensemble_integrate(
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 1,
     resume: bool = False,
+    progress: Optional[bool] = None,
 ) -> EnsembleSolutions:
     """Integrate an ensemble of independent runs in one vmapped scan.
 
@@ -155,6 +156,9 @@ def ensemble_integrate(
     shared. ``raw_mode='last'`` additionally collects the final year's raw
     states per member. ``jit_wrapper`` lets the sharding layer substitute a
     ``jit`` with in/out shardings (see :mod:`.sharding`).
+
+    ``progress`` shows a per-year progress bar (reference-style, as in
+    :func:`~energybalancemodel_jl_tpu.integrate`); default on.
 
     ``engine='auto'`` (default) picks the fused whole-year kernel on TPU
     (the throughput engine) unless the run needs an XLA-engine feature
@@ -180,6 +184,13 @@ def ensemble_integrate(
     dispatch-latency win), 1 for the XLA engines.
     """
     spec = get_model(model)
+    if raw_mode not in ("none", "last"):
+        # 'all' would materialize K full trajectories (the single-run
+        # semantics don't scale to ensembles) — reject rather than silently
+        # behaving like 'none'
+        raise ValueError(
+            f"ensemble raw_mode must be 'none'|'last', got {raw_mode!r}"
+        )
     if dtype is None:
         dtype = default_dtype()
     dtype = jnp.dtype(dtype)
@@ -431,6 +442,16 @@ def ensemble_integrate(
             checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
         )
 
+    from ..utils.progress import Progress
+
+    prog = Progress(
+        st.dur,
+        "Integrating ensemble",
+        infofeed=lambda yy: f"year {int(yy)}/{st.dur}, {int(K)} members",
+    ) if (progress or progress is None) else None
+    if prog is not None and start_year:
+        prog.update(start_year, feedargs=(start_year,))
+
     raw = None
     y = start_year
     while y < st.dur:
@@ -451,6 +472,8 @@ def ensemble_integrate(
                 summer_acc.append(("chunk", seasons.summer))
                 avg_acc.append(("chunk", seasons.avg))
                 y += chunk
+                if prog is not None:
+                    prog.update(y, feedargs=(y,))
                 if checkpoint is not None and (
                     y % max(checkpoint_every, 1) == 0 or y == st.dur
                 ):
@@ -471,6 +494,8 @@ def ensemble_integrate(
                 # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
                 raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
         y += 1
+        if prog is not None:
+            prog.update(y, feedargs=(y,))
 
     # one bulk device->host fetch (per-leaf np.asarray would pay a round-trip
     # per array on remote/tunneled TPUs)

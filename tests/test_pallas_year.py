@@ -485,6 +485,33 @@ class TestIntegrateFused:
         assert np.isfinite(s.seasonal.avg["E"]).all()
         assert s.raw["E"].shape == (st.nt, st.nx)
 
+    def test_auto_engine_on_tpu(self, monkeypatch):
+        """integrate's default engine='auto' resolves to fused on TPU for
+        f32 runs, and to the scan graph when a debug hook needs it."""
+        import energybalancemodel_jl_tpu.ops.pallas_year as pyear
+
+        st = ebm.SpaceTime.sin(40, 200, 2)
+        par = ebm.default_parameters("MIZ")
+        init = ebm.zeros_init(st)
+        kw = dict(progress=False, dtype=DTYPE, newton_max_iter=8,
+                  raw_mode="none")
+        explicit = ebm.integrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                                 engine="fused", **kw)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(pyear, "default_interpret", lambda: True)
+        auto = ebm.integrate("MIZ", st, ebm.Forcing(0.0), par, init, **kw)
+        np.testing.assert_array_equal(
+            np.nan_to_num(explicit.seasonal.avg["E"]),
+            np.nan_to_num(auto.seasonal.avg["E"]),
+        )
+        # a debug hook is a scan-only feature: auto must pick scan and
+        # record the diagnostic rather than raising
+        dbg = ebm.integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, init,
+            debug=lambda vars_, p: vars_["phi"].sum(), **kw,
+        )
+        assert "debug" in dbg.seasonal.avg
+
     def test_rejects_debug_hook(self):
         st = ebm.SpaceTime.sin(40, 200, 1)
         with pytest.raises(ValueError, match="debug"):
