@@ -362,6 +362,34 @@ class TestFusedEngine:
                 n_members=4, engine="bogus", dtype=DTYPE,
             )
 
+    def test_rejects_ensemble_raw_mode_all(self):
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        with pytest.raises(ValueError, match="raw_mode must be"):
+            ens.ensemble_integrate(
+                "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+                n_members=4, raw_mode="all", dtype=DTYPE,
+            )
+
+    def test_ensemble_progress_renders(self, capsys, monkeypatch):
+        import energybalancemodel_jl_tpu.utils.progress as prog_mod
+
+        rendered = []
+        real = prog_mod.Progress.update
+
+        def spy(self, current=None, feedargs=()):
+            rendered.append(current)
+            return real(self, current, feedargs)
+
+        monkeypatch.setattr(prog_mod.Progress, "update", spy)
+        st = ebm.SpaceTime.sin(40, 200, 3)
+        par = ebm.default_parameters("MIZ")
+        ens.ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=4, dtype=DTYPE,
+        )
+        assert rendered and rendered[-1] == st.dur
+
     def test_table_param_sweep_matches_vmap(self):
         """engine='fused' sweeps table parameters through the 'xk' kernel
         (seasonal storage); members must match the vmap engine."""
