@@ -59,7 +59,14 @@ def zeros_init(st, model: str = "MIZ") -> Collection:
 # IO and plotting are imported lazily-but-eagerly here; they depend only on
 # h5py/matplotlib which are part of the baked environment.
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
-from .plot import Layout, backend, plot_avg, plot_raw, plot_seasonal  # noqa: E402
+from .plot import (  # noqa: E402
+    Layout,
+    backend,
+    plot_avg,
+    plot_bifurcation,
+    plot_raw,
+    plot_seasonal,
+)
 
 __all__ = [
     "Vec",
@@ -89,6 +96,7 @@ __all__ = [
     "plot_raw",
     "plot_avg",
     "plot_seasonal",
+    "plot_bifurcation",
     "Progress",
     "update",
     "zeros_init",

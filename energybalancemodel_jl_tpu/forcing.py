@@ -112,6 +112,15 @@ class Forcing:
         return float(np.mean(self(year - 1 + st.t)))
 
     def __repr__(self):
+        """Lossless: ``base/peak/cool`` plus ``domain`` fully determine the
+        ramp (holdyrs and rates are recoverable from the breakpoint years),
+        so two different forcings can never share a repr — the checkpoint
+        config keys embed this string to refuse cross-configuration resumes
+        (reference save/overwrite-safety intent,
+        /root/reference/src/io.jl:37-52)."""
         if self.constant:
             return f"Forcing({self.base}) (constant forcing)"
-        return f"Forcing({self.base} ↗ {self.peak} ↘ {self.cool})"
+        return (
+            f"Forcing({self.base} ↗ {self.peak} ↘ {self.cool}, "
+            f"domain={self.domain})"
+        )

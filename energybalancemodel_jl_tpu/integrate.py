@@ -68,6 +68,8 @@ def make_year_fn(
     dtype_name: str,
     collect_raw: bool,
     debug: Optional[Callable] = None,
+    tick_every: int = 0,
+    tick_cb: Optional[Callable] = None,
 ):
     """Build the pure one-year scan function
     ``(carry, par, fyear) -> (carry, seasonal, converged, raw_or_None)``.
@@ -75,17 +77,31 @@ def make_year_fn(
     ``par`` is traced (ensembles vmap over it without recompiling);
     the grid, config, and debug hook are static. Cached so repeated
     ``integrate`` calls and the ensemble layer share tracings.
+
+    ``tick_every``/``tick_cb``: emit a host progress callback
+    (``jax.debug.callback``) every ``tick_every`` in-year steps — sub-year
+    progress for slow (f64 parity) runs. Part of the compiled graph, so it
+    is strictly opt-in (the default graph is unchanged; see
+    ``integrate(progress_steps=...)``).
     """
     spec = get_model(model_name)
     dtype = jnp.dtype(dtype_name)
     w0 = st.winter_inx - 1  # reference tick indices are 1-based (:573-589)
     s0 = st.summer_inx - 1
+    ticking = tick_cb is not None and tick_every > 0
 
-    def scan_step(stat, par, carry, xs):
+    def scan_step(stat, par, carry, xs, idx=None):
         carry, out = spec.step(carry, xs, stat, par, cfg)
         if debug is not None:
             out = Collection(out)
             out["debug"] = debug(out, par)
+        if ticking and idx is not None:
+            lax.cond(
+                (idx + 1) % tick_every == 0,
+                lambda i: jax.debug.callback(tick_cb, i + 1),
+                lambda i: None,
+                idx,
+            )
         return carry, out
 
     if collect_raw:
@@ -99,9 +115,17 @@ def make_year_fn(
             x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
             xs_rest = jax.tree_util.tree_map(lambda v: v[1:], xs)
             carry, out0 = scan_step(stat, par, carry, x0)
-            carry, ys_rest = lax.scan(
-                lambda c, x: scan_step(stat, par, c, x), carry, xs_rest
-            )
+            if ticking:
+                xs_rest = Collection(xs_rest)
+                xs_rest["_idx"] = jnp.arange(1, st.nt, dtype=jnp.int32)
+
+                def body(c, x):
+                    x = Collection(x)
+                    idx = x.pop("_idx")
+                    return scan_step(stat, par, c, x, idx)
+            else:
+                body = lambda c, x: scan_step(stat, par, c, x)
+            carry, ys_rest = lax.scan(body, carry, xs_rest)
             ys = Collection(
                 {
                     k: jnp.concatenate([out0[k][None], v], axis=0)
@@ -130,7 +154,7 @@ def make_year_fn(
             c, acc, wint, summ, conv = state
             x = Collection(x)
             idx = x.pop("_idx")
-            c, out = scan_step(stat, par, c, x)
+            c, out = scan_step(stat, par, c, x, idx)
             out = Collection(out)
             step_conv = out.pop("newton_converged", None)
             acc = Collection({k: acc[k] + out[k] for k in acc})
@@ -175,10 +199,14 @@ def make_year_fn(
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug):
+def _jitted_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug,
+                    tick_every=0, tick_cb=None):
     """Jitted twin of :func:`make_year_fn`, cached so repeated ``integrate``
-    calls reuse compilations."""
-    return jax.jit(make_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug))
+    calls reuse compilations. (A ``tick_cb`` closure is fresh per call, so
+    sub-year-progress runs don't share cache entries — the price of the
+    opt-in graph change.)"""
+    return jax.jit(make_year_fn(model_name, st, cfg, dtype_name, collect_raw,
+                                debug, tick_every, tick_cb))
 
 
 @functools.lru_cache(maxsize=64)
@@ -276,6 +304,7 @@ def integrate(
     years_per_dispatch: Optional[int] = None,
     raw_mode: Optional[str] = None,
     progress: Optional[bool] = None,
+    progress_steps: Optional[int] = None,
     newton_max_iter: int = 30,
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 1,
@@ -311,6 +340,15 @@ def integrate(
     solver), ``'scan'`` everywhere else — in particular, the float64
     parity config always gets the scan graph.
 
+    ``progress_steps=N`` ticks the progress bar every ``N`` in-year steps
+    from INSIDE the jitted scan (``jax.debug.callback``) — sub-year feedback
+    for slow runs (the f64 parity config spends minutes per year with
+    nothing to report otherwise; reference meter updates per step,
+    /root/reference/src/utilities.jl:266-279). Opt-in because the callback
+    is part of the compiled graph: the default graph — and therefore the
+    golden-fixture trajectory — is unchanged. Scan engine, per-year
+    dispatches only (ignored by the fused kernel and multi-year chunks).
+
     ``years_per_dispatch > 1`` batches that many seasonal-only years into a
     single device dispatch (an outer ``lax.scan`` over years) — the lever
     for long single runs where per-dispatch latency dominates device time
@@ -336,7 +374,10 @@ def integrate(
     if engine == "auto":
         # fused is the TPU fast path; scan is the parity graph (always used
         # for float64 — Mosaic has no practical f64 path) and the only
-        # engine with the debug hook and non-PCR solvers
+        # engine with the debug hook and non-PCR solvers. The VMEM fit
+        # predicate keeps auto from selecting a kernel that cannot launch
+        # at high resolution (it falls back to the scan engine instead of
+        # raising the launch guard's ValueError).
         if (
             jax.default_backend() == "tpu"
             and spec.name in ("MIZ", "Classic")
@@ -344,7 +385,9 @@ def integrate(
             and solver in ("pcr", "pcr_fused")
             and dtype != jnp.float64
         ):
-            engine = "fused"
+            from .ops.pallas_year import fused_unfit
+
+            engine = "scan" if fused_unfit(spec.name, st, 1, dtype) else "fused"
         else:
             engine = "scan"
     if years_per_dispatch is None:
@@ -376,8 +419,20 @@ def integrate(
             f"unknown engine {engine!r}; expected 'auto', 'scan' or 'fused'"
         )
 
-    year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug)
-    year_full = _jitted_year_fn(spec.name, st, cfg, dtype.name, True, debug)
+    tick_every, tick_cb, _tick_state = 0, None, {"year": 0, "prog": None}
+    if progress_steps is not None and int(progress_steps) > 0:
+        tick_every = int(progress_steps)
+
+        def tick_cb(i):
+            p = _tick_state["prog"]
+            if p is not None:
+                step = _tick_state["year"] * st.nt + int(i)
+                p.update(step, feedargs=(float(st.T[min(step, st.dur * st.nt) - 1]),))
+
+    year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug,
+                                    tick_every, tick_cb)
+    year_full = _jitted_year_fn(spec.name, st, cfg, dtype.name, True, debug,
+                                tick_every, tick_cb)
 
     f_tab = forcing.table(st)
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
@@ -437,6 +492,7 @@ def integrate(
     ) if progress else None
     if prog is not None:
         prog.update(start_year * st.nt, feedargs=(float(start_year),))
+    _tick_state["prog"] = prog
 
     profiler_cm = None
     if profile_dir is not None:
@@ -509,6 +565,7 @@ def integrate(
             carry, seasonal, converged = fused_kernel(carry, par_j, f_tab[y])
             ys = None
         else:
+            _tick_state["year"] = y
             fn = year_full if collect else year_seasonal
             carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
         winter_acc.append(seasonal.winter)

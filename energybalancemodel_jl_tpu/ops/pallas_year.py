@@ -286,10 +286,45 @@ def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int):
     if _xk_vmem_bytes(nx, block_k, itemsize, planes) > _XK_VMEM_BUDGET:
         return (
             f"nx={nx} working set exceeds the transposed whole-year "
-            "kernel's VMEM budget; use layout='kx', engine='batched', or "
+            "kernel's VMEM budget; use layout='kx', an XLA engine "
+            "(engine='scan' for single runs, 'batched' for ensembles), or "
             "shard the grid axis with parallel.spatial"
         )
     return None
+
+
+def _kx_fits(nt_rows: int, nxp: int, itemsize: int):
+    """None if the 'kx' layout's shared insolation table fits in VMEM, else
+    the reason it can't (twin of :func:`_xk_fits` for the original layout;
+    the whole-year kernel keeps the (nt, nx) table VMEM-resident — past
+    ~8 MB it cannot coexist with the block working set, 16 MB/core)."""
+    table_mb = nt_rows * nxp * itemsize / 2**20
+    if table_mb > 8.0:
+        return (
+            f"insolation table of {nt_rows}x{nxp} ({table_mb:.1f} MB) exceeds "
+            "the whole-year kernel's VMEM budget; use an XLA engine "
+            "(engine='scan' for single runs, 'batched' for ensembles) for "
+            "this resolution (or shard the grid axis with parallel.spatial)"
+        )
+    return None
+
+
+def fused_unfit(model_name: str, st, K: int, dtype, par=None,
+                block_k: int = 128):
+    """None if SOME whole-year-kernel layout can launch this configuration,
+    else the reason none can — the predicate ``engine='auto'`` resolvers use
+    to fall back to the XLA engines instead of letting a default call raise
+    a launch-guard ValueError at high resolution (advisor finding r1)."""
+    itemsize = jnp.dtype(dtype).itemsize
+    planes = XK_PLANES_MIZ if model_name == "MIZ" else XK_PLANES_CLASSIC
+    table_swept = par is not None and _table_swept(par)
+    xk_reason = _xk_fits(st.nx, block_k, itemsize, planes)
+    if table_swept:
+        return xk_reason  # only 'xk' can rebuild per-member insolation
+    kx_reason = _kx_fits(st.nt, pad_to_lanes(st.nx), itemsize)
+    if xk_reason is None or kx_reason is None:
+        return None
+    return kx_reason
 
 
 def _member_column(v, K: int):
@@ -309,7 +344,8 @@ def _table_swept(par) -> bool:
 
 
 def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
-                    planes: int, table_swept: bool = False) -> str:
+                    planes: int, table_swept: bool = False,
+                    nt: int = None) -> str:
     """Pick the faster in-kernel layout when the caller doesn't.
 
     'xk' (grid on sublanes, members on lanes) wins when the ensemble fills
@@ -317,7 +353,8 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
     'kx' wins for narrow ensembles/single runs (a lone member still pays all
     ceil(nx/8) sublane tiles in 'xk') and is the fallback when 'xk' does not
     fit (non-lane-multiple block_k, VMEM bound). Swept table parameters
-    force 'xk' (only that layout can rebuild the insolation per member).
+    force 'xk' (only that layout can rebuild the insolation per member);
+    a 'kx' table that does not fit VMEM (``nt`` given) forces 'xk'.
     """
     if layout is not None:
         return layout
@@ -337,6 +374,8 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
         return "xk"
     if unfit_reason is not None:
         return "kx"
+    if nt is not None and _kx_fits(nt, pad_to_lanes(nx), itemsize) is not None:
+        return "xk"  # only the separable-insolation layout fits this nt*nx
     # per-step VPU tile counts of each layout (8x128 tiles)
     kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
     xk_tiles = (_round_up(nx, 8) // 8) * (_round_up(K, 128) // 128)
@@ -364,15 +403,11 @@ def _miz_par_stack(par, stat, K, dtype):
 
 
 def _check_table_fits(nt_rows: int, nxp: int, itemsize: int):
-    """The whole-year kernel keeps the (nt, nx) insolation table VMEM-resident;
-    past ~8 MB it cannot coexist with the block working set (16 MB/core)."""
-    table_mb = nt_rows * nxp * itemsize / 2**20
-    if table_mb > 8.0:
-        raise ValueError(
-            f"insolation table of {nt_rows}x{nxp} ({table_mb:.1f} MB) exceeds "
-            "the whole-year kernel's VMEM budget; use engine='batched' for "
-            "this resolution (or shard the grid axis with parallel.spatial)"
-        )
+    """Launch guard for the 'kx' layout (raise-on-unfit twin of
+    :func:`_kx_fits`, the single source of truth)."""
+    reason = _kx_fits(nt_rows, nxp, itemsize)
+    if reason is not None:
+        raise ValueError(reason)
 
 
 @functools.partial(
@@ -408,8 +443,8 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         cfg = dataclasses.replace(cfg, solver="pcr")
     layout = _resolve_layout(
         layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
-        jnp.dtype(carry["Ei"].dtype).itemsize, planes=60,
-        table_swept=_table_swept(par),
+        jnp.dtype(carry["Ei"].dtype).itemsize, planes=XK_PLANES_MIZ,
+        table_swept=_table_swept(par), nt=st.nt,
     )
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -763,8 +798,8 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         cfg = dataclasses.replace(cfg, solver="pcr")
     layout = _resolve_layout(
         layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
-        jnp.dtype(carry["E"].dtype).itemsize, planes=30,
-        table_swept=_table_swept(par),
+        jnp.dtype(carry["E"].dtype).itemsize, planes=XK_PLANES_CLASSIC,
+        table_swept=_table_swept(par), nt=st.nt,
     )
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -954,17 +989,9 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     itemsize = jnp.dtype(dtype).itemsize
     K, nx = carry["E"].shape
     nxs = _round_up(nx, 8)
-    if block_k % 128 != 0:
-        raise ValueError(
-            f"layout='xk' blocks members onto lanes; block_k must be a "
-            f"multiple of 128, got {block_k}"
-        )
-    if 30 * nxs * block_k * itemsize > 28 * 2**20:
-        raise ValueError(
-            f"nx={nx} working set exceeds the transposed whole-year kernel's "
-            "VMEM budget; use layout='kx', engine='batched', or shard the "
-            "grid axis with parallel.spatial"
-        )
+    unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_CLASSIC)
+    if unfit is not None:
+        raise ValueError(unfit)
     Kt = block_k
     Kp = _round_up(K, Kt)
     nt = st.nt

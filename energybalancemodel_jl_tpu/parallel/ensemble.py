@@ -38,8 +38,9 @@ __all__ = ["EnsembleSolutions", "ensemble_integrate", "sweep", "batched_paramete
 @dataclasses.dataclass
 class EnsembleSolutions:
     """Results of an ensemble run: ``seasonal.*.VAR`` has shape
-    ``(K, dur, nx)``; ``raw.VAR`` (when collected) ``(K, nt, nx)`` for the
-    final year."""
+    ``(K, dur, nx)``; ``raw.VAR`` (when collected) is ``(K, nt, nx)`` for the
+    final year (``raw_mode='last'``) or ``(K, dur*nt, nx)`` for the whole run
+    (``raw_mode='all'``, small ensembles)."""
 
     spacetime: SpaceTime
     forcing: Forcing
@@ -52,6 +53,62 @@ class EnsembleSolutions:
         """Parameters of member ``i``."""
         return Collection(
             {k: (np.asarray(v)[i] if np.ndim(v) > 0 else v) for k, v in self.parameters.items()}
+        )
+
+    @property
+    def swept(self) -> Collection:
+        """The swept parameters only: name -> (K,) values."""
+        return Collection(
+            {k: np.asarray(v) for k, v in self.parameters.items() if np.ndim(v) > 0}
+        )
+
+    def member_solutions(self, i: int) -> "Solutions":
+        """Member ``i``'s results as a single-run :class:`Solutions` view, so
+        every single-run API (``plot_raw``/``plot_avg``/``plot_seasonal``,
+        ``save``, ``annual_mean``) works per member. Raw storage is the final
+        year when collected (``raw_mode='last'``), empty otherwise."""
+        from ..solutions import Solutions
+
+        i = int(i)
+        if not -self.n_members <= i < self.n_members:
+            raise IndexError(
+                f"member {i} out of range for ensemble of {self.n_members}"
+            )
+        st = self.spacetime
+        seasonal = Seasonal(
+            *(
+                Collection({k: np.asarray(v)[i] for k, v in coll.items()})
+                for coll in self.seasonal
+            )
+        )
+        if self.raw is not None:
+            raw = Collection({k: np.asarray(v)[i] for k, v in self.raw.items()})
+            n_steps = next(iter(raw.values())).shape[0]
+            ts = Solutions.stored_times(st, n_steps != st.dur * st.nt)
+        else:
+            raw = Collection(
+                {k: np.zeros((0, st.nx)) for k in self.seasonal.avg.keys()}
+            )
+            ts = np.zeros((0,))
+        return Solutions(
+            spacetime=st,
+            ts=ts,
+            forcing=self.forcing,
+            parameters=self.member(i),
+            initconds=Collection({}),
+            lastonly=True,
+            debug=None,
+            raw=raw,
+            seasonal=seasonal,
+        )
+
+    def __repr__(self):
+        names = ",".join(sorted(self.swept.keys())) or "none"
+        raw = "last-year raw" if self.raw is not None else "seasonal only"
+        return (
+            f"EnsembleSolutions(K={self.n_members}, "
+            f"{self.spacetime.nx}x{self.spacetime.nt}x{self.spacetime.dur}y, "
+            f"swept: {names}, {raw})"
         )
 
 
@@ -136,6 +193,7 @@ def ensemble_integrate(
     init: Collection,
     n_members: Optional[int] = None,
     raw_mode: str = "none",
+    raw_memory_limit: int = 2 * 2**30,
     dtype=None,
     solver: str = "pcr",
     newton_max_iter: int = 30,
@@ -154,8 +212,12 @@ def ensemble_integrate(
     ``par`` leaves of shape ``(K,)`` are swept across members; scalars are
     shared. ``init`` leaves of shape ``(K, nx)`` are per-member, ``(nx,)``
     shared. ``raw_mode='last'`` additionally collects the final year's raw
-    states per member. ``jit_wrapper`` lets the sharding layer substitute a
-    ``jit`` with in/out shardings (see :mod:`.sharding`).
+    states per member; ``raw_mode='all'`` collects every step of every member
+    (reference sweep semantics,
+    /root/reference/src/infrastructure.jl:352-356) — intended for small
+    ensembles, guarded by ``raw_memory_limit`` (bytes, default 2 GiB) and
+    served by the XLA engines. ``jit_wrapper`` lets the sharding layer
+    substitute a ``jit`` with in/out shardings (see :mod:`.sharding`).
 
     ``progress`` shows a per-year progress bar (reference-style, as in
     :func:`~energybalancemodel_jl_tpu.integrate`); default on.
@@ -184,12 +246,9 @@ def ensemble_integrate(
     dispatch-latency win), 1 for the XLA engines.
     """
     spec = get_model(model)
-    if raw_mode not in ("none", "last"):
-        # 'all' would materialize K full trajectories (the single-run
-        # semantics don't scale to ensembles) — reject rather than silently
-        # behaving like 'none'
+    if raw_mode not in ("none", "last", "all"):
         raise ValueError(
-            f"ensemble raw_mode must be 'none'|'last', got {raw_mode!r}"
+            f"ensemble raw_mode must be 'none'|'last'|'all', got {raw_mode!r}"
         )
     if dtype is None:
         dtype = default_dtype()
@@ -202,6 +261,21 @@ def ensemble_integrate(
         if len(sizes) != 1:
             raise ValueError("Cannot infer ensemble size; pass n_members")
         K = sizes.pop()
+    if raw_mode == "all":
+        # full per-step trajectories for every member (reference sweep
+        # semantics, /root/reference/src/infrastructure.jl:352-356) — only
+        # sane for small K; guard the host/device memory footprint up front
+        n_vars = len(spec.solution_vars)
+        est = (int(K) * st.dur * st.nt * st.nx * n_vars
+               * jnp.dtype(dtype).itemsize)
+        if est > raw_memory_limit:
+            raise ValueError(
+                f"raw_mode='all' would materialize "
+                f"K*dur*nt*nx*{n_vars} vars ≈ {est / 2**30:.2f} GiB of raw "
+                f"trajectories (limit {raw_memory_limit / 2**30:.2f} GiB); "
+                "use raw_mode='last'/'none', shrink the ensemble, or raise "
+                "raw_memory_limit"
+            )
     par_user = Collection(par)  # stored/checkpoint-keyed, incl. virtual "F"
     # virtual sweep parameter "F": a per-member constant added to the climate
     # forcing (the WE15 bifurcation axis, reference plot_seasonal studies) —
@@ -223,14 +297,23 @@ def ensemble_integrate(
         # on TPU the fused whole-year kernel is the throughput engine
         # (~5x the XLA paths, BENCH_NOTES.md) and covers every sweep; pick
         # it whenever the run doesn't need an XLA-engine-only feature
-        # (solver choice, sharding jit wrappers, a model without a kernel).
+        # (solver choice, sharding jit wrappers, a model without a kernel,
+        # float64 — the x64 parity config has no practical Mosaic path) and
+        # the kernel's VMEM fit predicates admit the configuration.
         # On CPU the kernels run in interpret mode (slow) — stay on XLA.
-        if (
+        use_fused = (
             jax.default_backend() == "tpu"
             and spec.name in ("MIZ", "Classic")
             and jit_wrapper is None
             and solver in ("pcr", "pcr_fused")
-        ):
+            and dtype != jnp.float64
+            and raw_mode != "all"  # every year collects -> pure XLA run
+        )
+        if use_fused:
+            from ..ops.pallas_year import fused_unfit
+
+            use_fused = fused_unfit(spec.name, st, int(K), dtype, par_j) is None
+        if use_fused:
             engine = "fused"
         else:
             engine = "batched" if (batched_legal and jit_wrapper is None) else "vmap"
@@ -262,6 +345,12 @@ def ensemble_integrate(
     if engine == "fused":
         # whole-year Pallas kernel (ops/pallas_year.py): the entire nt-step
         # year runs in VMEM per K-block — the throughput engine
+        if raw_mode == "all":
+            raise ValueError(
+                "engine='fused' supports raw_mode 'none'|'last' (the kernel "
+                "stores seasonal data in VMEM); raw_mode='all' runs on the "
+                "XLA engines — use engine='auto'/'batched'/'vmap'"
+            )
         if spec.name not in ("MIZ", "Classic"):
             raise ValueError(
                 f"engine='fused' has no whole-year kernel for model "
@@ -409,6 +498,11 @@ def ensemble_integrate(
             spec.name, st, forcing, par_user, dtype, solver, engine, K
         )
         if resume:
+            if raw_mode == "all":
+                raise ValueError(
+                    "resume is not supported with raw_mode='all' (per-step "
+                    "raw data of completed years is not checkpointed)"
+                )
             if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
                 c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
                     ckpt_mod.read_checkpoint(checkpoint)
@@ -452,10 +546,10 @@ def ensemble_integrate(
     if prog is not None and start_year:
         prog.update(start_year, feedargs=(start_year,))
 
-    raw = None
+    raw_years = []
     y = start_year
     while y < st.dur:
-        collect = raw_mode == "last" and y == st.dur - 1
+        collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
         if fused_years is not None and not collect:
             last_seasonal = st.dur - (1 if raw_mode == "last" else 0)
             chunk = min(years_per_dispatch, last_seasonal - y)
@@ -489,19 +583,34 @@ def ensemble_integrate(
         ):
             _ckpt_write(y + 1)
         if collect:
-            raw = Collection(jax.device_get(dict(ys)))
-            if engine == "batched" or (engine == "fused" and batched_legal):
-                # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
-                raw = Collection({k: np.swapaxes(v, 0, 1) for k, v in raw.items()})
+            raw_years.append(Collection(dict(ys)))
         y += 1
         if prog is not None:
             prog.update(y, feedargs=(y,))
 
     # one bulk device->host fetch (per-leaf np.asarray would pay a round-trip
     # per array on remote/tunneled TPUs)
-    winter_acc, summer_acc, avg_acc = jax.device_get(
-        (winter_acc, summer_acc, avg_acc)
+    winter_acc, summer_acc, avg_acc, raw_years = jax.device_get(
+        (winter_acc, summer_acc, avg_acc, raw_years)
     )
+    raw = None
+    if raw_years:
+        time_first = engine == "batched" or (engine == "fused" and batched_legal)
+        if time_first:
+            # batch-native scan stacks time first: (nt, K, nx) -> (K, nt, nx)
+            raw_years = [
+                Collection({k: np.swapaxes(v, 0, 1) for k, v in c.items()})
+                for c in raw_years
+            ]
+        if len(raw_years) == 1:
+            raw = Collection({k: np.asarray(v) for k, v in raw_years[0].items()})
+        else:  # raw_mode='all': concatenate years along the time axis
+            raw = Collection(
+                {
+                    k: np.concatenate([np.asarray(c[k]) for c in raw_years], axis=1)
+                    for k in raw_years[0].keys()
+                }
+            )
     winter_acc = _split_chunks(winter_acc)
     summer_acc = _split_chunks(summer_acc)
     avg_acc = _split_chunks(avg_acc)

@@ -11,6 +11,8 @@ the neighbor exchange and solver dispatch differ (``StepConfig.spatial_axis``).
 """
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Optional
 
 import jax
@@ -21,10 +23,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..forcing import Forcing
 from ..integrate import default_dtype
-from ..models.base import StepConfig, get_model
+from ..models.base import StepConfig, default_step_config, get_model
 from ..solutions import Seasonal, Solutions
 from ..spacetime import SpaceTime
 from ..utils.collection import Collection
+from ..utils.progress import Progress
 
 __all__ = ["spatial_integrate", "grid_mesh"]
 
@@ -145,13 +148,23 @@ def spatial_integrate(
     lastonly: bool = True,
     raw_mode: Optional[str] = None,
     dtype=None,
+    verbose: bool = False,
+    newton_max_iter: int = 30,
+    progress: Optional[bool] = None,
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> Solutions:
     """Integrate one run with the grid axis sharded over ``mesh``.
 
     Semantics match :func:`~energybalancemodel_jl_tpu.integrate` (lastonly /
-    raw storage, seasonal snapshots); parameters must be scalars (spatial
-    decomposition is for single high-resolution runs — sweep parameters with
-    the ensemble engines instead).
+    raw storage, seasonal snapshots, ``verbose`` Newton-non-convergence
+    warnings per /root/reference/src/miz.jl:61-63, progress bar, per-year
+    checkpoint/resume); parameters must be scalars (spatial decomposition is
+    for single high-resolution runs — sweep parameters with the ensemble
+    engines instead). The checkpoint key includes the mesh size: SPIKE
+    partitioning compiles a different graph per device count, so a resume
+    must use the same decomposition.
     """
     spec = get_model(model)
     if mesh is None:
@@ -163,12 +176,13 @@ def spatial_integrate(
     dtype = jnp.dtype(dtype)
     if raw_mode is None:
         raw_mode = "last" if lastonly else "all"
+    if raw_mode not in ("last", "all", "none"):
+        raise ValueError(f"raw_mode must be 'last'|'all'|'none', got {raw_mode!r}")
 
-    if dtype == jnp.float64:
-        cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9, spatial_axis=axis)
-    else:
-        cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4,
-                         newton_max_step=50.0, spatial_axis=axis)
+    cfg = default_step_config(
+        dtype.name, newton_max_iter=newton_max_iter, verbose=verbose,
+        spatial_axis=axis,
+    )
 
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
     stat = jax.jit(lambda p: spec.statics(st, p, dtype))(par_j)
@@ -181,15 +195,84 @@ def spatial_integrate(
 
     raw_chunks = []
     winter_acc, summer_acc, avg_acc = [], [], []
-    for y in range(st.dur):
+    start_year = 0
+    ckpt_key = ""
+    if checkpoint is not None:
+        from .. import checkpoint as ckpt_mod
+
+        ckpt_key = (
+            f"spatial{mesh.size}|{spec.name}|{st!r}|{forcing!r}"
+            f"|{sorted((k, float(v)) for k, v in par.items())}"
+            f"|{dtype.name}|pcr"
+        )
+        if resume:
+            if raw_mode == "all":
+                raise ValueError(
+                    "resume is not supported with raw_mode='all' (per-step "
+                    "raw data of completed years is not checkpointed)"
+                )
+            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
+                c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
+                    ckpt_mod.read_checkpoint(checkpoint)
+                )
+                winter_acc, summer_acc, avg_acc = (
+                    list(winter_acc), list(summer_acc), list(avg_acc)
+                )
+                carry = Collection(
+                    {k: jnp.asarray(v, dtype=dtype) for k, v in c_np.items()}
+                )
+            elif os.path.exists(checkpoint):
+                warnings.warn(
+                    f"Checkpoint {checkpoint} does not match this run's "
+                    "configuration; starting from init."
+                )
+            if start_year >= st.dur and raw_mode == "last":
+                warnings.warn(
+                    "Resuming an already-completed run: per-step raw data is "
+                    "not checkpointed, so the returned Solutions has empty "
+                    "raw storage (seasonal storage is complete)."
+                )
+
+    def _ckpt_write(years_done):
+        from .. import checkpoint as ckpt_mod
+
+        carry_np, accs_np = jax.device_get(
+            (carry, (winter_acc, summer_acc, avg_acc))
+        )
+        ckpt_mod.write_checkpoint(
+            checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
+        )
+
+    if progress is None:
+        progress = True
+    prog = Progress(
+        st.dur * st.nt,
+        "Integrating (spatial)",
+        infofeed=lambda t: f"t = {round(t, 2)}",
+    ) if progress else None
+    if prog is not None:
+        prog.update(start_year * st.nt, feedargs=(float(start_year),))
+
+    for y in range(start_year, st.dur):
         collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
         fn = run_full if collect else run_seasonal
-        carry, seasonal, _conv, ys = fn(carry, par_j, f_tab[y], stat)
+        carry, seasonal, conv, ys = fn(carry, par_j, f_tab[y], stat)
         winter_acc.append(seasonal.winter)
         summer_acc.append(seasonal.summer)
         avg_acc.append(seasonal.avg)
         if collect:
             raw_chunks.append(ys)
+        if verbose:
+            # the flag is a float (1.0 = converged), min-reduced over the
+            # year and the mesh — mirror integrate's reference-style warning
+            if not np.asarray(conv).all():
+                warnings.warn(f"Solving for T0 failed in year {y + 1}.")
+        if checkpoint is not None and (
+            (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
+        ):
+            _ckpt_write(y + 1)
+        if prog is not None:
+            prog.update((y + 1) * st.nt, feedargs=(float(st.T[(y + 1) * st.nt - 1]),))
 
     varnames = list(spec.solution_vars)
     # one bulk device->host fetch (see integrate.py: per-leaf np.asarray

@@ -33,6 +33,7 @@ __all__ = [
     "plot_raw",
     "plot_avg",
     "plot_seasonal",
+    "plot_bifurcation",
     "miz_layout",
     "classic_layout",
     "unsafesave",
@@ -144,6 +145,11 @@ def plot_raw(sols: Solutions, bcknd: Optional[str] = None, layout: Optional[Layo
     /root/reference/src/plot.jl:119-130)."""
     if bcknd is not None:
         backend(bcknd)
+    if len(sols.ts) == 0:
+        raise ValueError(
+            "this Solutions has no per-step raw storage (raw_mode='none'); "
+            "use plot_avg/plot_seasonal, or rerun with raw_mode='last'/'all'"
+        )
     layout = layout or _default_layout(sols)
     nrow, ncol = layout.shape
     mats = [[np.asarray(sols.raw[layout[r, c]["var"]]) for c in range(ncol)] for r in range(nrow)]
@@ -180,32 +186,13 @@ def _default_yfunc(sols: Solutions, season: str, year: int) -> float:
     return 2.0 * np.pi * np_hemispheric_mean(field, sols.spacetime.x)
 
 
-def plot_seasonal(
-    sols: Solutions,
-    bcknd: Optional[str] = None,
-    xfunc: Callable = _default_xfunc,
-    yfunc: Callable = _default_yfunc,
-    title: str = "Ice covered area",
-    xlabel: str = r"$\tilde{\mathsf{T}}$ ($^\circ$C)",
-    ylabel: str = r"$A_i$",
-):
-    """Hysteresis plot over the forcing ramp (reference
-    /root/reference/src/plot.jl:173-225). Warming-segment years are red,
-    cooling blue; seasons are line-styled (mean thick solid, winter thin
-    solid, summer dashed)."""
-    import matplotlib.pyplot as plt
-
-    if bcknd is not None:
-        backend(bcknd)
-    if sols.forcing.constant:
-        raise ValueError("plot_seasonal requires a time-varying forcing (hysteresis plot)")
+def _seasonal_loops(ax, sols, xfunc, yfunc, alpha=1.0, labeled=True,
+                    seasons=("avg", "winter", "summer")):
+    """Draw one run's hysteresis loops on ``ax`` (warming red/cooling blue,
+    seasons line-styled). Shared by the single-run and ensemble variants."""
     dur = sols.spacetime.dur
     years = np.arange(1, dur + 1)  # fixed: the reference broadcasts over scalar dur (:196)
     xdata = np.array([xfunc(sols, int(y)) for y in years])
-    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
-    ax.set_title(title)
-    ax.set_xlabel(xlabel)
-    ax.set_ylabel(ylabel)
     d = sols.forcing.domain
     segments = (
         ("Warming", range(max(d[1], 1), min(d[2], dur) + 1), "tab:red"),
@@ -215,7 +202,7 @@ def plot_seasonal(
         yrs = [y for y in yrs if 1 <= y <= dur]
         if not yrs:
             continue
-        for season in ("avg", "winter", "summer"):
+        for season in seasons:
             width = 1.0
             if season == "avg":
                 width += 2.0 if label == "Warming" else 1.0
@@ -225,10 +212,119 @@ def plot_seasonal(
                 ydata,
                 color=color,
                 linewidth=width,
+                alpha=alpha,
                 linestyle="--" if season == "summer" else "-",
-                label=f"{label} {season}" if season == "avg" else None,
+                label=f"{label} {season}" if (labeled and season == "avg") else None,
             )
+
+
+def plot_seasonal(
+    sols,
+    bcknd: Optional[str] = None,
+    xfunc: Callable = _default_xfunc,
+    yfunc: Callable = _default_yfunc,
+    title: str = "Ice covered area",
+    xlabel: str = r"$\tilde{\mathsf{T}}$ ($^\circ$C)",
+    ylabel: str = r"$A_i$",
+    members=None,
+):
+    """Hysteresis plot over the forcing ramp (reference
+    /root/reference/src/plot.jl:173-225). Warming-segment years are red,
+    cooling blue; seasons are line-styled (mean thick solid, winter thin
+    solid, summer dashed).
+
+    ``sols`` may also be an
+    :class:`~energybalancemodel_jl_tpu.parallel.EnsembleSolutions` — every
+    member's annual-mean hysteresis loop is overlaid (the reference user's
+    sequential plot_seasonal studies as one figure); ``members`` selects a
+    subset of member indices."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    if sols.forcing.constant:
+        raise ValueError("plot_seasonal requires a time-varying forcing (hysteresis plot)")
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    ax.set_title(title)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    if hasattr(sols, "n_members"):  # EnsembleSolutions
+        idx = range(sols.n_members) if members is None else members
+        idx = list(idx)
+        for j, i in enumerate(idx):
+            msol = sols.member_solutions(i)
+            _seasonal_loops(
+                ax, msol, xfunc, yfunc,
+                alpha=max(0.25, 1.5 / max(len(idx), 1)) if len(idx) > 1 else 1.0,
+                labeled=(j == 0), seasons=("avg",),
+            )
+    else:
+        _seasonal_loops(ax, sols, xfunc, yfunc)
     ax.legend()
+    return fig
+
+
+def plot_bifurcation(
+    ens,
+    param: Optional[str] = None,
+    bcknd: Optional[str] = None,
+    year: Optional[int] = None,
+    yfunc: Callable = _default_yfunc,
+    seasons=("avg", "winter", "summer"),
+    title: Optional[str] = None,
+    ylabel: str = r"$A_i$",
+):
+    """Bifurcation diagram from a :func:`~energybalancemodel_jl_tpu.parallel.sweep`
+    result: ice-covered area (``yfunc``) at 1-based ``year`` (default: the
+    final year) against the swept parameter ``param`` (inferred when exactly
+    one parameter is swept). With a ramp forcing, both the end-of-warming
+    state (year ``domain[2]``, red) and the final cooled state (blue) are
+    drawn — the hysteresis envelope across the parameter axis.
+
+    Promotes the reference's plot_seasonal-based bifurcation workflow
+    (/root/reference/src/plot.jl:173-225) to a first-class ensemble API."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    swept = ens.swept
+    if param is None:
+        if len(swept) != 1:
+            raise ValueError(
+                f"pass param=: ensemble sweeps {sorted(swept.keys()) or 'nothing'}"
+            )
+        param = next(iter(swept.keys()))
+    if param not in swept:
+        raise ValueError(f"parameter {param!r} is not swept; swept: {sorted(swept.keys())}")
+    pvals = np.asarray(swept[param], dtype=np.float64)
+    dur = ens.spacetime.dur
+    d = ens.forcing.domain
+    if year is None:
+        states = [(min(d[2], dur), "tab:red", "warmed")] if not ens.forcing.constant and 1 <= d[2] else []
+        states.append((dur, "tab:blue", "final" if states else None))
+    else:
+        if not 1 <= int(year) <= dur:
+            raise ValueError(f"year must be in 1..{dur}, got {year}")
+        states = [(int(year), "tab:blue", f"year {int(year)}")]
+    order = np.argsort(pvals)
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    ax.set_title(title or f"Ice covered area vs {param}")
+    ax.set_xlabel(param)
+    ax.set_ylabel(ylabel)
+    for yr, color, label in states:
+        for season in seasons:
+            ydata = np.array(
+                [yfunc(ens.member_solutions(int(i)), season, yr) for i in order]
+            )
+            ax.plot(
+                pvals[order], ydata, color=color,
+                linewidth=2.0 if season == "avg" else 1.0,
+                linestyle="--" if season == "summer" else "-",
+                marker="o" if season == "avg" else None, markersize=3,
+                label=f"{label} {season}" if (label and season == "avg") else None,
+            )
+    if any(lbl for _, _, lbl in states):
+        ax.legend()
     return fig
 
 

@@ -66,6 +66,12 @@ class Solutions:
 
     def __repr__(self):
         nts = len(self.ts)
+        if nts == 0:
+            # raw_mode='none' runs store no per-step states — only seasonal
+            return (
+                f"Solutions({self.spacetime.nx}x0 (seasonal only, "
+                f"{self.spacetime.dur} years), {self.variables})"
+            )
         return (
             f"Solutions({self.spacetime.nx}x{nts}"
             f"@({self.ts[0]}:{self.spacetime.dt}:{self.ts[-1]}), {self.variables})"

@@ -39,8 +39,8 @@ def run(label, **kw):
     return el
 
 
-run("scan, per-year dispatch")
-run("scan, ypd=years", years_per_dispatch=years)
+run("scan, per-year dispatch", engine="scan")
+run("scan, ypd=years", engine="scan", years_per_dispatch=years)
 run("fused, per-year dispatch", engine="fused")
 run("fused, ypd=years", engine="fused", years_per_dispatch=years)
 run("fused, ypd=8", engine="fused", years_per_dispatch=8)

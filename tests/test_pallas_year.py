@@ -362,13 +362,23 @@ class TestFusedEngine:
                 n_members=4, engine="bogus", dtype=DTYPE,
             )
 
-    def test_rejects_ensemble_raw_mode_all(self):
+    def test_fused_rejects_raw_mode_all(self):
         st = ebm.SpaceTime.sin(40, 200, 1)
         par = ebm.default_parameters("MIZ")
-        with pytest.raises(ValueError, match="raw_mode must be"):
+        with pytest.raises(ValueError, match="raw_mode"):
+            ens.ensemble_integrate(
+                "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+                n_members=4, raw_mode="all", engine="fused", dtype=DTYPE,
+            )
+
+    def test_raw_mode_all_memory_guard(self):
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.default_parameters("MIZ")
+        with pytest.raises(ValueError, match="GiB"):
             ens.ensemble_integrate(
                 "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
                 n_members=4, raw_mode="all", dtype=DTYPE,
+                raw_memory_limit=1024,
             )
 
     def test_ensemble_progress_renders(self, capsys, monkeypatch):
@@ -980,3 +990,88 @@ class TestTransposedLayout:
         with pytest.raises(ValueError, match="layout"):
             pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
                             interpret=True, layout="bogus")
+
+
+class TestFusedFitPredicate:
+    """``fused_unfit`` — the single predicate engine='auto' resolvers use to
+    fall back to the XLA engines when no whole-year-kernel layout can launch
+    (advisor finding r1: auto used to raise at high resolution)."""
+
+    def test_canonical_config_fits(self):
+        from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
+
+        st = ebm.SpaceTime.sin(180, 2000, 1)
+        assert fused_unfit("MIZ", st, 8192, jnp.float32) is None
+        assert fused_unfit("Classic", st, 8192, jnp.float32) is None
+
+    def test_high_resolution_miz_unfit_classic_fits(self):
+        from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
+
+        # nx=1024/nt=4000 f32: the 'kx' insolation table is 16 MB (> 8 MB)
+        # and the MIZ 'xk' working set 31.5 MB (> 28 MB) — no layout fits;
+        # the classic 'xk' working set is half that and fits
+        st = ebm.SpaceTime.sin(1024, 4000, 1)
+        assert fused_unfit("MIZ", st, 8, jnp.float32) is not None
+        assert fused_unfit("Classic", st, 8, jnp.float32) is None
+
+    def test_table_sweep_requires_xk(self):
+        from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
+
+        st = ebm.SpaceTime.sin(1024, 4000, 1)
+        par = Collection(S0=jnp.asarray(np.linspace(410.0, 430.0, 8)))
+        # classic fits via 'xk' even with swept table parameters...
+        assert fused_unfit("Classic", st, 8, jnp.float32, par) is None
+        # ...MIZ cannot (xk working set over budget)
+        assert fused_unfit("MIZ", st, 8, jnp.float32, par) is not None
+
+    def test_auto_resolver_falls_back_to_kx_table_limit(self):
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            XK_PLANES_MIZ, _resolve_layout,
+        )
+
+        # kx table over budget at nt=16000 (nxp=256 f32 -> 15.6 MB) while
+        # the xk working set fits: the resolver must pick 'xk'
+        assert _resolve_layout(None, 8, 180, 128, 4, XK_PLANES_MIZ,
+                               nt=16000) == "xk"
+
+    def test_integrate_auto_falls_back_to_scan(self, monkeypatch):
+        """A default integrate() at a resolution the kernels cannot launch
+        must run on the scan engine instead of raising (advisor r1). The TPU
+        branch is forced by faking the backend; 'unfit' is forced by zeroing
+        the VMEM budgets so the config itself can stay tiny."""
+        from energybalancemodel_jl_tpu.ops import pallas_year as py
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(py, "_xk_fits", lambda *a: "forced unfit")
+        monkeypatch.setattr(py, "_kx_fits", lambda *a: "forced unfit")
+        st = ebm.SpaceTime.sin(16, 30, 1)
+        sols = ebm.integrate(
+            "MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+            ebm.zeros_init(st), progress=False, raw_mode="none",
+            dtype=jnp.float32,
+        )
+        assert sols.seasonal.avg["E"].shape == (1, st.nx)
+
+    def test_ensemble_auto_excludes_float64(self, monkeypatch):
+        """Advisor r1 medium: the x64 parity config must never route to the
+        fused kernel under engine='auto' (Mosaic has no practical f64 path)."""
+        from energybalancemodel_jl_tpu.parallel.ensemble import (
+            ensemble_integrate,
+        )
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+        def boom(*a, **kw):  # any fused-path touch is a wrong engine choice
+            raise AssertionError("auto selected the fused engine for float64")
+
+        from energybalancemodel_jl_tpu.ops import pallas_year as py
+
+        monkeypatch.setattr(py, "pallas_miz_year", boom)
+        st = ebm.SpaceTime.sin(16, 30, 1)
+        par = Collection(ebm.default_parameters("MIZ"))
+        par["D"] = np.linspace(0.55, 0.65, 4)
+        out = ensemble_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+            n_members=4, dtype=jnp.float64, progress=False,
+        )
+        assert out.seasonal.avg["E"].shape == (4, 1, st.nx)
