@@ -29,7 +29,10 @@ def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # under deferred/remote compile the CLIENT-side compile time is
+        # sub-second even for the big fused kernels, so any non-zero
+        # threshold silently excludes them from the persistent cache
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 
@@ -86,6 +89,14 @@ def main():
     def sync(x):
         return float(np.asarray(x).sum())  # host transfer = real synchronization
 
+    # claim the device first with a trivial dispatch: on remote/tunneled
+    # TPU backends the first execution of ANY program pays the terminal
+    # claim/handshake (measured 100-620 s here, independent of program
+    # complexity), which would otherwise masquerade as kernel compile time
+    t0 = time.time()
+    sync(jnp.ones((8, 128), dtype) + 1.0)
+    claim_s = time.time() - t0
+
     # warmup: compile + spin into a seasonally active state
     t0 = time.time()
     carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
@@ -118,7 +129,8 @@ def main():
     )
     print(
         f"# K={K} years={years} dtype={dtype.name} solver={solver} engine={engine} "
-        f"elapsed={elapsed:.3f}s compile={compile_s:.1f}s steps/s={steps_per_sec:.0f} "
+        f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s compile={compile_s:.1f}s "
+        f"steps/s={steps_per_sec:.0f} "
         f"finite={finite} checksum={checksum:.6g} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
