@@ -22,7 +22,9 @@ complete model state — reference ``@persistent`` warm starts included).
 """
 from __future__ import annotations
 
+import hashlib
 import os
+import warnings
 from typing import List, Tuple
 
 import h5py
@@ -30,7 +32,10 @@ import numpy as np
 
 from .utils.collection import Collection
 
-__all__ = ["write_checkpoint", "read_checkpoint", "checkpoint_matches"]
+__all__ = [
+    "write_checkpoint", "read_checkpoint", "checkpoint_matches",
+    "config_key", "resume_state", "year_writer",
+]
 
 _FORMAT = 1
 
@@ -82,6 +87,93 @@ def read_checkpoint(path: str):
                 ]
             )
     return carry, years_done, tuple(acc), config_key
+
+
+def config_key(prefix, model, st, forcing, par, dtype_name, solver,
+               newton_max_iter, extras=()) -> str:
+    """Config fingerprint shared by every per-year driver (``integrate``,
+    ``ensemble_integrate``, ``spatial_integrate``).
+
+    A resume silently continues any run whose key matches, so the key must
+    cover EVERYTHING that changes the computed trajectory: model, grid,
+    forcing (lossless repr — review r1), parameters (swept ``(K,)`` leaves
+    are digested, scalars stay readable), dtype, solver, and the Newton
+    iteration cap (review r2: a cap change alters non-converged steps).
+    Driver-specific graph choices (engine, chunking, mesh size) ride in
+    ``prefix``/``extras``.
+    """
+    def leaf(k, v):
+        a = np.asarray(v, dtype=np.float64)
+        if a.ndim == 0:
+            return f"{k}={float(a)}"
+        digest = hashlib.sha1(np.ascontiguousarray(a).tobytes()).hexdigest()
+        return f"{k}#{a.shape}:{digest[:16]}"
+
+    pars = ",".join(leaf(k, v) for k, v in sorted(par.items()))
+    parts = [prefix, model, repr(st), repr(forcing), pars, dtype_name,
+             solver, f"ni={int(newton_max_iter)}", *extras]
+    return "|".join(p for p in parts if p)
+
+
+def resume_state(checkpoint, key, resume, raw_mode, dur, to_device, carry):
+    """The per-year drivers' common resume block: validate the key, load the
+    carry + seasonal accumulators, and emit the standard warnings.
+
+    ``to_device`` maps one host array leaf back to a device array of the
+    run's dtype. Returns ``(carry, start_year, winter_acc, summer_acc,
+    avg_acc)`` — the inputs unchanged plus empty accumulators when there is
+    nothing to resume.
+    """
+    winter_acc, summer_acc, avg_acc = [], [], []
+    start_year = 0
+    if resume:
+        if raw_mode == "all":
+            raise ValueError(
+                "resume is not supported with raw_mode='all' (per-step raw "
+                "data of completed years is not checkpointed)"
+            )
+        if checkpoint_matches(checkpoint, key):
+            c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
+                read_checkpoint(checkpoint)
+            )
+            winter_acc, summer_acc, avg_acc = (
+                list(winter_acc), list(summer_acc), list(avg_acc)
+            )
+            carry = Collection({k: to_device(v) for k, v in c_np.items()})
+        elif os.path.exists(checkpoint):
+            warnings.warn(
+                f"Checkpoint {checkpoint} does not match this run's "
+                "configuration; starting from init."
+            )
+        if start_year >= dur and raw_mode == "last":
+            warnings.warn(
+                "Resuming an already-completed run: per-step raw data is "
+                "not checkpointed, so the returned Solutions has empty "
+                "raw storage (seasonal storage is complete)."
+            )
+    return carry, start_year, winter_acc, summer_acc, avg_acc
+
+
+def year_writer(checkpoint, key, get_state, split=None):
+    """Writer closure shared by the per-year drivers. ``get_state`` returns
+    the CURRENT ``(carry, (winter_acc, summer_acc, avg_acc))`` (the drivers
+    rebind ``carry`` every year, so it must be read at write time); the
+    fetch is one bulk ``jax.device_get`` — per-leaf transfers pay a device
+    round-trip per array on remote TPUs. ``split`` post-processes each
+    fetched accumulator list (the chunked dispatch path stores stacked
+    multi-year entries that must be split back into per-year rows)."""
+    import jax
+
+    def _write(years_done):
+        carry, accs = get_state()
+        carry_np, accs_np = jax.device_get((carry, accs))
+        if split is not None:
+            accs_np = tuple(split(a) for a in accs_np)
+        write_checkpoint(
+            checkpoint, Collection(carry_np), years_done, accs_np, key
+        )
+
+    return _write
 
 
 def checkpoint_matches(path: str, config_key: str) -> bool:

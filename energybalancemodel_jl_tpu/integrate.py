@@ -90,15 +90,19 @@ def make_year_fn(
     s0 = st.summer_inx - 1
     ticking = tick_cb is not None and tick_every > 0
 
-    def scan_step(stat, par, carry, xs, idx=None):
+    def scan_step(stat, par, carry, xs, idx=None, year_base=None):
         carry, out = spec.step(carry, xs, stat, par, cfg)
         if debug is not None:
             out = Collection(out)
             out["debug"] = debug(out, par)
         if ticking and idx is not None:
+            # the callback receives the ABSOLUTE step, computed on device
+            # from the traced year index: the host loop dispatches years
+            # asynchronously, so any host-side year counter would race
+            # ahead of device execution (review r2)
             lax.cond(
                 (idx + 1) % tick_every == 0,
-                lambda i: jax.debug.callback(tick_cb, i + 1),
+                lambda i: jax.debug.callback(tick_cb, year_base + i + 1),
                 lambda i: None,
                 idx,
             )
@@ -109,20 +113,21 @@ def make_year_fn(
         # seasonal storage from it. Step 0 is peeled exactly as in the
         # seasonal-only mode below so both modes run the identical op
         # sequence (bitwise-equal carries regardless of storage mode).
-        def year_fn(carry, par, fyear):
+        def year_fn(carry, par, fyear, year_idx=None):
             stat = spec.statics(st, par, dtype)
             xs = Collection(spec.step_inputs(stat, jnp.asarray(fyear, dtype=dtype)))
             x0 = jax.tree_util.tree_map(lambda v: v[0], xs)
             xs_rest = jax.tree_util.tree_map(lambda v: v[1:], xs)
             carry, out0 = scan_step(stat, par, carry, x0)
             if ticking:
+                year_base = jnp.asarray(year_idx, jnp.int32) * st.nt
                 xs_rest = Collection(xs_rest)
                 xs_rest["_idx"] = jnp.arange(1, st.nt, dtype=jnp.int32)
 
                 def body(c, x):
                     x = Collection(x)
                     idx = x.pop("_idx")
-                    return scan_step(stat, par, c, x, idx)
+                    return scan_step(stat, par, c, x, idx, year_base)
             else:
                 body = lambda c, x: scan_step(stat, par, c, x)
             carry, ys_rest = lax.scan(body, carry, xs_rest)
@@ -146,15 +151,18 @@ def make_year_fn(
     # winter/summer snapshots accumulate in the carry, so memory traffic is
     # O(nx) per step instead of O(nt*nx) per year (the HBM-bandwidth lever
     # that lets thousands of ensemble members fit and fly).
-    def year_fn(carry, par, fyear):
+    def year_fn(carry, par, fyear, year_idx=None):
         stat = spec.statics(st, par, dtype)
         xs = Collection(spec.step_inputs(stat, jnp.asarray(fyear, dtype=dtype)))
+        year_base = (
+            jnp.asarray(year_idx, jnp.int32) * st.nt if ticking else None
+        )
 
         def seasonal_step(state, x):
             c, acc, wint, summ, conv = state
             x = Collection(x)
             idx = x.pop("_idx")
-            c, out = scan_step(stat, par, c, x, idx)
+            c, out = scan_step(stat, par, c, x, idx, year_base)
             out = Collection(out)
             step_conv = out.pop("newton_converged", None)
             acc = Collection({k: acc[k] + out[k] for k in acc})
@@ -346,8 +354,13 @@ def integrate(
     nothing to report otherwise; reference meter updates per step,
     /root/reference/src/utilities.jl:266-279). Opt-in because the callback
     is part of the compiled graph: the default graph — and therefore the
-    golden-fixture trajectory — is unchanged. Scan engine, per-year
-    dispatches only (ignored by the fused kernel and multi-year chunks).
+    golden-fixture trajectory — is unchanged. The callback receives the
+    absolute step computed ON DEVICE (the host loop dispatches years ahead
+    of execution), and in tick mode the in-graph ticks own the bar — it
+    tracks real device progress, closed by the synchronizing result fetch.
+    Needs the per-year scan graph: ``engine='auto'`` resolves to ``'scan'``
+    when ``progress_steps`` is set; an explicit ``engine='fused'`` or
+    ``years_per_dispatch > 1`` warns and ignores ``progress_steps``.
 
     ``years_per_dispatch > 1`` batches that many seasonal-only years into a
     single device dispatch (an outer ``lax.scan`` over years) — the lever
@@ -384,10 +397,11 @@ def integrate(
             and debug is None
             and solver in ("pcr", "pcr_fused")
             and dtype != jnp.float64
+            and progress_steps is None  # sub-year ticks need the scan graph
         ):
             from .ops.pallas_year import fused_unfit
 
-            engine = "scan" if fused_unfit(spec.name, st, 1, dtype) else "fused"
+            engine = "scan" if fused_unfit(spec.name, st, dtype) else "fused"
         else:
             engine = "scan"
     if years_per_dispatch is None:
@@ -419,15 +433,29 @@ def integrate(
             f"unknown engine {engine!r}; expected 'auto', 'scan' or 'fused'"
         )
 
-    tick_every, tick_cb, _tick_state = 0, None, {"year": 0, "prog": None}
+    tick_every, tick_cb, _tick_state = 0, None, {"prog": None}
     if progress_steps is not None and int(progress_steps) > 0:
-        tick_every = int(progress_steps)
+        if engine != "scan" or years_per_dispatch > 1:
+            # ticks ride the per-year scan graph only (fused kernels and
+            # multi-year chunks have no in-graph callback); warn instead of
+            # silently losing the requested feedback
+            warnings.warn(
+                "progress_steps is ignored: sub-year progress ticks need "
+                "engine='scan' with years_per_dispatch=1 "
+                f"(got engine={engine!r}, years_per_dispatch={years_per_dispatch})"
+            )
+        else:
+            tick_every = int(progress_steps)
 
-        def tick_cb(i):
-            p = _tick_state["prog"]
-            if p is not None:
-                step = _tick_state["year"] * st.nt + int(i)
-                p.update(step, feedargs=(float(st.T[min(step, st.dur * st.nt) - 1]),))
+            def tick_cb(step):
+                # `step` is the ABSOLUTE step, computed on device (the host
+                # loop dispatches ahead of execution — review r2)
+                p = _tick_state["prog"]
+                if p is not None:
+                    step = int(step)
+                    p.update(step, feedargs=(
+                        float(st.T[min(step, st.dur * st.nt) - 1]),
+                    ))
 
     year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug,
                                     tick_every, tick_cb)
@@ -445,43 +473,25 @@ def integrate(
     if checkpoint is not None:
         from . import checkpoint as ckpt_mod
 
-        ckpt_key = (
-            f"{spec.name}|{st!r}|{forcing!r}|{sorted((k, float(v)) for k, v in par.items())}"
-            f"|{dtype.name}|{solver}"
-        )
+        extras = []
         if engine != "scan":
-            ckpt_key += f"|{engine}"
+            extras.append(engine)
         if years_per_dispatch > 1 and engine != "fused":
             # chunked XLA dispatch compiles a different graph; graph-level
             # rounding amplifies, so a resume must use the same chunking.
             # (The fused kernel is a black box the chunking scan feeds the
             # carry through — bitwise chunking-invariant, key unchanged.)
-            ckpt_key += f"|ypd{years_per_dispatch}"
-        if resume:
-            if raw_mode == "all":
-                raise ValueError("resume is not supported with raw_mode='all' "
-                                 "(per-step raw data of completed years is not checkpointed)")
-            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
-                c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
-                    ckpt_mod.read_checkpoint(checkpoint)
-                )
-                winter_acc, summer_acc, avg_acc = (
-                    list(winter_acc), list(summer_acc), list(avg_acc)
-                )
-                carry = Collection(
-                    {k: jnp.asarray(v, dtype=dtype) for k, v in c_np.items()}
-                )
-            elif os.path.exists(checkpoint):
-                warnings.warn(
-                    f"Checkpoint {checkpoint} does not match this run's "
-                    "configuration; starting from init."
-                )
-            if start_year >= st.dur and raw_mode == "last":
-                warnings.warn(
-                    "Resuming an already-completed run: per-step raw data is "
-                    "not checkpointed, so the returned Solutions has empty "
-                    "raw storage (seasonal storage is complete)."
-                )
+            extras.append(f"ypd{years_per_dispatch}")
+        ckpt_key = ckpt_mod.config_key(
+            "", spec.name, st, forcing, par, dtype.name, solver,
+            newton_max_iter, extras,
+        )
+        carry, start_year, winter_acc, summer_acc, avg_acc = (
+            ckpt_mod.resume_state(
+                checkpoint, ckpt_key, resume, raw_mode, st.dur,
+                lambda v: jnp.asarray(v, dtype=dtype), carry,
+            )
+        )
 
     if progress is None:
         progress = True
@@ -499,17 +509,13 @@ def integrate(
         profiler_cm = jax.profiler.trace(profile_dir)
         profiler_cm.__enter__()
 
-    def _ckpt_write(years_done):
+    if checkpoint is not None:
         from . import checkpoint as ckpt_mod
 
-        # one bulk fetch: per-leaf np.asarray pays a device round-trip per
-        # array, which grows with the accumulated years
-        carry_np, accs_np = jax.device_get(
-            (carry, (winter_acc, summer_acc, avg_acc))
-        )
-        accs_np = tuple(_split_chunks(a) for a in accs_np)
-        ckpt_mod.write_checkpoint(
-            checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
+        _ckpt_write = ckpt_mod.year_writer(
+            checkpoint, ckpt_key,
+            lambda: (carry, (winter_acc, summer_acc, avg_acc)),
+            split=_split_chunks,
         )
 
     y = start_year
@@ -565,9 +571,13 @@ def integrate(
             carry, seasonal, converged = fused_kernel(carry, par_j, f_tab[y])
             ys = None
         else:
-            _tick_state["year"] = y
             fn = year_full if collect else year_seasonal
-            carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
+            if tick_every:
+                carry, seasonal, converged, ys = fn(
+                    carry, par_j, f_tab[y], jnp.int32(y)
+                )
+            else:
+                carry, seasonal, converged, ys = fn(carry, par_j, f_tab[y])
         winter_acc.append(seasonal.winter)
         summer_acc.append(seasonal.summer)
         avg_acc.append(seasonal.avg)
@@ -586,7 +596,9 @@ def integrate(
             (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
         ):
             _ckpt_write(y + 1)
-        if prog is not None:
+        if prog is not None and not tick_every:
+            # dispatch-frontier update; in tick mode the in-graph callbacks
+            # own the bar (device-ordered, so it never moves backwards)
             prog.update((y + 1) * st.nt, feedargs=(float(st.T[(y + 1) * st.nt - 1]),))
         y += 1
 
@@ -600,6 +612,10 @@ def integrate(
     raw_chunks, winter_acc, summer_acc, avg_acc = jax.device_get(
         (raw_chunks, winter_acc, summer_acc, avg_acc)
     )
+    if prog is not None and tick_every:
+        # the bulk fetch above synchronized with the device, so the run is
+        # genuinely complete — close the tick-driven bar
+        prog.update(st.dur * st.nt, feedargs=(float(st.T[-1]),))
     winter_acc = _split_chunks(winter_acc)
     summer_acc = _split_chunks(summer_acc)
     avg_acc = _split_chunks(avg_acc)

@@ -309,8 +309,16 @@ def _kx_fits(nt_rows: int, nxp: int, itemsize: int):
     return None
 
 
-def fused_unfit(model_name: str, st, K: int, dtype, par=None,
-                block_k: int = 128):
+def _table_rows(model_name: str, nt: int) -> int:
+    """Rows of the 'kx' layout's VMEM-resident insolation table: the classic
+    kernel carries a wraparound row (its stored T uses step t+1's insolation,
+    models/classic.py), MIZ does not. The fit predicate and the launch
+    guards must agree on this count or `engine='auto'` can select a layout
+    whose own guard then rejects it."""
+    return nt if model_name == "MIZ" else nt + 1
+
+
+def fused_unfit(model_name: str, st, dtype, par=None, block_k: int = 128):
     """None if SOME whole-year-kernel layout can launch this configuration,
     else the reason none can — the predicate ``engine='auto'`` resolvers use
     to fall back to the XLA engines instead of letting a default call raise
@@ -321,7 +329,8 @@ def fused_unfit(model_name: str, st, K: int, dtype, par=None,
     xk_reason = _xk_fits(st.nx, block_k, itemsize, planes)
     if table_swept:
         return xk_reason  # only 'xk' can rebuild per-member insolation
-    kx_reason = _kx_fits(st.nt, pad_to_lanes(st.nx), itemsize)
+    kx_reason = _kx_fits(_table_rows(model_name, st.nt), pad_to_lanes(st.nx),
+                         itemsize)
     if xk_reason is None or kx_reason is None:
         return None
     return kx_reason
@@ -345,7 +354,7 @@ def _table_swept(par) -> bool:
 
 def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
                     planes: int, table_swept: bool = False,
-                    nt: int = None) -> str:
+                    table_rows: int = None) -> str:
     """Pick the faster in-kernel layout when the caller doesn't.
 
     'xk' (grid on sublanes, members on lanes) wins when the ensemble fills
@@ -354,7 +363,7 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
     ceil(nx/8) sublane tiles in 'xk') and is the fallback when 'xk' does not
     fit (non-lane-multiple block_k, VMEM bound). Swept table parameters
     force 'xk' (only that layout can rebuild the insolation per member);
-    a 'kx' table that does not fit VMEM (``nt`` given) forces 'xk'.
+    a 'kx' table that does not fit VMEM (``table_rows`` given) forces 'xk'.
     """
     if layout is not None:
         return layout
@@ -374,7 +383,8 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
         return "xk"
     if unfit_reason is not None:
         return "kx"
-    if nt is not None and _kx_fits(nt, pad_to_lanes(nx), itemsize) is not None:
+    if (table_rows is not None
+            and _kx_fits(table_rows, pad_to_lanes(nx), itemsize) is not None):
         return "xk"  # only the separable-insolation layout fits this nt*nx
     # per-step VPU tile counts of each layout (8x128 tiles)
     kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
@@ -444,7 +454,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     layout = _resolve_layout(
         layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
         jnp.dtype(carry["Ei"].dtype).itemsize, planes=XK_PLANES_MIZ,
-        table_swept=_table_swept(par), nt=st.nt,
+        table_swept=_table_swept(par), table_rows=_table_rows("MIZ", st.nt),
     )
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -799,7 +809,8 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     layout = _resolve_layout(
         layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
         jnp.dtype(carry["E"].dtype).itemsize, planes=XK_PLANES_CLASSIC,
-        table_swept=_table_swept(par), nt=st.nt,
+        table_swept=_table_swept(par),
+        table_rows=_table_rows("Classic", st.nt),
     )
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k, interpret)

@@ -66,7 +66,8 @@ class EnsembleSolutions:
         """Member ``i``'s results as a single-run :class:`Solutions` view, so
         every single-run API (``plot_raw``/``plot_avg``/``plot_seasonal``,
         ``save``, ``annual_mean``) works per member. Raw storage is the final
-        year when collected (``raw_mode='last'``), empty otherwise."""
+        year when collected (``raw_mode='last'``), the full trajectory for
+        ``raw_mode='all'`` (``lastonly`` reflects which), empty otherwise."""
         from ..solutions import Solutions
 
         i = int(i)
@@ -81,10 +82,16 @@ class EnsembleSolutions:
                 for coll in self.seasonal
             )
         )
+        lastonly = True
         if self.raw is not None:
             raw = Collection({k: np.asarray(v)[i] for k, v in self.raw.items()})
             n_steps = next(iter(raw.values())).shape[0]
-            ts = Solutions.stored_times(st, n_steps != st.dur * st.nt)
+            # raw_mode='all' members carry the full dur*nt trajectory: a
+            # consumer (ebm.save, the reference's load!) derives stored-time
+            # semantics from `lastonly`, so it must reflect the actual
+            # storage, not the ensemble default (review r2)
+            lastonly = n_steps != st.dur * st.nt
+            ts = Solutions.stored_times(st, lastonly)
         else:
             raw = Collection(
                 {k: np.zeros((0, st.nx)) for k in self.seasonal.avg.keys()}
@@ -96,7 +103,7 @@ class EnsembleSolutions:
             forcing=self.forcing,
             parameters=self.member(i),
             initconds=Collection({}),
-            lastonly=True,
+            lastonly=lastonly,
             debug=None,
             raw=raw,
             seasonal=seasonal,
@@ -104,7 +111,12 @@ class EnsembleSolutions:
 
     def __repr__(self):
         names = ",".join(sorted(self.swept.keys())) or "none"
-        raw = "last-year raw" if self.raw is not None else "seasonal only"
+        if self.raw is None:
+            raw = "seasonal only"
+        else:
+            n_steps = next(iter(self.raw.values())).shape[1]
+            full = n_steps == self.spacetime.dur * self.spacetime.nt
+            raw = "full raw" if full else "last-year raw"
         return (
             f"EnsembleSolutions(K={self.n_members}, "
             f"{self.spacetime.nx}x{self.spacetime.nt}x{self.spacetime.dur}y, "
@@ -126,18 +138,16 @@ def batched_parameters(base: Collection, sweeps: Dict[str, Sequence[float]]) -> 
     return out
 
 
-def _ensemble_config_key(model, st, forcing, par, dtype, solver, engine, K) -> str:
-    """Config fingerprint for checkpoint validation; swept ``(K,)`` parameter
-    leaves are digested (scalars stay readable, as in ``integrate``)."""
-    def leaf(k, v):
-        a = np.asarray(v, dtype=np.float64)
-        if a.ndim == 0:
-            return f"{k}={float(a)}"
-        return f"{k}#{a.shape}:{hashlib.sha1(np.ascontiguousarray(a).tobytes()).hexdigest()[:16]}"
+def _ensemble_config_key(model, st, forcing, par, dtype, solver, engine, K,
+                         newton_max_iter) -> str:
+    """Config fingerprint for checkpoint validation (shared builder in
+    :mod:`..checkpoint`; swept ``(K,)`` parameter leaves are digested)."""
+    from .. import checkpoint as ckpt_mod
 
-    pars = ",".join(leaf(k, v) for k, v in sorted(par.items()))
-    return (f"ens|{model}|{st!r}|{forcing!r}|{pars}|{np.dtype(dtype).name}"
-            f"|{solver}|{engine}|K={int(K)}")
+    return ckpt_mod.config_key(
+        "ens", model, st, forcing, par, np.dtype(dtype).name, solver,
+        newton_max_iter, (engine, f"K={int(K)}"),
+    )
 
 
 def _param_axes(par: Collection) -> Collection:
@@ -312,7 +322,7 @@ def ensemble_integrate(
         if use_fused:
             from ..ops.pallas_year import fused_unfit
 
-            use_fused = fused_unfit(spec.name, st, int(K), dtype, par_j) is None
+            use_fused = fused_unfit(spec.name, st, dtype, par_j) is None
         if use_fused:
             engine = "fused"
         else:
@@ -495,45 +505,19 @@ def ensemble_integrate(
         from .. import checkpoint as ckpt_mod
 
         ckpt_key = _ensemble_config_key(
-            spec.name, st, forcing, par_user, dtype, solver, engine, K
+            spec.name, st, forcing, par_user, dtype, solver, engine, K,
+            newton_max_iter,
         )
-        if resume:
-            if raw_mode == "all":
-                raise ValueError(
-                    "resume is not supported with raw_mode='all' (per-step "
-                    "raw data of completed years is not checkpointed)"
-                )
-            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
-                c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
-                    ckpt_mod.read_checkpoint(checkpoint)
-                )
-                winter_acc, summer_acc, avg_acc = (
-                    list(winter_acc), list(summer_acc), list(avg_acc)
-                )
-                carry = Collection(
-                    {k: jnp.asarray(v, dtype=dtype) for k, v in c_np.items()}
-                )
-            elif os.path.exists(checkpoint):
-                warnings.warn(
-                    f"Checkpoint {checkpoint} does not match this ensemble's "
-                    "configuration; starting from init."
-                )
-            if start_year >= st.dur and raw_mode == "last":
-                warnings.warn(
-                    "Resuming an already-completed run: per-step raw data is "
-                    "not checkpointed, so the returned EnsembleSolutions has "
-                    "raw=None (seasonal storage is complete)."
-                )
-
-    def _ckpt_write(years_done):
-        from .. import checkpoint as ckpt_mod
-
-        carry_np, accs_np = jax.device_get(
-            (carry, (winter_acc, summer_acc, avg_acc))
+        carry, start_year, winter_acc, summer_acc, avg_acc = (
+            ckpt_mod.resume_state(
+                checkpoint, ckpt_key, resume, raw_mode, st.dur,
+                lambda v: jnp.asarray(v, dtype=dtype), carry,
+            )
         )
-        accs_np = tuple(_split_chunks(a) for a in accs_np)
-        ckpt_mod.write_checkpoint(
-            checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
+        _ckpt_write = ckpt_mod.year_writer(
+            checkpoint, ckpt_key,
+            lambda: (carry, (winter_acc, summer_acc, avg_acc)),
+            split=_split_chunks,
         )
 
     from ..utils.progress import Progress

@@ -200,47 +200,21 @@ def spatial_integrate(
     if checkpoint is not None:
         from .. import checkpoint as ckpt_mod
 
-        ckpt_key = (
-            f"spatial{mesh.size}|{spec.name}|{st!r}|{forcing!r}"
-            f"|{sorted((k, float(v)) for k, v in par.items())}"
-            f"|{dtype.name}|pcr"
+        # the mesh size rides in the prefix: SPIKE partitioning compiles a
+        # different graph per device count, so a resume must match it
+        ckpt_key = ckpt_mod.config_key(
+            f"spatial{mesh.size}", spec.name, st, forcing, par, dtype.name,
+            "pcr", newton_max_iter,
         )
-        if resume:
-            if raw_mode == "all":
-                raise ValueError(
-                    "resume is not supported with raw_mode='all' (per-step "
-                    "raw data of completed years is not checkpointed)"
-                )
-            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key):
-                c_np, start_year, (winter_acc, summer_acc, avg_acc), _ = (
-                    ckpt_mod.read_checkpoint(checkpoint)
-                )
-                winter_acc, summer_acc, avg_acc = (
-                    list(winter_acc), list(summer_acc), list(avg_acc)
-                )
-                carry = Collection(
-                    {k: jnp.asarray(v, dtype=dtype) for k, v in c_np.items()}
-                )
-            elif os.path.exists(checkpoint):
-                warnings.warn(
-                    f"Checkpoint {checkpoint} does not match this run's "
-                    "configuration; starting from init."
-                )
-            if start_year >= st.dur and raw_mode == "last":
-                warnings.warn(
-                    "Resuming an already-completed run: per-step raw data is "
-                    "not checkpointed, so the returned Solutions has empty "
-                    "raw storage (seasonal storage is complete)."
-                )
-
-    def _ckpt_write(years_done):
-        from .. import checkpoint as ckpt_mod
-
-        carry_np, accs_np = jax.device_get(
-            (carry, (winter_acc, summer_acc, avg_acc))
+        carry, start_year, winter_acc, summer_acc, avg_acc = (
+            ckpt_mod.resume_state(
+                checkpoint, ckpt_key, resume, raw_mode, st.dur,
+                lambda v: jnp.asarray(v, dtype=dtype), carry,
+            )
         )
-        ckpt_mod.write_checkpoint(
-            checkpoint, Collection(carry_np), years_done, accs_np, ckpt_key
+        _ckpt_write = ckpt_mod.year_writer(
+            checkpoint, ckpt_key,
+            lambda: (carry, (winter_acc, summer_acc, avg_acc)),
         )
 
     if progress is None:

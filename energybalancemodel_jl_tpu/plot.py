@@ -145,14 +145,17 @@ def plot_raw(sols: Solutions, bcknd: Optional[str] = None, layout: Optional[Layo
     /root/reference/src/plot.jl:119-130)."""
     if bcknd is not None:
         backend(bcknd)
-    if len(sols.ts) == 0:
-        raise ValueError(
-            "this Solutions has no per-step raw storage (raw_mode='none'); "
-            "use plot_avg/plot_seasonal, or rerun with raw_mode='last'/'all'"
-        )
     layout = layout or _default_layout(sols)
     nrow, ncol = layout.shape
     mats = [[np.asarray(sols.raw[layout[r, c]["var"]]) for c in range(ncol)] for r in range(nrow)]
+    # key the guard on the RAW arrays, not `ts`: a resumed already-complete
+    # run returns populated stored times with (0, nx) raw storage (review r2)
+    if len(sols.ts) == 0 or any(m.shape[0] == 0 for row in mats for m in row):
+        raise ValueError(
+            "this Solutions has no per-step raw storage (raw_mode='none', "
+            "or a resume of an already-completed run); use plot_avg/"
+            "plot_seasonal, or rerun with raw_mode='last'/'all'"
+        )
     return _contourf_tiles(np.asarray(sols.ts), sols.spacetime.x, layout, mats)
 
 
@@ -307,15 +310,17 @@ def plot_bifurcation(
             raise ValueError(f"year must be in 1..{dur}, got {year}")
         states = [(int(year), "tab:blue", f"year {int(year)}")]
     order = np.argsort(pvals)
+    # one Solutions view per member — not one per (state, season) pair: each
+    # view copies every seasonal array of that member, and bifurcation
+    # sweeps run thousands of members (review r2)
+    views = [ens.member_solutions(int(i)) for i in order]
     fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
     ax.set_title(title or f"Ice covered area vs {param}")
     ax.set_xlabel(param)
     ax.set_ylabel(ylabel)
     for yr, color, label in states:
         for season in seasons:
-            ydata = np.array(
-                [yfunc(ens.member_solutions(int(i)), season, yr) for i in order]
-            )
+            ydata = np.array([yfunc(v, season, yr) for v in views])
             ax.plot(
                 pvals[order], ydata, color=color,
                 linewidth=2.0 if season == "avg" else 1.0,

@@ -12,6 +12,7 @@ host-visible granularity).
 from __future__ import annotations
 
 import sys
+import threading
 import time
 from typing import Callable, Optional
 
@@ -61,6 +62,9 @@ class Progress:
         ndig = len(str(self.total))
         self.barwidth = max(width - (ndig * 2 + 1) - 2 - 5 - 3, 5)
         self.enabled = hasattr(self.stream, "isatty") and self.stream.isatty()
+        # sub-year ticks arrive on jax.debug.callback's thread while the
+        # driver updates from the main thread — serialize state + rendering
+        self._lock = threading.Lock()
 
     # -- rendering -------------------------------------------------------
     def _output(self, feedargs=()) -> None:
@@ -125,13 +129,14 @@ class Progress:
         """Advance the meter (rebuild of ``update!``
         /root/reference/src/utilities.jl:266-279); renders at most every
         ``freq`` seconds, and always on completion."""
-        self.current = self.current + 1 if current is None else int(current)
-        now = time.time()
-        if self.started is None:
-            self.started = now
-            self.updated = now - self.freq  # force immediate first render
-        if self.current >= self.total or now - self.updated >= self.freq:
-            self._output(feedargs)
+        with self._lock:
+            self.current = self.current + 1 if current is None else int(current)
+            now = time.time()
+            if self.started is None:
+                self.started = now
+                self.updated = now - self.freq  # force immediate first render
+            if self.current >= self.total or now - self.updated >= self.freq:
+                self._output(feedargs)
 
     @property
     def rate(self) -> float:

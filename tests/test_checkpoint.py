@@ -95,9 +95,33 @@ class TestCheckpoint:
         f2 = ebm.Forcing(0.0, 5.0, -5.0, (0, 0), (1.0, -1.0))
         st = ebm.SpaceTime.sin(16, 30, 2)
         par = ebm.default_parameters("MIZ")
-        k1 = _ensemble_config_key("MIZ", st, f1, par, np.float64, "pcr", "batched", 4)
-        k2 = _ensemble_config_key("MIZ", st, f2, par, np.float64, "pcr", "batched", 4)
+        k1 = _ensemble_config_key("MIZ", st, f1, par, np.float64, "pcr", "batched", 4, 30)
+        k2 = _ensemble_config_key("MIZ", st, f2, par, np.float64, "pcr", "batched", 4, 30)
         assert k1 != k2
+
+    def test_newton_cap_mismatch_refused(self, tmp_path):
+        """Review r2: the key must include the Newton iteration cap — a
+        resume under a different cap would stitch a trajectory from two
+        solver configurations (non-converged steps differ)."""
+        ck = str(tmp_path / "run.ckpt.h5")
+        integrate(checkpoint=ck, raw_mode="none", newton_max_iter=30)
+        with pytest.warns(UserWarning, match="does not match"):
+            integrate(checkpoint=ck, resume=True, raw_mode="none",
+                      newton_max_iter=5)
+
+    def test_spatial_newton_cap_in_key(self):
+        """`spatial_integrate` shares the key builder — different caps and
+        different mesh sizes must produce different keys (review r2)."""
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+
+        a = run_kwargs()
+        keys = {
+            ckpt.config_key(pre, "MIZ", a["st"], a["forcing"], a["par"],
+                            "float64", "pcr", ni)
+            for pre, ni in [("spatial2", 30), ("spatial2", 5),
+                            ("spatial4", 30), ("", 30)]
+        }
+        assert len(keys) == 4
 
     def test_resume_rejects_full_raw(self, tmp_path):
         ck = str(tmp_path / "run.ckpt.h5")
@@ -140,11 +164,8 @@ class TestHighResRampCheckpoint:
                       checkpoint=pre_path, raw_mode="none")
         carry, years, acc, _ = ckpt.read_checkpoint(pre_path)
         ck = str(tmp_path / "run.h5")
-        # write under the 4-year run's key
-        key4 = (
-            f"MIZ|{st!r}|{ramp!r}|{sorted((k, float(v)) for k, v in par.items())}"
-            f"|float64|pcr"
-        )
+        # write under the 4-year run's key (the drivers' shared builder)
+        key4 = ckpt.config_key("", "MIZ", st, ramp, par, "float64", "pcr", 30)
         ckpt.write_checkpoint(ck, carry, years, acc, key4)
         resumed = ebm.integrate("MIZ", st, ramp, par, init, progress=False,
                                 checkpoint=ck, resume=True)
@@ -194,7 +215,7 @@ class TestEnsembleCheckpoint:
         import jax.numpy as jnp
         key4 = _ensemble_config_key(
             "MIZ", a4["st"], a4["forcing"], a4["par"],
-            jnp.dtype("float64"), "pcr", "batched", 6,
+            jnp.dtype("float64"), "pcr", "batched", 6, 30,
         )
         ck = str(tmp_path / "run.h5")
         ckpt.write_checkpoint(ck, carry, years, acc, key4)

@@ -1001,8 +1001,8 @@ class TestFusedFitPredicate:
         from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
 
         st = ebm.SpaceTime.sin(180, 2000, 1)
-        assert fused_unfit("MIZ", st, 8192, jnp.float32) is None
-        assert fused_unfit("Classic", st, 8192, jnp.float32) is None
+        assert fused_unfit("MIZ", st, jnp.float32) is None
+        assert fused_unfit("Classic", st, jnp.float32) is None
 
     def test_high_resolution_miz_unfit_classic_fits(self):
         from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
@@ -1011,8 +1011,8 @@ class TestFusedFitPredicate:
         # and the MIZ 'xk' working set 31.5 MB (> 28 MB) — no layout fits;
         # the classic 'xk' working set is half that and fits
         st = ebm.SpaceTime.sin(1024, 4000, 1)
-        assert fused_unfit("MIZ", st, 8, jnp.float32) is not None
-        assert fused_unfit("Classic", st, 8, jnp.float32) is None
+        assert fused_unfit("MIZ", st, jnp.float32) is not None
+        assert fused_unfit("Classic", st, jnp.float32) is None
 
     def test_table_sweep_requires_xk(self):
         from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
@@ -1020,9 +1020,9 @@ class TestFusedFitPredicate:
         st = ebm.SpaceTime.sin(1024, 4000, 1)
         par = Collection(S0=jnp.asarray(np.linspace(410.0, 430.0, 8)))
         # classic fits via 'xk' even with swept table parameters...
-        assert fused_unfit("Classic", st, 8, jnp.float32, par) is None
+        assert fused_unfit("Classic", st, jnp.float32, par) is None
         # ...MIZ cannot (xk working set over budget)
-        assert fused_unfit("MIZ", st, 8, jnp.float32, par) is not None
+        assert fused_unfit("MIZ", st, jnp.float32, par) is not None
 
     def test_auto_resolver_falls_back_to_kx_table_limit(self):
         from energybalancemodel_jl_tpu.ops.pallas_year import (
@@ -1032,7 +1032,32 @@ class TestFusedFitPredicate:
         # kx table over budget at nt=16000 (nxp=256 f32 -> 15.6 MB) while
         # the xk working set fits: the resolver must pick 'xk'
         assert _resolve_layout(None, 8, 180, 128, 4, XK_PLANES_MIZ,
-                               nt=16000) == "xk"
+                               table_rows=16000) == "xk"
+
+    def test_classic_table_rows_include_wraparound(self):
+        """The classic 'kx' kernel stores an (nt+1)-row insolation table
+        (wraparound row); the fit predicate and the auto resolver must count
+        those nt+1 rows, not nt — otherwise engine='auto'/layout=None can
+        select a layout whose own launch guard then raises (review r2)."""
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            XK_PLANES_CLASSIC, _resolve_layout, _table_rows, fused_unfit,
+        )
+
+        assert _table_rows("MIZ", 2000) == 2000
+        assert _table_rows("Classic", 2000) == 2001
+        # nxp=1920 f32: nt=1092 rows fit the 8 MB table budget exactly,
+        # 1093 do not. At nx=1912 the MIZ 'xk' working set is over budget
+        # too, so fused_unfit must report classic nt=1092 as UNFIT (its
+        # real table has 1093 rows) instead of letting auto pick 'fused'
+        # and crash in the launch guard.
+        st = ebm.SpaceTime.sin(1912, 1092, 1)
+        assert fused_unfit("Classic", st, jnp.float32) is not None
+        # MIZ has no wraparound row: its 1092-row table still fits 'kx'
+        assert fused_unfit("MIZ", st, jnp.float32) is None
+        # where 'xk' fits, the resolver must route classic around the
+        # full 'kx' table rather than picking it by the tile heuristic
+        assert _resolve_layout(None, 8, 100, 128, 4, XK_PLANES_CLASSIC,
+                               table_rows=16385) == "xk"
 
     def test_integrate_auto_falls_back_to_scan(self, monkeypatch):
         """A default integrate() at a resolution the kernels cannot launch

@@ -65,9 +65,18 @@ class TestEnsemble:
                     ens.raw[k][i], solo.raw[k], rtol=1e-10, atol=1e-12,
                     err_msg=k,
                 )
-        # the member view exposes full-run stored times
+        # the member view exposes full-run stored times, and its lastonly
+        # flag must say so — consumers (ebm.save, the reference's load!)
+        # derive stored-time semantics from it (review r2)
         m0 = ens.member_solutions(0)
         np.testing.assert_array_equal(m0.ts, ST.T)
+        assert not m0.lastonly
+        assert "full raw" in repr(ens)
+        # last-year collection keeps lastonly=True and the last-year label
+        ens_last = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), par_b,
+                                      ebm.zeros_init(ST), raw_mode="last")
+        assert ens_last.member_solutions(0).lastonly
+        assert "last-year raw" in repr(ens_last)
 
     def test_member_params(self):
         par_b = batched_parameters(PAR, {"D": [0.4, 0.6], "A": [190.0, 193.0]})

@@ -95,6 +95,23 @@ class TestFigures:
         with pytest.raises(ValueError, match="raw_mode"):
             ebm.plot_raw(sols)
 
+    def test_plot_raw_rejects_empty_raw_with_stored_times(self, tmp_path):
+        """A resume of an already-completed run returns populated stored
+        times with (0, nx) raw storage — the guard must key on the raw
+        arrays, not on `ts`, and raise the clear error instead of crashing
+        inside pcolormesh (review r2)."""
+        st = ebm.SpaceTime.sin(10, 200, 2)
+        args = ("MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+                ebm.zeros_init(st))
+        ck = str(tmp_path / "run.ckpt.h5")
+        ebm.integrate(*args, progress=False, checkpoint=ck, raw_mode="none")
+        with pytest.warns(UserWarning, match="already-completed"):
+            sols = ebm.integrate(*args, progress=False, checkpoint=ck,
+                                 resume=True)
+        assert len(sols.ts) > 0 and sols.raw["E"].shape[0] == 0
+        with pytest.raises(ValueError, match="raw_mode"):
+            ebm.plot_raw(sols)
+
 
 @pytest.fixture(scope="module")
 def ramp_ens():

@@ -83,3 +83,17 @@ class TestSubYearProgress:
         sub = [t for t in ticks if t is not None and t % st.nt != 0]
         assert sub, "no sub-year progress ticks fired"
         assert all(t % 10 == 0 for t in sub)
+        # ticks carry the ABSOLUTE step computed on device, so they are
+        # monotone and cover both years — a host-side year counter would
+        # race ahead of execution and misattribute steps (review r2)
+        real_ticks = [t for t in ticks if t is not None]
+        assert real_ticks == sorted(real_ticks)
+        assert any(t > st.nt for t in real_ticks), "year-2 steps never ticked"
+
+    def test_progress_steps_warns_on_unsupported_engine(self):
+        st = ebm.SpaceTime.sin(16, 30, 1)
+        args = ("MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+                ebm.zeros_init(st))
+        with pytest.warns(UserWarning, match="progress_steps is ignored"):
+            ebm.integrate(*args, progress=False, progress_steps=10,
+                          years_per_dispatch=4)
