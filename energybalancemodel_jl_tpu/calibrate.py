@@ -1,0 +1,210 @@
+"""Gradient-based parameter calibration.
+
+A capability with no reference analog (the reference tunes parameters by
+hand-run sweeps): the integrator is reverse-differentiable end to end — the
+MIZ surface-temperature Newton solve carries an implicit-function-theorem
+custom VJP (:mod:`.models.miz`), masked divisions are cotangent-safe — so a
+physical parameter vector can be FIT to target diagnostics by gradient
+descent. The whole optimization step (multi-year forward scan, backward
+pass, optax update) compiles into one XLA program.
+
+Usage::
+
+    import energybalancemodel_jl_tpu as ebm
+
+    result = ebm.calibrate(
+        "MIZ", st, ebm.Forcing(0.0), par, ebm.zeros_init(st),
+        target={"T": T_obs},          # seasonal annual-mean targets, (nx,)
+        vary=("D", "A"),              # parameters to fit
+        steps=150,
+    )
+    result.params["D"]                # fitted values
+    result.par                        # full fitted parameter Collection
+    sols = ebm.integrate("MIZ", st, forcing, result.par, init)
+
+Caveats (same physics as examples/adjoint_sensitivity.py): the system is
+chaotic, so gradients are well-behaved over short horizons — calibrate
+against one-to-few-year seasonal means (the default) rather than long
+transients; for long-horizon objectives use ensemble-averaged losses.
+
+The loss LANDSCAPE matters as much as the gradients: MIZ seasonal means
+are jagged in the parameters (the discrete ice-edge position jumps between
+grid cells — measured: the 1-year-from-zeros mean-E misfit vs D is
+non-monotone at 0.01-level steps), so gradient descent refines within a
+basin but cannot be trusted to cross one. The reliable recipe is a coarse
+:func:`~energybalancemodel_jl_tpu.parallel.sweep` scan to locate the basin
+(thousands of candidates per second on TPU), then ``calibrate`` to polish.
+Smooth configurations — the classic model from an ice-free init, integral
+diagnostics, spun-up initial states — converge directly (the test recovers
+the classic OLR constant to 1e-3 from 3 W/m^2 away).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .forcing import Forcing
+from .models.base import StepConfig, get_model
+from .spacetime import SpaceTime
+from .utils.collection import Collection
+
+__all__ = ["calibrate", "CalibrationResult"]
+
+
+@dataclasses.dataclass
+class CalibrationResult:
+    """Outcome of :func:`calibrate`.
+
+    ``params``: fitted values of the varied parameters (name -> float).
+    ``par``: the full parameter Collection with fitted values substituted.
+    ``losses``: per-step loss trajectory, shape ``(steps,)``.
+    ``grads``: final-step gradient per varied parameter (stationarity
+    diagnostic: large values mean the fit has not converged).
+    """
+    params: Collection
+    par: Collection
+    losses: np.ndarray
+    grads: Collection
+
+    def __repr__(self):
+        fitted = ", ".join(f"{k}={float(v):.6g}" for k, v in self.params.items())
+        return (
+            f"CalibrationResult({fitted}; loss {self.losses[0]:.3e} -> "
+            f"{self.losses[-1]:.3e} in {len(self.losses)} steps)"
+        )
+
+
+def _default_loss(target: Dict[str, np.ndarray]):
+    """Mean-squared misfit of final-year seasonal annual means against
+    ``target`` fields (NaN presentation values contribute zero)."""
+    tgt = {k: jnp.asarray(v) for k, v in target.items()}
+
+    def loss(seasonal):
+        total = 0.0
+        for k, v in tgt.items():
+            pred = jnp.nan_to_num(seasonal.avg[k])
+            total = total + jnp.mean((pred - v) ** 2)
+        return total
+
+    return loss
+
+
+def calibrate(
+    model: str,
+    st: SpaceTime,
+    forcing: Forcing,
+    par: Collection,
+    init: Collection,
+    target: Optional[Dict[str, np.ndarray]] = None,
+    vary: Sequence[str] = ("D",),
+    loss: Optional[Callable] = None,
+    steps: int = 100,
+    learning_rate: float = 1e-2,
+    optimizer=None,
+    newton_max_iter: int = 30,
+    dtype=jnp.float64,
+) -> CalibrationResult:
+    """Fit the parameters named in ``vary`` so the run's final-year seasonal
+    diagnostics match ``target`` (or minimize a custom ``loss``).
+
+    Parameters
+    ----------
+    target:
+        Mapping of solution-variable name -> target array, compared against
+        the FINAL simulated year's seasonal annual mean (``seasonal.avg``)
+        under mean-squared error. Arrays broadcast against ``(nx,)`` rows.
+        Exactly one of ``target``/``loss`` must be given.
+    loss:
+        Custom objective ``seasonal -> scalar`` receiving the final year's
+        :class:`~energybalancemodel_jl_tpu.solutions.Seasonal` store (use
+        ``jnp.nan_to_num`` on ``T``/``Ti``/``Tw`` — NaN is presentation).
+    vary:
+        Parameter names to optimize; all must exist in ``par``. Every other
+        parameter is held fixed.
+    steps, learning_rate, optimizer:
+        ``optimizer`` is any optax gradient transformation (default
+        ``optax.adam(learning_rate)``); ``steps`` update steps are run.
+    dtype:
+        float64 (default) is strongly recommended: f32 gradient noise from
+        the Newton solve is comparable to small parameter sensitivities.
+
+    Returns a :class:`CalibrationResult`. The forward model is the same
+    ``make_year_fn`` graph ``integrate(engine='scan')`` runs — fitted
+    parameters reproduce under the standard driver.
+    """
+    import optax
+
+    if (target is None) == (loss is None):
+        raise ValueError("pass exactly one of target= or loss=")
+    spec = get_model(model)
+    missing = [n for n in vary if n not in par]
+    if missing:
+        raise ValueError(f"vary names {missing} not in par")
+    if target is not None:
+        unknown = [k for k in target if k not in spec.solution_vars]
+        if unknown:
+            raise ValueError(
+                f"target variables {unknown} not in {spec.solution_vars}"
+            )
+        loss = _default_loss(target)
+
+    from .integrate import make_year_fn
+
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64:
+        cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9,
+                         newton_max_iter=newton_max_iter)
+    else:
+        cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4,
+                         newton_max_step=50.0, newton_max_iter=newton_max_iter)
+    year = make_year_fn(model, st, cfg, dtype.name, False)
+    f_tab = jnp.asarray(forcing.table(st), dtype=dtype)
+    base = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    init_carry = spec.init_carry(init, st, dtype)
+
+    def objective(theta):
+        p = Collection(base)
+        for n in vary:
+            p[n] = theta[n]
+        carry = init_carry
+
+        def body(c, frow):
+            c, seasonal, _conv, _ = year(c, p, frow)
+            return c, seasonal
+
+        carry, seasons = jax.lax.scan(body, carry, f_tab)
+        final = jax.tree_util.tree_map(lambda v: v[-1], seasons)
+        return loss(final)
+
+    theta0 = Collection({n: jnp.asarray(par[n], dtype=dtype) for n in vary})
+    opt = optax.adam(learning_rate) if optimizer is None else optimizer
+    opt_state = opt.init(dict(theta0))
+
+    @jax.jit
+    def update(theta, opt_state):
+        val, grads = jax.value_and_grad(objective)(theta)
+        updates, opt_state = opt.update(grads, opt_state, theta)
+        theta = optax.apply_updates(theta, updates)
+        return theta, opt_state, val, grads
+
+    theta = dict(theta0)
+    losses = []
+    grads = {n: jnp.zeros((), dtype) for n in vary}
+    for _ in range(int(steps)):
+        theta, opt_state, val, grads = update(theta, opt_state)
+        losses.append(val)
+    losses = np.asarray(jax.device_get(losses), dtype=np.float64)
+    theta, grads = jax.device_get((theta, grads))
+    fitted = Collection({k: np.asarray(v) for k, v in theta.items()})
+    full = Collection({k: np.asarray(v) for k, v in par.items()})
+    full.update(fitted)
+    return CalibrationResult(
+        params=fitted,
+        par=full,
+        losses=losses,
+        grads=Collection({k: np.asarray(v) for k, v in grads.items()}),
+    )
