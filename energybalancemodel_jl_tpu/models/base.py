@@ -39,6 +39,12 @@ class StepConfig:
     newton_max_step: float = None  # trust-region-style step cap (float32 safeguard)
     verbose: bool = False  # warn on Newton non-convergence (reference :61-63)
     spatial_axis: str = None  # mesh axis name when the grid axis is sharded
+    # member-axis mesh name under a 2-D (members x grid) mesh: the Newton
+    # loop CONDITION is then OR-reduced over it so every device runs the
+    # same trip count (per-member norms/tolerances untouched) — divergent
+    # while_loop counts across member rows deadlock runtimes whose
+    # collective rendezvous is global
+    batch_axis: str = None
     # which array axis holds the grid: -1 (default, x on lanes) or 0 (the
     # transposed fused-year kernel: x on sublanes, members on lanes)
     grid_axis: int = -1

@@ -141,6 +141,7 @@ def _newton_root(T0_warm, args, cfg: StepConfig):
         max_iter=cfg.newton_max_iter,
         method=_solver_method(cfg),
         axis_name=cfg.spatial_axis,
+        cond_axis_name=cfg.batch_axis,
         axis=cfg.grid_axis,
         # float32 config caps the update: physical surface temperatures move
         # by at most a few K per step from a warm start, and the cap keeps

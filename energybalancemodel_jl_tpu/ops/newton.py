@@ -28,6 +28,7 @@ def newton_tridiag(
     method: str = "pcr",
     max_step: float = None,
     axis_name: str = None,
+    cond_axis_name: str = None,
     axis: int = -1,
 ):
     """Solve ``r(x) = 0`` where ``J = dr/dx`` is tridiagonal.
@@ -52,6 +53,15 @@ def newton_tridiag(
         Optional elementwise cap on the Newton update — trust-region-style
         safeguard against float32 blow-ups on ill-conditioned iterates
         (the reference's TrustRegion bounds its steps the same way).
+    cond_axis_name:
+        Extra mesh axis the LOOP CONDITION is OR-reduced over — a 2-D
+        (members x grid) mesh passes its member axis so every device runs
+        the same trip count (divergent ``while_loop`` counts across member
+        rows deadlock runtimes with a global collective rendezvous; the
+        unsharded batched engine's single ``jnp.any`` over all members has
+        the same global-trip-count semantics). Per-member norms,
+        tolerances, and the returned ``converged`` flags are untouched —
+        members of other rows only keep the loop alive.
     axis:
         System axis of the tridiagonal Jacobian (default last; the
         transposed fused-year kernel solves along the sublane axis 0).
@@ -76,7 +86,10 @@ def newton_tridiag(
 
     def cond(state):
         _, _, _, it, rnorm = state
-        return jnp.logical_and(it < max_iter, jnp.any(rnorm > tol))
+        go = jnp.any(rnorm > tol)
+        if cond_axis_name is not None:
+            go = lax.pmax(go.astype(jnp.int32), cond_axis_name) > 0
+        return jnp.logical_and(it < max_iter, go)
 
     def body(state):
         # the residual/Jacobian of the current iterate are carried from the

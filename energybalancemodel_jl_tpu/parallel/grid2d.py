@@ -1,0 +1,253 @@
+"""2-D mesh integration: ensemble members x grid decomposition.
+
+Composes the two parallelism modes this framework scales with into one
+``(k, x)`` device mesh (the scaling-book recipe — pick a mesh, annotate
+shardings, let XLA insert the collectives):
+
+- the **member axis** ``k`` is pure data parallelism: members are
+  independent, so no collective ever crosses member rows;
+- the **grid axis** ``x`` is domain decomposition: halo ``ppermute`` for
+  the 3-point diffusion stencil and the distributed SPIKE tridiagonal
+  solver (:mod:`..ops.spike`) inside the Newton iteration, exactly as in
+  :func:`~energybalancemodel_jl_tpu.parallel.spatial.spatial_integrate`.
+
+This covers the regime neither 1-D layout reaches: ensembles of runs whose
+grids are individually too large for one device (nx >> 1e4 bifurcation
+scans). The physics code is untouched — the batch-native steps are
+shape-polymorphic over the leading member axis, and the local shard code is
+shared with the 1-D spatial path (``_make_spatial_year_fn(k_axis=...)``).
+
+Parity: a ``(2, 4)``-mesh run equals the unsharded batch-native ensemble to
+~1e-11 (tests/test_grid2d.py; the SPIKE interface solve reorders a few
+reductions, same bound as the 1-D spatial path).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..forcing import Forcing
+from ..integrate import default_dtype
+from ..models.base import default_step_config, get_model
+from ..solutions import Seasonal
+from ..spacetime import SpaceTime
+from ..utils.collection import Collection
+from ..utils.progress import Progress
+from .ensemble import TABLE_PARAMS, EnsembleSolutions, _augment_batched
+from .spatial import _make_spatial_year_fn
+
+__all__ = ["ensemble_spatial_integrate", "grid2d_mesh"]
+
+
+def grid2d_mesh(nk: Optional[int] = None, ndx: Optional[int] = None,
+                k_axis: str = "k", axis: str = "x") -> Mesh:
+    """``(nk, ndx)`` device mesh: member rows x grid columns. Defaults split
+    the available devices into two member rows."""
+    devs = jax.devices()
+    if nk is None and ndx is None:
+        nk = 2 if len(devs) % 2 == 0 and len(devs) > 1 else 1
+    if nk is None:
+        nk = len(devs) // ndx
+    if ndx is None:
+        ndx = len(devs) // nk
+    n = nk * ndx
+    if n > len(devs):
+        raise ValueError(f"mesh {nk}x{ndx} needs {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(nk, ndx), (k_axis, axis))
+
+
+def _leaf_specs(coll: Collection, K: int, nx: int, k_axis: str, axis: str):
+    """Partition specs for a statics/parameter Collection: a leading axis of
+    size ``K`` shards over members, a trailing axis of size ``nx`` over the
+    grid; everything else replicates."""
+    def spec(v):
+        ndim = jnp.ndim(v)
+        if ndim == 0:
+            return P()
+        shape = jnp.shape(v)
+        first = k_axis if shape[0] == K else None
+        last = axis if ndim >= 1 and shape[-1] == nx else None
+        if ndim == 1:
+            return P(first or last)
+        return P(first, *([None] * (ndim - 2)), last)
+    return Collection({k: spec(v) for k, v in coll.items()})
+
+
+def ensemble_spatial_integrate(
+    model: str,
+    st: SpaceTime,
+    forcing: Forcing,
+    par: Collection,
+    init: Collection,
+    mesh: Optional[Mesh] = None,
+    k_axis: str = "k",
+    axis: str = "x",
+    n_members: Optional[int] = None,
+    raw_mode: str = "none",
+    dtype=None,
+    verbose: bool = False,
+    newton_max_iter: int = 30,
+    progress: Optional[bool] = None,
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+) -> EnsembleSolutions:
+    """Integrate a parameter ensemble with members AND the grid sharded over
+    a 2-D mesh.
+
+    ``par`` leaves of shape ``(K,)`` sweep across members (insolation-table
+    parameters cannot be swept here — their statics would materialize a
+    per-member table); ``init`` leaves ``(nx,)`` are shared, ``(K, nx)``
+    per-member. ``K`` must divide over the mesh's member rows and ``nx``
+    over its grid columns. Driver semantics (``raw_mode``, ``verbose``
+    Newton warnings, progress, per-year checkpoint/resume) match
+    :func:`~energybalancemodel_jl_tpu.parallel.ensemble.ensemble_integrate`;
+    the checkpoint key includes the mesh shape (SPIKE partitioning compiles
+    a different graph per device count).
+    """
+    spec = get_model(model)
+    if mesh is None:
+        mesh = grid2d_mesh(k_axis=k_axis, axis=axis)
+    nk = mesh.shape[k_axis]
+    ndx = mesh.shape[axis]
+    if st.nx % ndx != 0:
+        raise ValueError(f"nx={st.nx} must divide evenly over {ndx} grid columns")
+    if raw_mode not in ("none", "last", "all"):
+        raise ValueError(
+            f"raw_mode must be 'none'|'last'|'all', got {raw_mode!r}"
+        )
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+
+    par = Collection(par)
+    K = par.pop("__K__", None) or n_members
+    if K is None:
+        sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
+        sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
+        if len(sizes) != 1:
+            raise ValueError("Cannot infer ensemble size; pass n_members")
+        K = sizes.pop()
+    K = int(K)
+    if K % nk != 0:
+        raise ValueError(f"K={K} must divide evenly over {nk} member rows")
+    swept_tables = [k for k, v in par.items()
+                    if k in TABLE_PARAMS and np.ndim(v) > 0]
+    if swept_tables:
+        raise ValueError(
+            f"cannot sweep insolation-table parameters {swept_tables} on the "
+            "2-D mesh (per-member statics tables); use ensemble_integrate"
+        )
+    par_user = Collection(par)
+
+    cfg = default_step_config(
+        dtype.name, newton_max_iter=newton_max_iter, verbose=verbose,
+        spatial_axis=axis, batch_axis=k_axis,
+    )
+    par_j = _augment_batched(
+        Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    )
+    stat = jax.jit(lambda p: spec.statics(st, p, dtype))(par_j)
+    sspecs = _leaf_specs(stat, K, st.nx, k_axis, axis)
+    pspecs = _leaf_specs(par_j, K, st.nx, k_axis, axis)
+    run_seasonal = _make_spatial_year_fn(
+        spec, st, cfg, dtype, False, mesh, axis, sspecs, k_axis, pspecs
+    )
+    run_full = _make_spatial_year_fn(
+        spec, st, cfg, dtype, True, mesh, axis, sspecs, k_axis, pspecs
+    )
+
+    carry = spec.init_carry(init, st, dtype)
+    carry = Collection({
+        k: (v if jnp.ndim(v) > 1 else jnp.broadcast_to(v, (K,) + v.shape))
+        for k, v in carry.items()
+    })
+    f_tab = forcing.table(st)
+
+    raw_chunks = []
+    start_year = 0
+    winter_acc, summer_acc, avg_acc = [], [], []
+    ckpt_key = ""
+    if checkpoint is not None:
+        from .. import checkpoint as ckpt_mod
+
+        ckpt_key = ckpt_mod.config_key(
+            f"grid2d{nk}x{ndx}", spec.name, st, forcing, par_user, dtype.name,
+            "pcr", newton_max_iter, (f"K={K}",),
+        )
+        carry, start_year, winter_acc, summer_acc, avg_acc = (
+            ckpt_mod.resume_state(
+                checkpoint, ckpt_key, resume, raw_mode, st.dur,
+                lambda v: jnp.asarray(v, dtype=dtype), carry,
+            )
+        )
+        _ckpt_write = ckpt_mod.year_writer(
+            checkpoint, ckpt_key,
+            lambda: (carry, (winter_acc, summer_acc, avg_acc)),
+        )
+
+    if progress is None:
+        progress = True
+    prog = Progress(
+        st.dur,
+        "Integrating ensemble (2-D mesh)",
+        infofeed=lambda yy: f"year {int(yy)}/{st.dur}, {K} members x {ndx} shards",
+    ) if progress else None
+    if prog is not None and start_year:
+        prog.update(start_year, feedargs=(start_year,))
+
+    import warnings as _warnings
+
+    for y in range(start_year, st.dur):
+        collect = raw_mode == "all" or (raw_mode == "last" and y == st.dur - 1)
+        fn = run_full if collect else run_seasonal
+        carry, seasonal, conv, ys = fn(carry, par_j, f_tab[y], stat)
+        winter_acc.append(seasonal.winter)
+        summer_acc.append(seasonal.summer)
+        avg_acc.append(seasonal.avg)
+        if collect:
+            raw_chunks.append(ys)
+        if verbose:
+            if not np.asarray(conv).all():
+                _warnings.warn(f"Solving for T0 failed in year {y + 1}.")
+        if checkpoint is not None and (
+            (y + 1) % max(checkpoint_every, 1) == 0 or y == st.dur - 1
+        ):
+            _ckpt_write(y + 1)
+        if prog is not None:
+            prog.update(y + 1, feedargs=(y + 1,))
+
+    varnames = list(spec.solution_vars)
+    raw_chunks, winter_acc, summer_acc, avg_acc = jax.device_get(
+        (raw_chunks, winter_acc, summer_acc, avg_acc)
+    )
+    raw = None
+    if raw_chunks:
+        # per-year blocks are (nt, K, nx): concatenate time, members first
+        raw = Collection({
+            k: np.swapaxes(
+                np.concatenate([np.asarray(c[k]) for c in raw_chunks], axis=0),
+                0, 1,
+            )
+            for k in varnames
+        })
+
+    def stack(acc):
+        # per-year leaves are (K, nx): member-leading (K, dur, nx)
+        return Collection(
+            {k: np.stack([np.asarray(c[k]) for c in acc], axis=1)
+             for k in varnames}
+        )
+
+    return EnsembleSolutions(
+        spacetime=st,
+        forcing=forcing,
+        parameters=par_user,
+        n_members=K,
+        seasonal=Seasonal(stack(winter_acc), stack(summer_acc), stack(avg_acc)),
+        raw=raw,
+    )

@@ -51,12 +51,27 @@ def _stat_specs(stat: Collection, nx: int, axis: str) -> Collection:
 
 
 def _make_spatial_year_fn(spec, st, cfg: StepConfig, dtype, collect_raw: bool,
-                          mesh: Mesh, axis: str, stat_specs: Collection):
+                          mesh: Mesh, axis: str, stat_specs: Collection,
+                          k_axis: Optional[str] = None,
+                          par_specs=None):
     """shard_map-wrapped one-year scan over a grid-sharded carry.
 
     Statics are computed outside and passed in sharded; the physics step is
     the shared model code with ``cfg.spatial_axis`` set (halo-exchange
     stencils + SPIKE solves).
+
+    With ``k_axis`` set (2-D mesh, :mod:`.grid2d`), carry leaves are
+    ``(K, nx)`` member batches sharded ``P(k_axis, axis)`` — the physics
+    steps are shape-polymorphic over the leading member axis (the
+    batch-native ensemble engine's property), and every data collective
+    inside (halo ``ppermute``, SPIKE ``all_gather``, Newton-norm ``pmax``)
+    spans only the grid axis. The one cross-row reduction is the Newton
+    loop CONDITION (``cfg.batch_axis``), which keeps the ``while_loop``
+    trip count identical on every device — divergent trip counts across
+    member rows deadlock runtimes whose collective rendezvous is global
+    (observed on the XLA CPU backend), and the unsharded batched engine's
+    single ``jnp.any`` over all members has the same trip-count semantics
+    anyway.
     """
     w0 = st.winter_inx - 1
     s0 = st.summer_inx - 1
@@ -91,7 +106,7 @@ def _make_spatial_year_fn(spec, st, cfg: StepConfig, dtype, collect_raw: bool,
                 jnp.minimum(conv0, jnp.min(conv_rest)) if has_conv
                 else jnp.asarray(1.0, dtype)
             )
-            conv = lax.pmin(conv, axis)  # provably replicated for out_specs P()
+            conv = lax.pmin(conv, conv_axes)  # provably replicated for P()
             return carry, seasonal, conv, ys
 
         def seasonal_step(state, x):
@@ -120,18 +135,26 @@ def _make_spatial_year_fn(spec, st, cfg: StepConfig, dtype, collect_raw: bool,
             winter=wint, summer=summ,
             avg=Collection({k: v / st.nt for k, v in acc.items()}),
         )
-        conv = lax.pmin(conv, axis)  # provably replicated for out_specs P()
+        conv = lax.pmin(conv, conv_axes)  # provably replicated for P()
         return carry, seasonal, conv, None
 
+    conv_axes = axis if k_axis is None else (k_axis, axis)
+    state_spec = P(axis) if k_axis is None else P(k_axis, axis)
+    raw_spec = P(None, axis) if k_axis is None else P(None, k_axis, axis)
     sm = shard_map(
         local_year,
         mesh=mesh,
-        in_specs=(P(axis), P(), P(), stat_specs),
+        in_specs=(
+            state_spec,  # carry leaves (broadcast over the pytree)
+            P() if par_specs is None else par_specs,
+            P(),
+            stat_specs,
+        ),
         out_specs=(
-            P(axis),  # carry leaves (broadcast over the pytree)
-            Seasonal(winter=P(axis), summer=P(axis), avg=P(axis)),
+            state_spec,
+            Seasonal(winter=state_spec, summer=state_spec, avg=state_spec),
             P(),  # converged (replicated: Newton norms are pmax-reduced)
-            P(None, axis) if collect_raw else P(),
+            raw_spec if collect_raw else P(),
         ),
     )
     return jax.jit(sm)
