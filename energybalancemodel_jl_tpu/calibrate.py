@@ -41,14 +41,15 @@ the classic OLR constant to 1e-3 from 3 W/m^2 away).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, Optional, Sequence, Union
+import warnings
+from typing import Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .forcing import Forcing
-from .models.base import StepConfig, get_model
+from .models.base import default_step_config, get_model
 from .spacetime import SpaceTime
 from .utils.collection import Collection
 
@@ -72,6 +73,8 @@ class CalibrationResult:
 
     def __repr__(self):
         fitted = ", ".join(f"{k}={float(v):.6g}" for k, v in self.params.items())
+        if len(self.losses) == 0:  # steps=0: plumbing-only call
+            return f"CalibrationResult({fitted}; 0 steps)"
         return (
             f"CalibrationResult({fitted}; loss {self.losses[0]:.3e} -> "
             f"{self.losses[-1]:.3e} in {len(self.losses)} steps)"
@@ -80,8 +83,11 @@ class CalibrationResult:
 
 def _default_loss(target: Dict[str, np.ndarray]):
     """Mean-squared misfit of final-year seasonal annual means against
-    ``target`` fields (NaN presentation values contribute zero)."""
-    tgt = {k: jnp.asarray(v) for k, v in target.items()}
+    ``target`` fields. NaN presentation values (``T``/``Ti``/``Tw`` over
+    ice-free/ice-covered cells) contribute zero on BOTH sides — a target
+    taken from a prior run's ``seasonal.avg`` contains them, and a single
+    un-zeroed NaN would poison the loss and every gradient."""
+    tgt = {k: jnp.nan_to_num(jnp.asarray(v)) for k, v in target.items()}
 
     def loss(seasonal):
         total = 0.0
@@ -106,7 +112,7 @@ def calibrate(
     learning_rate: float = 1e-2,
     optimizer=None,
     newton_max_iter: int = 30,
-    dtype=jnp.float64,
+    dtype=None,
 ) -> CalibrationResult:
     """Fit the parameters named in ``vary`` so the run's final-year seasonal
     diagnostics match ``target`` (or minimize a custom ``loss``).
@@ -129,8 +135,12 @@ def calibrate(
         ``optimizer`` is any optax gradient transformation (default
         ``optax.adam(learning_rate)``); ``steps`` update steps are run.
     dtype:
-        float64 (default) is strongly recommended: f32 gradient noise from
-        the Newton solve is comparable to small parameter sensitivities.
+        Defaults to :func:`~energybalancemodel_jl_tpu.integrate.default_dtype`
+        — float64 when x64 is enabled (strongly recommended: f32 gradient
+        noise from the Newton solve is comparable to small parameter
+        sensitivities; a float32 resolution warns). Explicit float64
+        without ``jax_enable_x64`` raises — JAX would silently downcast
+        the arrays while the f64 Newton tolerances stayed unreachable.
 
     Returns a :class:`CalibrationResult`. The forward model is the same
     ``make_year_fn`` graph ``integrate(engine='scan')`` runs — fitted
@@ -152,15 +162,27 @@ def calibrate(
             )
         loss = _default_loss(target)
 
-    from .integrate import make_year_fn
+    from .integrate import default_dtype, make_year_fn
 
+    if dtype is None:
+        dtype = default_dtype()
+        if dtype != jnp.float64:
+            warnings.warn(
+                "calibrating in float32 (x64 disabled): f32 Newton-solve "
+                "gradient noise is comparable to small parameter "
+                "sensitivities — enable jax_enable_x64 for reliable fits"
+            )
     dtype = jnp.dtype(dtype)
-    if dtype == jnp.float64:
-        cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9,
-                         newton_max_iter=newton_max_iter)
-    else:
-        cfg = StepConfig(newton_abstol=0.5, newton_reltol=1e-4,
-                         newton_max_step=50.0, newton_max_iter=newton_max_iter)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype=float64 requires jax_enable_x64 — without it JAX silently "
+            "downcasts the arrays to float32 while the float64 Newton "
+            "tolerances stay unreachable (every solve would spin to "
+            "max_iter); enable x64 or pass dtype='float32'"
+        )
+    # same per-dtype tolerance table as every driver, so fitted parameters
+    # reproduce under integrate() exactly
+    cfg = default_step_config(dtype.name, newton_max_iter=newton_max_iter)
     year = make_year_fn(model, st, cfg, dtype.name, False)
     f_tab = jnp.asarray(forcing.table(st), dtype=dtype)
     base = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})

@@ -21,7 +21,6 @@ Differences from the reference, by design:
 from __future__ import annotations
 
 import functools
-import os
 import warnings
 from typing import Callable, Optional
 

@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import hashlib
 import itertools
-import os
-import warnings
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -27,7 +24,7 @@ from jax import lax
 
 from ..forcing import Forcing
 from ..integrate import _split_chunks, default_dtype, make_year_fn
-from ..models.base import StepConfig, default_step_config, get_model
+from ..models.base import default_step_config, get_model
 from ..solutions import Seasonal
 from ..spacetime import SpaceTime
 from ..utils.collection import Collection
@@ -187,6 +184,23 @@ def _native_year_fn(model_name, st, cfg, dtype_name, collect_raw, donate):
     return jax.jit(fn, donate_argnums=(0,) if donate else ())
 
 
+def _check_raw_all_budget(K, st, n_vars: int, itemsize: int,
+                          raw_memory_limit: int) -> None:
+    """Up-front guard for ``raw_mode='all'``: full per-step trajectories for
+    every member (reference sweep semantics,
+    /root/reference/src/infrastructure.jl:352-356) are only sane for small
+    ensembles — fail fast instead of OOMing deep into a run."""
+    est = int(K) * st.dur * st.nt * st.nx * n_vars * itemsize
+    if est > raw_memory_limit:
+        raise ValueError(
+            f"raw_mode='all' would materialize "
+            f"K*dur*nt*nx*{n_vars} vars ≈ {est / 2**30:.2f} GiB of raw "
+            f"trajectories (limit {raw_memory_limit / 2**30:.2f} GiB); "
+            "use raw_mode='last'/'none', shrink the ensemble, or raise "
+            "raw_memory_limit"
+        )
+
+
 def _augment_batched(par: Collection) -> Collection:
     """Give (K,)-batched parameter leaves a trailing axis so they broadcast
     against (K, nx) state inside the batch-native step."""
@@ -272,20 +286,8 @@ def ensemble_integrate(
             raise ValueError("Cannot infer ensemble size; pass n_members")
         K = sizes.pop()
     if raw_mode == "all":
-        # full per-step trajectories for every member (reference sweep
-        # semantics, /root/reference/src/infrastructure.jl:352-356) — only
-        # sane for small K; guard the host/device memory footprint up front
-        n_vars = len(spec.solution_vars)
-        est = (int(K) * st.dur * st.nt * st.nx * n_vars
-               * jnp.dtype(dtype).itemsize)
-        if est > raw_memory_limit:
-            raise ValueError(
-                f"raw_mode='all' would materialize "
-                f"K*dur*nt*nx*{n_vars} vars ≈ {est / 2**30:.2f} GiB of raw "
-                f"trajectories (limit {raw_memory_limit / 2**30:.2f} GiB); "
-                "use raw_mode='last'/'none', shrink the ensemble, or raise "
-                "raw_memory_limit"
-            )
+        _check_raw_all_budget(K, st, len(spec.solution_vars),
+                              jnp.dtype(dtype).itemsize, raw_memory_limit)
     par_user = Collection(par)  # stored/checkpoint-keyed, incl. virtual "F"
     # virtual sweep parameter "F": a per-member constant added to the climate
     # forcing (the WE15 bifurcation axis, reference plot_seasonal studies) —

@@ -37,7 +37,12 @@ from ..solutions import Seasonal
 from ..spacetime import SpaceTime
 from ..utils.collection import Collection
 from ..utils.progress import Progress
-from .ensemble import TABLE_PARAMS, EnsembleSolutions, _augment_batched
+from .ensemble import (
+    TABLE_PARAMS,
+    EnsembleSolutions,
+    _augment_batched,
+    _check_raw_all_budget,
+)
 from .spatial import _make_spatial_year_fn
 
 __all__ = ["ensemble_spatial_integrate", "grid2d_mesh"]
@@ -63,16 +68,22 @@ def grid2d_mesh(nk: Optional[int] = None, ndx: Optional[int] = None,
 def _leaf_specs(coll: Collection, K: int, nx: int, k_axis: str, axis: str):
     """Partition specs for a statics/parameter Collection: a leading axis of
     size ``K`` shards over members, a trailing axis of size ``nx`` over the
-    grid; everything else replicates."""
+    grid; everything else replicates. A 1-D leaf prefers the GRID reading
+    when ``K == nx`` — every 1-D statics leaf is grid-shaped (per-member
+    parameters enter as ``(K, 1)`` columns), so the member reading would
+    shard a grid row across member rows and silently compute with wrong
+    chunks (review r2)."""
     def spec(v):
         ndim = jnp.ndim(v)
         if ndim == 0:
             return P()
         shape = jnp.shape(v)
-        first = k_axis if shape[0] == K else None
-        last = axis if ndim >= 1 and shape[-1] == nx else None
         if ndim == 1:
-            return P(first or last)
+            if shape[-1] == nx:
+                return P(axis)
+            return P(k_axis if shape[0] == K else None)
+        first = k_axis if shape[0] == K else None
+        last = axis if shape[-1] == nx else None
         return P(first, *([None] * (ndim - 2)), last)
     return Collection({k: spec(v) for k, v in coll.items()})
 
@@ -88,6 +99,7 @@ def ensemble_spatial_integrate(
     axis: str = "x",
     n_members: Optional[int] = None,
     raw_mode: str = "none",
+    raw_memory_limit: int = 2 * 2**30,
     dtype=None,
     verbose: bool = False,
     newton_max_iter: int = 30,
@@ -99,10 +111,11 @@ def ensemble_spatial_integrate(
     """Integrate a parameter ensemble with members AND the grid sharded over
     a 2-D mesh.
 
-    ``par`` leaves of shape ``(K,)`` sweep across members (insolation-table
-    parameters cannot be swept here — their statics would materialize a
-    per-member table); ``init`` leaves ``(nx,)`` are shared, ``(K, nx)``
-    per-member. ``K`` must divide over the mesh's member rows and ``nx``
+    ``par`` leaves of shape ``(K,)`` sweep across members, including the
+    virtual forcing-offset key ``"F"`` (realized as per-member forcing
+    rows, as in ``ensemble_integrate``); insolation-table parameters
+    cannot be swept here — their statics would materialize a per-member
+    table. ``init`` leaves ``(nx,)`` are shared, ``(K, nx)`` per-member. ``K`` must divide over the mesh's member rows and ``nx``
     over its grid columns. Driver semantics (``raw_mode``, ``verbose``
     Newton warnings, progress, per-year checkpoint/resume) match
     :func:`~energybalancemodel_jl_tpu.parallel.ensemble.ensemble_integrate`;
@@ -142,7 +155,16 @@ def ensemble_spatial_integrate(
             f"cannot sweep insolation-table parameters {swept_tables} on the "
             "2-D mesh (per-member statics tables); use ensemble_integrate"
         )
+    if raw_mode == "all":
+        _check_raw_all_budget(K, st, len(spec.solution_vars),
+                              jnp.dtype(dtype).itemsize, raw_memory_limit)
     par_user = Collection(par)
+    # virtual sweep parameter "F": a per-member constant forcing offset (the
+    # WE15 bifurcation axis) — no model reads par["F"], so it must become
+    # per-member forcing-table rows, exactly as in ensemble_integrate
+    F_off = par.pop("F", None)
+    if F_off is not None and np.ndim(F_off) == 0:
+        F_off = np.full((K,), float(F_off))
 
     cfg = default_step_config(
         dtype.name, newton_max_iter=newton_max_iter, verbose=verbose,
@@ -154,11 +176,14 @@ def ensemble_spatial_integrate(
     stat = jax.jit(lambda p: spec.statics(st, p, dtype))(par_j)
     sspecs = _leaf_specs(stat, K, st.nx, k_axis, axis)
     pspecs = _leaf_specs(par_j, K, st.nx, k_axis, axis)
+    f_spec = None if F_off is None else P(None, k_axis, None)
     run_seasonal = _make_spatial_year_fn(
-        spec, st, cfg, dtype, False, mesh, axis, sspecs, k_axis, pspecs
+        spec, st, cfg, dtype, False, mesh, axis, sspecs, k_axis, pspecs,
+        f_spec,
     )
     run_full = _make_spatial_year_fn(
-        spec, st, cfg, dtype, True, mesh, axis, sspecs, k_axis, pspecs
+        spec, st, cfg, dtype, True, mesh, axis, sspecs, k_axis, pspecs,
+        f_spec,
     )
 
     carry = spec.init_carry(init, st, dtype)
@@ -166,7 +191,11 @@ def ensemble_spatial_integrate(
         k: (v if jnp.ndim(v) > 1 else jnp.broadcast_to(v, (K,) + v.shape))
         for k, v in carry.items()
     })
-    f_tab = forcing.table(st)
+    f_tab = forcing.table(st)  # (dur, nt)
+    if F_off is not None:
+        # per-member rows, time leading with a trailing broadcast axis so
+        # each step's forcing is a (K, 1) column against (K, nx) state
+        f_tab = f_tab[:, :, None, None] + np.asarray(F_off)[None, None, :, None]
 
     raw_chunks = []
     start_year = 0

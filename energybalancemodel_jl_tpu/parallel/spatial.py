@@ -11,7 +11,6 @@ the neighbor exchange and solver dispatch differ (``StepConfig.spatial_axis``).
 """
 from __future__ import annotations
 
-import os
 import warnings
 from typing import Optional
 
@@ -53,7 +52,7 @@ def _stat_specs(stat: Collection, nx: int, axis: str) -> Collection:
 def _make_spatial_year_fn(spec, st, cfg: StepConfig, dtype, collect_raw: bool,
                           mesh: Mesh, axis: str, stat_specs: Collection,
                           k_axis: Optional[str] = None,
-                          par_specs=None):
+                          par_specs=None, f_spec=None):
     """shard_map-wrapped one-year scan over a grid-sharded carry.
 
     Statics are computed outside and passed in sharded; the physics step is
@@ -147,7 +146,8 @@ def _make_spatial_year_fn(spec, st, cfg: StepConfig, dtype, collect_raw: bool,
         in_specs=(
             state_spec,  # carry leaves (broadcast over the pytree)
             P() if par_specs is None else par_specs,
-            P(),
+            P() if f_spec is None else f_spec,  # forcing: shared (nt,) row,
+            # or (nt, K, 1) per-member rows for the virtual "F" sweep
             stat_specs,
         ),
         out_specs=(

@@ -73,6 +73,47 @@ class TestCalibrate:
                             vary=("A",), steps=80, learning_rate=0.5)
         assert res.losses[-1] < 1e-3 * res.losses[0]
 
+    def test_nan_target_is_harmless(self):
+        """The module's own usage example passes a T target; seasonal avg T
+        carries presentation NaNs — they must contribute zero, not poison
+        the loss (review r2)."""
+        st, base, init = classic_setup()
+        target = {"T": np.full(st.nx, np.nan)}
+        res = ebm.calibrate("Classic", st, ebm.Forcing(0.0),
+                            ebm.Collection(base), init, target=target,
+                            vary=("A",), steps=2, learning_rate=0.01)
+        assert np.isfinite(res.losses).all()
+        assert np.isfinite(float(res.params["A"]))
+
+    def test_steps_zero_repr(self):
+        st, base, init = classic_setup()
+        res = ebm.calibrate("Classic", st, ebm.Forcing(0.0),
+                            ebm.Collection(base), init,
+                            target={"E": np.zeros(st.nx)}, vary=("A",),
+                            steps=0)
+        assert "0 steps" in repr(res)
+        assert float(res.params["A"]) == float(base["A"])
+
+    def test_explicit_f64_without_x64_raises(self, monkeypatch):
+        from types import SimpleNamespace
+
+        import sys
+
+        # the package exports the FUNCTION under the same name, shadowing
+        # the submodule attribute — resolve the module via sys.modules
+        cal_mod = sys.modules["energybalancemodel_jl_tpu.calibrate"]
+
+        st, base, init = classic_setup()
+        # jax.config.jax_enable_x64 has no setter; stub the module's view
+        monkeypatch.setattr(
+            cal_mod, "jax",
+            SimpleNamespace(config=SimpleNamespace(jax_enable_x64=False)),
+        )
+        with pytest.raises(ValueError, match="jax_enable_x64"):
+            ebm.calibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                          target={"E": np.zeros(st.nx)}, vary=("A",),
+                          dtype="float64")
+
     def test_validation(self):
         st, base, init = classic_setup()
         with pytest.raises(ValueError, match="exactly one"):

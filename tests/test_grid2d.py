@@ -110,6 +110,54 @@ class TestGrid2D:
                 np.nan_to_num(full.seasonal.avg[k]), err_msg=k,
             )
 
+    def test_virtual_F_sweep_matches_ensemble(self):
+        """The virtual forcing-offset sweep 'F' must be realized as
+        per-member forcing rows, exactly as in ensemble_integrate — no
+        model reads par['F'], so passing it through would silently return
+        identical members (review r2)."""
+        par = ebm.Collection(PAR)
+        par["F"] = np.linspace(-1.0, 3.0, 6)
+        init = ebm.zeros_init(ST)
+        ens = ensemble_integrate("MIZ", ST, ebm.Forcing(0.0), par, init,
+                                 engine="batched", progress=False)
+        ens2 = ensemble_spatial_integrate(
+            "MIZ", ST, ebm.Forcing(0.0), par, init, mesh=grid2d_mesh(2, 4),
+            progress=False,
+        )
+        E = np.nan_to_num(np.asarray(ens2.seasonal.avg["E"]))
+        # members must differ (F applied) and match the 1-D ensemble
+        assert np.abs(E[0] - E[-1]).max() > 1.0
+        np.testing.assert_allclose(
+            E, np.nan_to_num(np.asarray(ens.seasonal.avg["E"])),
+            rtol=1e-10, atol=1e-11,
+        )
+        # scalar F is a shared offset, also applied
+        par_s = ebm.Collection(PAR)
+        par_s["F"] = 2.0
+        par_v = ebm.Collection(PAR)
+        par_v["F"] = np.full(6, 2.0)
+        e_s = ensemble_spatial_integrate(
+            "MIZ", ST, ebm.Forcing(0.0), par_s, init, n_members=6,
+            mesh=grid2d_mesh(2, 4), progress=False,
+        )
+        e_v = ensemble_spatial_integrate(
+            "MIZ", ST, ebm.Forcing(0.0), par_v, init,
+            mesh=grid2d_mesh(2, 4), progress=False,
+        )
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(e_s.seasonal.avg["E"])),
+            np.nan_to_num(np.asarray(e_v.seasonal.avg["E"])),
+        )
+
+    def test_raw_all_budget_guard(self):
+        par = swept_par()
+        with pytest.raises(ValueError, match="raw_memory_limit"):
+            ensemble_spatial_integrate(
+                "MIZ", ST, ebm.Forcing(0.0), par, ebm.zeros_init(ST),
+                mesh=grid2d_mesh(2, 4), raw_mode="all", raw_memory_limit=64,
+                progress=False,
+            )
+
     def test_validation(self):
         par = swept_par()
         init = ebm.zeros_init(ST)
