@@ -83,17 +83,23 @@ class CalibrationResult:
 
 def _default_loss(target: Dict[str, np.ndarray]):
     """Mean-squared misfit of final-year seasonal annual means against
-    ``target`` fields. NaN presentation values (``T``/``Ti``/``Tw`` over
-    ice-free/ice-covered cells) contribute zero on BOTH sides — a target
-    taken from a prior run's ``seasonal.avg`` contains them, and a single
-    un-zeroed NaN would poison the loss and every gradient."""
-    tgt = {k: jnp.nan_to_num(jnp.asarray(v)) for k, v in target.items()}
+    ``target`` fields. Cells where EITHER side is a NaN presentation value
+    (``T``/``Ti``/``Tw`` over ice-free/ice-covered cells) are masked out of
+    the misfit entirely — a target taken from a prior run's ``seasonal.avg``
+    contains them, and zeroing only one side would score real predictions
+    against a spurious 0.0 in edge cells that changed regime, pulling the
+    fit toward T=0 there instead of ignoring them."""
+    tgt = {k: jnp.asarray(v) for k, v in target.items()}
 
     def loss(seasonal):
         total = 0.0
         for k, v in tgt.items():
-            pred = jnp.nan_to_num(seasonal.avg[k])
-            total = total + jnp.mean((pred - v) ** 2)
+            pred = seasonal.avg[k]
+            valid = ~(jnp.isnan(v) | jnp.isnan(pred))
+            # mask-multiply on nan_to_num'd operands: where() alone still
+            # propagates NaN through the gradient of the untaken branch
+            diff = jnp.nan_to_num(pred) - jnp.nan_to_num(v)
+            total = total + jnp.mean(jnp.where(valid, diff, 0.0) ** 2)
         return total
 
     return loss

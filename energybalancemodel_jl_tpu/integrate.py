@@ -59,6 +59,28 @@ def default_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+# Active sub-year-progress run (``integrate(progress_steps=N)``): the
+# in-graph ``jax.debug.callback`` target must be this one module-level
+# function — a fresh per-call closure would key a new ``make_year_fn``/
+# ``_jitted_year_fn`` cache entry per call, evicting the shared default
+# tracings after ~32 tick-mode calls and retaining every dead Progress via
+# the cached closures (review r3). Only one tick-mode run is live at a
+# time (the bar owns the terminal), so a single slot suffices; it is set
+# before the year loop and cleared at the synchronizing result fetch.
+_ACTIVE_TICK = {"prog": None, "T": None, "total": 0}
+
+
+def _tick_dispatch(step):
+    p = _ACTIVE_TICK["prog"]
+    if p is not None:
+        # `step` is the ABSOLUTE step, computed on device (the host loop
+        # dispatches ahead of execution — review r2)
+        step = int(step)
+        p.update(step, feedargs=(
+            float(_ACTIVE_TICK["T"][min(step, _ACTIVE_TICK["total"]) - 1]),
+        ))
+
+
 @functools.lru_cache(maxsize=64)
 def make_year_fn(
     model_name: str,
@@ -209,9 +231,9 @@ def make_year_fn(
 def _jitted_year_fn(model_name, st, cfg, dtype_name, collect_raw, debug,
                     tick_every=0, tick_cb=None):
     """Jitted twin of :func:`make_year_fn`, cached so repeated ``integrate``
-    calls reuse compilations. (A ``tick_cb`` closure is fresh per call, so
-    sub-year-progress runs don't share cache entries — the price of the
-    opt-in graph change.)"""
+    calls reuse compilations. Tick-mode runs pass the module-level
+    :func:`_tick_dispatch` as ``tick_cb`` (never a per-call closure), so
+    they share cache entries like any other configuration."""
     return jax.jit(make_year_fn(model_name, st, cfg, dtype_name, collect_raw,
                                 debug, tick_every, tick_cb))
 
@@ -432,7 +454,7 @@ def integrate(
             f"unknown engine {engine!r}; expected 'auto', 'scan' or 'fused'"
         )
 
-    tick_every, tick_cb, _tick_state = 0, None, {"prog": None}
+    tick_every = 0
     if progress_steps is not None and int(progress_steps) > 0:
         if engine != "scan" or years_per_dispatch > 1:
             # ticks ride the per-year scan graph only (fused kernels and
@@ -446,20 +468,12 @@ def integrate(
         else:
             tick_every = int(progress_steps)
 
-            def tick_cb(step):
-                # `step` is the ABSOLUTE step, computed on device (the host
-                # loop dispatches ahead of execution — review r2)
-                p = _tick_state["prog"]
-                if p is not None:
-                    step = int(step)
-                    p.update(step, feedargs=(
-                        float(st.T[min(step, st.dur * st.nt) - 1]),
-                    ))
-
     year_seasonal = _jitted_year_fn(spec.name, st, cfg, dtype.name, False, debug,
-                                    tick_every, tick_cb)
+                                    tick_every,
+                                    _tick_dispatch if tick_every else None)
     year_full = _jitted_year_fn(spec.name, st, cfg, dtype.name, True, debug,
-                                tick_every, tick_cb)
+                                tick_every,
+                                _tick_dispatch if tick_every else None)
 
     f_tab = forcing.table(st)
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
@@ -501,7 +515,8 @@ def integrate(
     ) if progress else None
     if prog is not None:
         prog.update(start_year * st.nt, feedargs=(float(start_year),))
-    _tick_state["prog"] = prog
+    if tick_every:
+        _ACTIVE_TICK.update(prog=prog, T=st.T, total=st.dur * st.nt)
 
     profiler_cm = None
     if profile_dir is not None:
@@ -611,10 +626,13 @@ def integrate(
     raw_chunks, winter_acc, summer_acc, avg_acc = jax.device_get(
         (raw_chunks, winter_acc, summer_acc, avg_acc)
     )
-    if prog is not None and tick_every:
+    if tick_every:
         # the bulk fetch above synchronized with the device, so the run is
-        # genuinely complete — close the tick-driven bar
-        prog.update(st.dur * st.nt, feedargs=(float(st.T[-1]),))
+        # genuinely complete — close the tick-driven bar and release the
+        # dispatch slot (no more callbacks can arrive)
+        if prog is not None:
+            prog.update(st.dur * st.nt, feedargs=(float(st.T[-1]),))
+        _ACTIVE_TICK.update(prog=None, T=None, total=0)
     winter_acc = _split_chunks(winter_acc)
     summer_acc = _split_chunks(summer_acc)
     avg_acc = _split_chunks(avg_acc)

@@ -609,7 +609,14 @@ def _as_matrix(rows, nx: int) -> np.ndarray:
     if rows is None:
         return np.zeros((0, nx))
     if isinstance(rows, np.ndarray) and rows.ndim == 2:
-        # JLD2 stores Julia matrices column-major; a (nx, n) read transposes
+        # Orientation invariant: JLD2.jl records dataspace dims REVERSED
+        # relative to Julia's (column-major (nx, n) Matrix -> HDF5 (n, nx)),
+        # so a genuine file always reaches h5py as (n, nx) — including the
+        # square n == nx case — and must NOT be transposed. The transpose
+        # branch exists only for hand-made h5py mimics that stored Julia
+        # dim order (nx, n) directly; a SQUARE mimic of that kind is
+        # indistinguishable by shape and is read as (n, nx), matching the
+        # genuine-format reading (review r3).
         return rows.T if rows.shape[0] == nx and rows.shape[1] != nx else rows
     out = [np.full(nx, np.nan) if r is None else np.asarray(r).reshape(-1)
            for r in (rows if isinstance(rows, (list, tuple)) else [rows])]

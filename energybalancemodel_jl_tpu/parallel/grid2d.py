@@ -65,27 +65,43 @@ def grid2d_mesh(nk: Optional[int] = None, ndx: Optional[int] = None,
     return Mesh(np.array(devs[:n]).reshape(nk, ndx), (k_axis, axis))
 
 
-def _leaf_specs(coll: Collection, K: int, nx: int, k_axis: str, axis: str):
-    """Partition specs for a statics/parameter Collection: a leading axis of
-    size ``K`` shards over members, a trailing axis of size ``nx`` over the
-    grid; everything else replicates. A 1-D leaf prefers the GRID reading
-    when ``K == nx`` — every 1-D statics leaf is grid-shaped (per-member
-    parameters enter as ``(K, 1)`` columns), so the member reading would
-    shard a grid row across member rows and silently compute with wrong
-    chunks (review r2)."""
-    def spec(v):
-        ndim = jnp.ndim(v)
+def _stat_specs_2d(spec, st, par_j: Collection, stat: Collection, dtype,
+                   nx: int, k_axis: str, axis: str) -> Collection:
+    """Partition specs for the statics Collection, with EXACT member-batch
+    detection: a leaf is member-sharded iff batching the parameters changed
+    its shape vs the statics of an unbatched (scalar) parameter set
+    (abstract ``jax.eval_shape``, no compute). Shape heuristics misfire
+    whenever ``K`` collides with another statics dimension — reproduced at
+    ``K == nt``, where the insolation table was split across member rows
+    (review r3). Unbatched leaves shard only their trailing grid axis."""
+    par_scalar = Collection({
+        k: (v.reshape(-1)[0] if jnp.ndim(v) else v) for k, v in par_j.items()
+    })
+    ref = jax.eval_shape(lambda p: spec.statics(st, p, dtype), par_scalar)
+
+    def one(b_shape, u_shape):
+        ndim = len(b_shape)
         if ndim == 0:
             return P()
-        shape = jnp.shape(v)
+        first = k_axis if tuple(b_shape) != tuple(u_shape) else None
+        last = axis if b_shape[-1] == nx else None
         if ndim == 1:
-            if shape[-1] == nx:
-                return P(axis)
-            return P(k_axis if shape[0] == K else None)
-        first = k_axis if shape[0] == K else None
-        last = axis if shape[-1] == nx else None
+            return P(first or last)
         return P(first, *([None] * (ndim - 2)), last)
-    return Collection({k: spec(v) for k, v in coll.items()})
+
+    return Collection({
+        k: one(jnp.shape(stat[k]), ref[k].shape) for k in stat
+    })
+
+
+def _par_specs_2d(par_j: Collection, k_axis: str) -> Collection:
+    """Partition specs for the (augmented) parameter Collection: swept
+    leaves are exactly the ``(K, 1)`` columns ``_augment_batched`` produced;
+    scalars replicate."""
+    return Collection({
+        k: (P(k_axis, None) if jnp.ndim(v) else P())
+        for k, v in par_j.items()
+    })
 
 
 def ensemble_spatial_integrate(
@@ -174,8 +190,8 @@ def ensemble_spatial_integrate(
         Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
     )
     stat = jax.jit(lambda p: spec.statics(st, p, dtype))(par_j)
-    sspecs = _leaf_specs(stat, K, st.nx, k_axis, axis)
-    pspecs = _leaf_specs(par_j, K, st.nx, k_axis, axis)
+    sspecs = _stat_specs_2d(spec, st, par_j, stat, dtype, st.nx, k_axis, axis)
+    pspecs = _par_specs_2d(par_j, k_axis)
     f_spec = None if F_off is None else P(None, k_axis, None)
     run_seasonal = _make_spatial_year_fn(
         spec, st, cfg, dtype, False, mesh, axis, sspecs, k_axis, pspecs,

@@ -303,8 +303,14 @@ def plot_bifurcation(
     dur = ens.spacetime.dur
     d = ens.forcing.domain
     if year is None:
-        states = [(min(d[2], dur), "tab:red", "warmed")] if not ens.forcing.constant and 1 <= d[2] else []
-        states.append((dur, "tab:blue", "final" if states else None))
+        # the warmed state only exists if the warming phase completes
+        # strictly before the final year — clamping d[2] to dur would draw
+        # the same year twice under two labels, presenting a mid-warming
+        # state as both 'warmed' and 'final' (review r3)
+        warmed = [] if ens.forcing.constant else [
+            (int(d[2]), "tab:red", "warmed")
+        ] if 1 <= d[2] < dur else []
+        states = warmed + [(dur, "tab:blue", "final" if warmed else None)]
     else:
         if not 1 <= int(year) <= dur:
             raise ValueError(f"year must be in 1..{dur}, got {year}")

@@ -85,6 +85,27 @@ class TestCalibrate:
         assert np.isfinite(res.losses).all()
         assert np.isfinite(float(res.params["A"]))
 
+    def test_one_sided_nan_cells_are_masked(self):
+        """A cell that is NaN in the target but finite in the prediction
+        (ice edge moved) must be EXCLUDED from the misfit, not scored
+        against 0.0 (review r3)."""
+        import jax.numpy as jnp
+
+        from energybalancemodel_jl_tpu.calibrate import _default_loss
+        from energybalancemodel_jl_tpu.solutions import Seasonal
+        from energybalancemodel_jl_tpu.utils.collection import Collection
+
+        pred = jnp.array([5.0, 2.0, 3.0])
+        tgt = np.array([np.nan, 2.0, 3.0])  # cell 0: target-side NaN only
+        seasonal = Seasonal(
+            winter=Collection(T=pred), summer=Collection(T=pred),
+            avg=Collection(T=pred),
+        )
+        loss = _default_loss({"T": tgt})(seasonal)
+        # matched finite cells agree -> exact zero; the old one-sided
+        # zeroing scored (5.0 - 0)^2 / 3 here
+        assert float(loss) == 0.0
+
     def test_steps_zero_repr(self):
         st, base, init = classic_setup()
         res = ebm.calibrate("Classic", st, ebm.Forcing(0.0),

@@ -149,6 +149,29 @@ class TestGrid2D:
             np.nan_to_num(np.asarray(e_v.seasonal.avg["E"])),
         )
 
+    def test_K_collides_with_nt(self):
+        """K == nt must not confuse the statics specs: the old shape
+        heuristic read the (nt, nx) insolation table's leading axis as the
+        member axis and split it across member rows (trace-time scan crash,
+        review r3). Detection is now exact (batched-vs-unbatched
+        eval_shape), so this config must run and match the 1-D ensemble."""
+        st = ebm.SpaceTime.sin(16, 50, 1)  # nt == 50
+        par = ebm.Collection(PAR)
+        par["D"] = np.linspace(0.55, 0.65, 50)  # K == nt == 50
+        init = ebm.zeros_init(st)
+        ens2 = ensemble_spatial_integrate(
+            "MIZ", st, ebm.Forcing(0.0), par, init, mesh=grid2d_mesh(2, 4),
+            progress=False,
+        )
+        E = np.nan_to_num(np.asarray(ens2.seasonal.avg["E"]))
+        assert E.shape == (50, 1, 16) and np.isfinite(E).all()
+        ens = ensemble_integrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                                 engine="batched", progress=False)
+        np.testing.assert_allclose(
+            E, np.nan_to_num(np.asarray(ens.seasonal.avg["E"])),
+            rtol=1e-10, atol=1e-11,
+        )
+
     def test_raw_all_budget_guard(self):
         par = swept_par()
         with pytest.raises(ValueError, match="raw_memory_limit"):

@@ -166,6 +166,22 @@ class TestEnsemblePlots:
         with pytest.raises(ValueError, match="year"):
             ebm.plot_bifurcation(ramp_ens, year=99)
 
+    def test_plot_bifurcation_ramp_outlasting_run(self):
+        """A ramp whose warming phase ends at or after the final year has
+        no distinct warmed state — clamping it to dur drew the same year
+        twice, labeling a mid-warming state both 'warmed' and 'final'
+        (review r3). One state, one curve set, no misleading legend."""
+        from energybalancemodel_jl_tpu.parallel import sweep
+
+        st = ebm.SpaceTime.sin(8, 100, 2)
+        ramp = ebm.Forcing(0.0, 5.0, -5.0, (0, 0), (1.0, -1.0))  # d[2]=5 > dur=2
+        ens = sweep("MIZ", st, ramp, ebm.default_parameters("MIZ"),
+                    {"D": [0.5, 0.6]}, ebm.zeros_init(st), progress=False)
+        fig = ebm.plot_bifurcation(ens, seasons=("avg",))
+        ax = fig.axes[0]
+        assert len(ax.lines) == 1  # single state, not an aliased pair
+        assert ax.get_legend() is None
+
     def test_plot_bifurcation_needs_unambiguous_param(self):
         from energybalancemodel_jl_tpu.parallel import sweep
 

@@ -90,6 +90,25 @@ class TestSubYearProgress:
         assert real_ticks == sorted(real_ticks)
         assert any(t > st.nt for t in real_ticks), "year-2 steps never ticked"
 
+    def test_tick_mode_shares_cache_entries(self):
+        """Repeated tick-mode calls must reuse ONE year-fn cache entry: a
+        per-call callback closure keyed a fresh entry per call, evicting
+        the shared default tracings after ~32 calls and retaining every
+        dead Progress object (review r3)."""
+        from energybalancemodel_jl_tpu.integrate import _jitted_year_fn
+
+        st = ebm.SpaceTime.sin(16, 30, 1)
+        args = ("MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
+                ebm.zeros_init(st))
+        ebm.integrate(*args, progress=False, progress_steps=10)
+        before = _jitted_year_fn.cache_info()
+        ebm.integrate(*args, progress=False, progress_steps=10)
+        after = _jitted_year_fn.cache_info()
+        assert after.misses == before.misses, (
+            "tick-mode integrate created a fresh year-fn cache entry"
+        )
+        assert after.hits > before.hits
+
     def test_progress_steps_warns_on_unsupported_engine(self):
         st = ebm.SpaceTime.sin(16, 30, 1)
         args = ("MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),
