@@ -59,6 +59,7 @@ def zeros_init(st, model: str = "MIZ") -> Collection:
 # IO and plotting are imported lazily-but-eagerly here; they depend only on
 # h5py/matplotlib which are part of the baked environment.
 from .calibrate import CalibrationResult, calibrate  # noqa: E402
+from .equilibrium import EquilibriumResult, equilibrate  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
@@ -103,6 +104,8 @@ __all__ = [
     "zeros_init",
     "calibrate",
     "CalibrationResult",
+    "equilibrate",
+    "EquilibriumResult",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,271 @@
+"""Steady-state equilibration: drive the year map to a fixed point on device.
+
+No reference analog — the reference reaches seasonal equilibria by
+integrating a long, hand-chosen ``dur`` and inspecting the tail (its
+hysteresis studies run 30+ years per forcing level,
+/root/reference/test/runtests.jl:25-31 and the plot_seasonal workflows).
+This driver iterates the compiled one-year map until the annual-mean state
+stops moving, which is both cheaper (no guessed horizon, no wasted years)
+and better matched to the hardware:
+
+- **One dispatch for the whole loop.** The convergence loop is a
+  ``lax.while_loop`` AROUND the jitted year scan, so a 1000-year
+  equilibration pays a single host->device round trip — on remote/tunneled
+  TPUs the per-dispatch latency otherwise dominates (BENCH_NOTES.md).
+- **Ensembles equilibrate in lockstep.** The year function is
+  shape-polymorphic over a leading member axis (the batch-native ensemble
+  engine's property), so a whole bifurcation scan — including per-member
+  forcing offsets via the virtual ``"F"`` parameter — converges as one
+  ``(K, nx)`` program; per-member convergence years are tracked on device.
+- **Convergence is data-dependent control flow**, which is exactly what
+  ``lax.while_loop`` exists for — no unrolling, no host round trips per
+  year, ``tol``/``max_years`` are traced operands so retuning them reuses
+  the compiled loop.
+
+The residual is the max-norm year-over-year change of the annual-mean
+``metric`` fields (NaN presentation values masked): seasonal attractors are
+fixed points of the YEAR map, not of the step map, so consecutive annual
+means are the right thing to compare.
+
+**Choosing ``tol``** — match it to the model's attractor roughness:
+
+- **MIZ** relaxes cleanly (its ice physics is continuous through the
+  Newton solve): ``tol=1e-3`` converges in ~80 years from zero init at
+  the canonical parameters.
+- **Classic** carries the reference's discrete ``E == 0`` albedo hole
+  (/root/reference/src/classic.jl): any run with a seasonal ice edge —
+  including strongly warmed ones, the poles still freeze in winter —
+  wobbles irregularly at O(0.1) in the edge cells forever, so the year
+  map has a fixed point only to that resolution. Measured: from an
+  ice-free init at default parameters the residual plateaus near 1e-1
+  (max norm) regardless of horizon; use ``tol~0.5`` to detect arrival at
+  the attractor, not a tighter value. (The loop itself is exact: at equal
+  year counts it matches ``integrate`` to ~1e-12.)
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .forcing import Forcing
+from .integrate import default_dtype, make_year_fn
+from .models.base import default_step_config, get_model
+from .solutions import Seasonal
+from .spacetime import SpaceTime
+from .utils.collection import Collection
+
+__all__ = ["equilibrate", "EquilibriumResult"]
+
+
+@dataclasses.dataclass
+class EquilibriumResult:
+    """Result of :func:`equilibrate`.
+
+    ``state`` is the final scan carry (all prognostic fields + solver warm
+    starts) — pass it as ``init`` to a later ``equilibrate``/``integrate``
+    call to warm-start a continuation. ``seasonal`` holds the final year's
+    winter/summer/avg stores. ``years`` is the number of simulated years;
+    ``member_years`` (ensembles) is each member's first converged year
+    (0 = did not converge). ``resid`` is the final year-over-year residual
+    (per member for ensembles); ``converged`` mirrors it against ``tol``.
+    """
+
+    state: Collection
+    seasonal: Seasonal
+    years: int
+    resid: Union[float, np.ndarray]
+    converged: Union[bool, np.ndarray]
+    member_years: Optional[np.ndarray]
+    newton_ok: bool
+    tol: float
+
+    def __repr__(self):
+        if self.member_years is None:
+            conv = "converged" if self.converged else "NOT converged"
+            return (f"EquilibriumResult({conv} in {self.years} years, "
+                    f"resid {float(self.resid):.3e}, tol {self.tol:g})")
+        k = int(np.count_nonzero(self.converged))
+        return (f"EquilibriumResult({k}/{len(self.member_years)} members "
+                f"converged in {self.years} years, max resid "
+                f"{float(np.max(self.resid)):.3e}, tol {self.tol:g})")
+
+
+def _metric_vec(seasonal: Seasonal, metric: Tuple[str, ...]):
+    """Stack the annual means of the metric fields along the grid axis —
+    NaN presentation values contribute 0 on both years, so regime changes
+    at the ice edge register as (value - 0) jumps rather than NaN poison."""
+    return jnp.concatenate(
+        [jnp.nan_to_num(seasonal.avg[v]) for v in metric], axis=-1
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
+             metric: Tuple[str, ...]):
+    """The jitted fixed-point loop. ``tol``/``max_years`` are traced, so one
+    compilation serves every tolerance; the year function comes from the
+    shared :func:`make_year_fn` cache (same graph ``integrate`` runs —
+    equilibria reproduce under the standard driver)."""
+    year = make_year_fn(model_name, st, cfg, dtype_name, False)
+    dtype = jnp.dtype(dtype_name)
+
+    def run(carry, par, frow, tol, max_years):
+        # Year 1 seeds the loop state (metric + pytree structure).
+        carry, seasonal, conv, _ = year(carry, par, frow)
+        prev = _metric_vec(seasonal, metric)
+        resid0 = jnp.full(prev.shape[:-1], jnp.inf, dtype)
+        newton = (jnp.min(conv) if conv is not None
+                  else jnp.asarray(1.0, dtype))
+        myears0 = jnp.zeros(prev.shape[:-1], jnp.int32)
+        state = (carry, seasonal, prev, jnp.int32(1), resid0, myears0, newton)
+
+        def cond(s):
+            _, _, _, y, resid, _, _ = s
+            return (y < max_years) & jnp.any(resid > tol)
+
+        def body(s):
+            carry, _, prev, y, _, myears, newton = s
+            carry, seasonal, conv, _ = year(carry, par, frow)
+            cur = _metric_vec(seasonal, metric)
+            resid = jnp.max(jnp.abs(cur - prev), axis=-1)
+            myears = jnp.where((resid <= tol) & (myears == 0), y + 1, myears)
+            if conv is not None:
+                newton = jnp.minimum(newton, jnp.min(conv))
+            return (carry, seasonal, cur, y + 1, resid, myears, newton)
+
+        return lax.while_loop(cond, body, state)
+
+    return jax.jit(run)
+
+
+def equilibrate(
+    model: str,
+    st: SpaceTime,
+    forcing: Union[Forcing, float],
+    par: Collection,
+    init: Collection,
+    tol: float = 1e-4,
+    max_years: int = 1000,
+    metric: Sequence[str] = ("E",),
+    n_members: Optional[int] = None,
+    dtype=None,
+    newton_max_iter: int = 30,
+    verbose: bool = False,
+) -> EquilibriumResult:
+    """Iterate the year map to a seasonal fixed point (on device, one
+    dispatch).
+
+    Converged when every metric field's annual mean changes by at most
+    ``tol`` (max norm over the grid) from one year to the next, for every
+    member. ``forcing`` must be constant (a :class:`Forcing` built from a
+    single value, or a plain float) — equilibria only exist under constant
+    forcing; sweep forcing levels across MEMBERS with the virtual ``par``
+    key ``"F"`` instead (per-member constant offsets, as in
+    ``ensemble_integrate``).
+
+    ``par`` leaves of shape ``(K,)`` make the run an ensemble (batch-native
+    engine); ``init`` may be per-member ``(K, nx)`` or shared ``(nx,)``.
+    Passing a previous result's ``.state`` as ``init`` warm-starts a
+    continuation (the extra carry fields it contains beyond the model's
+    init vars are re-derived, which costs at most one extra Newton solve).
+
+    ``st.dur`` is ignored — the horizon is ``max_years``; ``st`` only fixes
+    the grid and intra-year resolution.
+    """
+    spec = get_model(model)
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError(
+            "equilibrate needs constant forcing (equilibria do not exist "
+            "under a ramp); sweep levels across members via par['F']"
+        )
+    metric = tuple(metric)
+    bad = [v for v in metric if v not in spec.solution_vars]
+    if bad:
+        raise ValueError(
+            f"metric vars {bad} not in {spec.name} solution vars "
+            f"{spec.solution_vars}"
+        )
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+
+    par = Collection(par)
+    K = n_members
+    if K is None:
+        sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
+        sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
+        if len(sizes) > 1:
+            raise ValueError("Cannot infer ensemble size; pass n_members")
+        K = sizes.pop() if sizes else None
+    ensemble = K is not None
+
+    F_off = par.pop("F", None)
+    if F_off is not None and not ensemble:
+        # scalar F on a single run is just constant forcing
+        forcing = Forcing(float(forcing.base) + float(np.asarray(F_off)))
+        F_off = None
+    if F_off is not None and np.ndim(F_off) == 0:
+        F_off = np.full((int(K),), float(F_off))
+
+    cfg = default_step_config(
+        dtype.name, newton_max_iter=newton_max_iter, verbose=verbose,
+    )
+    par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
+    if ensemble:
+        # trailing broadcast axis so (K,) sweeps meet (K, nx) state
+        par_j = Collection({
+            k: (v[:, None] if jnp.ndim(v) == 1 else v)
+            for k, v in par_j.items()
+        })
+
+    carry = spec.init_carry(init, st, dtype)
+    if ensemble:
+        carry = Collection({
+            k: (v if jnp.ndim(v) > 1 else jnp.broadcast_to(v, (int(K),) + v.shape))
+            for k, v in carry.items()
+        })
+
+    frow = forcing.table(st)[0]  # (nt,) — constant: every year identical
+    if F_off is not None:
+        # batch-native layout: time-leading with a trailing broadcast axis,
+        # so each step's forcing is a (K, 1) column against (K, nx) state
+        frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
+
+    run = _loop_fn(spec.name, st, cfg, dtype.name, metric)
+    carry, seasonal, _, years, resid, myears, newton = run(
+        carry, par_j, jnp.asarray(frow, dtype=dtype),
+        jnp.asarray(tol, dtype), jnp.int32(max_years),
+    )
+    # one bulk fetch (per-leaf np.asarray pays a round trip each on remote
+    # TPUs); this also synchronizes with the device
+    carry, seasonal, years, resid, myears, newton = jax.device_get(
+        (carry, seasonal, years, resid, myears, newton)
+    )
+    if verbose and not (newton >= 1.0):
+        import warnings
+
+        warnings.warn("Solving for T0 failed during equilibration.")
+
+    seasonal = Seasonal(*(Collection({k: np.asarray(v) for k, v in c.items()})
+                          for c in seasonal))
+    state = Collection({k: np.asarray(v) for k, v in carry.items()})
+    if ensemble:
+        return EquilibriumResult(
+            state=state, seasonal=seasonal, years=int(years),
+            resid=np.asarray(resid), converged=np.asarray(resid) <= tol,
+            member_years=np.asarray(myears), newton_ok=bool(newton >= 1.0),
+            tol=float(tol),
+        )
+    return EquilibriumResult(
+        state=state, seasonal=seasonal, years=int(years),
+        resid=float(resid), converged=bool(resid <= tol),
+        member_years=None, newton_ok=bool(newton >= 1.0), tol=float(tol),
+    )

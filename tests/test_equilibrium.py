@@ -1,0 +1,124 @@
+"""Steady-state equilibration (equilibrium.py) — no reference analog; the
+reference reaches equilibria by integrating a long hand-chosen dur.
+
+Tolerance notes (module docstring has the details): MIZ relaxes cleanly;
+classic's discrete E==0 albedo hole leaves an O(0.1) irregular wobble at
+ice-edge cells, so its year map has a fixed point only to that resolution —
+classic tests use tol=0.5 (arrival at the attractor), MIZ tests 1e-3.
+"""
+import numpy as np
+import pytest
+
+import energybalancemodel_jl_tpu as ebm
+
+
+def classic_setup():
+    st = ebm.SpaceTime.sin(24, 1000, 1)
+    base = ebm.default_parameters("Classic")
+    E0 = np.full(st.nx, 40.0)  # ice-free warm init (stability notes)
+    init = ebm.Collection(E=E0, Tg=E0 / float(base["cw"]))
+    return st, base, init
+
+
+class TestEquilibrate:
+    def test_classic_matches_integrate_at_equal_years(self):
+        """The loop is the same year graph integrate runs: at equal year
+        counts the states agree to rounding (~1e-12 measured)."""
+        st, base, init = classic_setup()
+        res = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                              tol=0.5, max_years=500)
+        assert res.converged
+        assert 2 <= res.years < 500
+        long_st = ebm.SpaceTime.sin(24, 1000, res.years)
+        sols = ebm.integrate("Classic", long_st, ebm.Forcing(0.0), base, init,
+                             progress=False, raw_mode="none")
+        np.testing.assert_allclose(
+            np.asarray(res.seasonal.avg["E"]),
+            np.asarray(sols.seasonal.avg["E"][-1]),
+            rtol=0, atol=1e-9,
+        )
+
+    def test_warm_start_continuation(self):
+        """Re-equilibrating from a converged state must be immediate."""
+        st, base, init = classic_setup()
+        res = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                              tol=0.5, max_years=500)
+        res2 = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), base,
+                               res.state, tol=0.5, max_years=500)
+        assert res2.converged and res2.years <= 3
+
+    def test_miz_converges_tight(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                              ebm.default_parameters("MIZ"),
+                              ebm.zeros_init(st), tol=1e-3, max_years=400)
+        assert res.converged
+        assert res.newton_ok
+        assert float(res.resid) <= 1e-3
+
+    def test_miz_ensemble_F_sweep_matches_solo(self):
+        """Members with per-member forcing offsets equilibrate in lockstep
+        and match solo runs with the offset folded into the forcing."""
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.array([0.0, 2.0])
+        init = ebm.zeros_init(st)
+        ens = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=1e-3, max_years=400)
+        assert ens.member_years is not None and ens.member_years.shape == (2,)
+        assert ens.converged.all()
+        assert (ens.member_years > 0).all()
+        for i, F in enumerate([0.0, 2.0]):
+            solo = ebm.equilibrate(
+                "MIZ", st, ebm.Forcing(F), ebm.default_parameters("MIZ"),
+                init, tol=1e-3, max_years=400,
+            )
+            # the ensemble stops when the SLOWEST member converges, so the
+            # faster member runs extra years past its own convergence —
+            # compare states, not trajectories, to attractor resolution
+            np.testing.assert_allclose(
+                np.nan_to_num(np.asarray(ens.seasonal.avg["E"][i])),
+                np.nan_to_num(np.asarray(solo.seasonal.avg["E"])),
+                rtol=0, atol=5e-2, err_msg=f"member {i}",
+            )
+        # the two forcing levels must land on different states
+        dE = np.abs(np.asarray(ens.seasonal.avg["E"][0])
+                    - np.asarray(ens.seasonal.avg["E"][1]))
+        assert dE.max() > 1.0
+
+    def test_scalar_F_on_single_run_is_constant_forcing(self):
+        st, base, init = classic_setup()
+        par = ebm.Collection(base)
+        par["F"] = 2.0
+        res = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), par, init,
+                              tol=0.5, max_years=300)
+        res_f = ebm.equilibrate("Classic", st, ebm.Forcing(2.0), base, init,
+                                tol=0.5, max_years=300)
+        np.testing.assert_array_equal(
+            np.asarray(res.seasonal.avg["E"]),
+            np.asarray(res_f.seasonal.avg["E"]),
+        )
+
+    def test_max_years_bound(self):
+        st, base, init = classic_setup()
+        res = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                              tol=1e-12, max_years=3)
+        assert res.years == 3
+        assert not res.converged
+        assert "NOT converged" in repr(res)
+
+    def test_validation(self):
+        st, base, init = classic_setup()
+        ramp = ebm.Forcing(0.0, 2.0, -2.0, (1, 1), (1.0, -1.0))
+        with pytest.raises(ValueError, match="constant"):
+            ebm.equilibrate("Classic", st, ramp, base, init)
+        with pytest.raises(ValueError, match="metric"):
+            ebm.equilibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                            metric=("nope",))
+
+    def test_float_forcing_accepted(self):
+        st, base, init = classic_setup()
+        res = ebm.equilibrate("Classic", st, 0.0, base, init, tol=0.5,
+                              max_years=300)
+        assert res.converged
+        assert "converged" in repr(res)
