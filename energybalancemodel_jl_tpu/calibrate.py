@@ -119,6 +119,9 @@ def calibrate(
     optimizer=None,
     newton_max_iter: int = 30,
     dtype=None,
+    equilibrium: bool = False,
+    equilibrium_tol: float = 1e-9,
+    equilibrium_max_years: int = 500,
 ) -> CalibrationResult:
     """Fit the parameters named in ``vary`` so the run's final-year seasonal
     diagnostics match ``target`` (or minimize a custom ``loss``).
@@ -130,6 +133,16 @@ def calibrate(
         the FINAL simulated year's seasonal annual mean (``seasonal.avg``)
         under mean-squared error. Arrays broadcast against ``(nx,)`` rows.
         Exactly one of ``target``/``loss`` must be given.
+    equilibrium:
+        Fit against the EQUILIBRIUM seasonal state instead of year
+        ``st.dur``: the forward model becomes the year-map fixed point
+        (solved to ``equilibrium_tol`` within ``equilibrium_max_years``),
+        and its gradient uses the implicit-function-theorem adjoint
+        (:func:`~energybalancemodel_jl_tpu.equilibrium.make_equilibrium_seasonal_fn`)
+        — no unrolling, so the chaotic-horizon gradient explosion that
+        limits the ``dur``-year objective does not apply. Requires constant
+        forcing; meaningful only where the fixed point is attracting (MIZ,
+        or ice-free classic configs — see ``equilibrium.py``).
     loss:
         Custom objective ``seasonal -> scalar`` receiving the final year's
         :class:`~energybalancemodel_jl_tpu.solutions.Seasonal` store (use
@@ -194,19 +207,38 @@ def calibrate(
     base = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
     init_carry = spec.init_carry(init, st, dtype)
 
-    def objective(theta):
-        p = Collection(base)
-        for n in vary:
-            p[n] = theta[n]
-        carry = init_carry
+    if equilibrium:
+        if not forcing.constant:
+            raise ValueError(
+                "equilibrium=True needs constant forcing (equilibria do "
+                "not exist under a ramp)"
+            )
+        from .equilibrium import make_equilibrium_seasonal_fn
 
-        def body(c, frow):
-            c, seasonal, _conv, _ = year(c, p, frow)
-            return c, seasonal
+        eq_fn = make_equilibrium_seasonal_fn(
+            model, st, cfg, dtype.name, tol=float(equilibrium_tol),
+            max_years=int(equilibrium_max_years),
+        )
 
-        carry, seasons = jax.lax.scan(body, carry, f_tab)
-        final = jax.tree_util.tree_map(lambda v: v[-1], seasons)
-        return loss(final)
+        def objective(theta):
+            p = Collection(base)
+            for n in vary:
+                p[n] = theta[n]
+            return loss(eq_fn(p, f_tab[0], init_carry))
+    else:
+        def objective(theta):
+            p = Collection(base)
+            for n in vary:
+                p[n] = theta[n]
+            carry = init_carry
+
+            def body(c, frow):
+                c, seasonal, _conv, _ = year(c, p, frow)
+                return c, seasonal
+
+            carry, seasons = jax.lax.scan(body, carry, f_tab)
+            final = jax.tree_util.tree_map(lambda v: v[-1], seasons)
+            return loss(final)
 
     theta0 = Collection({n: jnp.asarray(par[n], dtype=dtype) for n in vary})
     opt = optax.adam(learning_rate) if optimizer is None else optimizer
