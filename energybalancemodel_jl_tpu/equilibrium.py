@@ -8,10 +8,14 @@ This driver iterates the compiled one-year map until the annual-mean state
 stops moving, which is both cheaper (no guessed horizon, no wasted years)
 and better matched to the hardware:
 
-- **One dispatch for the whole loop.** The convergence loop is a
-  ``lax.while_loop`` AROUND the jitted year scan, so a 1000-year
-  equilibration pays a single host->device round trip — on remote/tunneled
-  TPUs the per-dispatch latency otherwise dominates (BENCH_NOTES.md).
+- **The loop runs on device in bounded chunks.** The convergence loop is
+  a ``lax.while_loop`` AROUND the jitted year map; the driver strings
+  together watchdog-safe dispatches of it (the state never leaves the
+  device — chunking is bitwise-invariant; ``years_per_dispatch``), so a
+  1000-year equilibration pays a handful of two-scalar host round trips
+  instead of one per year — on remote/tunneled TPUs the per-dispatch
+  latency otherwise dominates, while a single UNBOUNDED dispatch trips
+  the remote execution watchdog (both measured, BENCH_NOTES.md).
 - **Ensembles equilibrate in lockstep.** The year function is
   shape-polymorphic over a leading member axis (the batch-native ensemble
   engine's property), so a whole bifurcation scan — including per-member
@@ -71,6 +75,15 @@ __all__ = ["equilibrate", "EquilibriumResult", "make_equilibrium_seasonal_fn"]
 # docstring for the measured spectra that motivate this.
 _BWD_STALL_ITERS = 30
 
+# Dispatch chunking for the convergence loop (see equilibrate): adaptive
+# mode starts at _CHUNK_START simulated years per dispatch and resizes each
+# chunk toward _CHUNK_TARGET_S wall seconds — comfortably under the
+# remote-TPU execution watchdog (measured: ~130 s single dispatches kill
+# the tunneled TPU worker, ~30 s dispatches run reliably) while keeping
+# the per-chunk host round-trip (~2 scalar fetches) negligible.
+_CHUNK_START = 8
+_CHUNK_TARGET_S = 15.0
+
 
 @dataclasses.dataclass
 class EquilibriumResult:
@@ -114,29 +127,34 @@ def _metric_vec(seasonal: Seasonal, metric: Tuple[str, ...]):
     )
 
 
-@functools.lru_cache(maxsize=32)
-def _loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-             metric: Tuple[str, ...]):
-    """The jitted fixed-point loop. ``tol``/``max_years`` are traced, so one
-    compilation serves every tolerance; the year function comes from the
-    shared :func:`make_year_fn` cache (same graph ``integrate`` runs —
-    equilibria reproduce under the standard driver)."""
-    year = make_year_fn(model_name, st, cfg, dtype_name, False)
-    dtype = jnp.dtype(dtype_name)
+def _fixed_point_fns(year, metric: Tuple[str, ...], dtype):
+    """Build the fixed-point convergence loop around a one-year function
+    with the standard ``(carry, par, frow) -> (carry, Seasonal, conv, _)``
+    signature (shared by :func:`make_year_fn` and the fused Pallas
+    kernels).
 
-    def run(carry, par, frow, tol, max_years):
-        # Year 1 seeds the loop state (metric + pytree structure).
+    Returns ``(init, chunk)``: ``init`` runs year 1 and seeds the on-device
+    loop state; ``chunk`` advances the state until convergence or year
+    ``y_stop`` (a TRACED operand, like ``tol`` — one compilation serves
+    every chunk length and tolerance). The driver strings chunks together
+    so no single dispatch outlives the remote-TPU execution watchdog
+    (measured: ~130 s dispatches kill the tunnel worker, ~30 s survive —
+    see equilibrate); the state never leaves the device between chunks, so
+    any chunking produces bitwise-identical trajectories."""
+
+    def init(carry, par, frow):
         carry, seasonal, conv, _ = year(carry, par, frow)
         prev = _metric_vec(seasonal, metric)
         resid0 = jnp.full(prev.shape[:-1], jnp.inf, dtype)
         newton = (jnp.min(conv) if conv is not None
                   else jnp.asarray(1.0, dtype))
         myears0 = jnp.zeros(prev.shape[:-1], jnp.int32)
-        state = (carry, seasonal, prev, jnp.int32(1), resid0, myears0, newton)
+        return (carry, seasonal, prev, jnp.int32(1), resid0, myears0, newton)
 
+    def chunk(state, par, frow, tol, y_stop):
         def cond(s):
             _, _, _, y, resid, _, _ = s
-            return (y < max_years) & jnp.any(resid > tol)
+            return (y < y_stop) & jnp.any(resid > tol)
 
         def body(s):
             carry, _, prev, y, _, myears, newton = s
@@ -150,7 +168,52 @@ def _loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
 
         return lax.while_loop(cond, body, state)
 
-    return jax.jit(run)
+    return init, chunk
+
+
+@functools.lru_cache(maxsize=32)
+def _loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
+              metric: Tuple[str, ...]):
+    """Jitted (init, chunk) pair for the XLA-graph engine; the year function
+    comes from the shared :func:`make_year_fn` cache (same graph
+    ``integrate`` runs — equilibria reproduce under the standard driver)."""
+    year = make_year_fn(model_name, st, cfg, dtype_name, False)
+    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name))
+    return jax.jit(init), jax.jit(chunk)
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
+                    metric: Tuple[str, ...], interpret: bool, single: bool):
+    """Jitted (init, chunk) pair with the fused whole-year Pallas kernel as
+    the year map (ops/pallas_year.py): each loop iteration is ONE kernel
+    launch that runs the entire nt-step year in VMEM — the throughput
+    engine for equilibration, where year counts are long by construction.
+    The kernel accumulates the seasonal stores in-kernel, so the
+    convergence metric (annual means) costs one compare per year on top.
+    ``single`` lifts an (nx,) run to a 1-member batch inside the jitted
+    init (the kernels are ensemble-shaped); the driver squeezes the fetched
+    results."""
+    from .ops.pallas_year import pallas_classic_year, pallas_miz_year
+
+    kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
+
+    def year(carry, par, frow):
+        carry, seasonal, conv, _ = kern(carry, par, frow, st, cfg,
+                                        interpret=interpret)
+        return carry, seasonal, conv, None
+
+    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name))
+    if single:
+        base_init = init
+
+        def init(carry, par, frow):
+            return base_init(
+                Collection({k: v[None] for k, v in carry.items()}),
+                par, frow,
+            )
+
+    return jax.jit(init), jax.jit(chunk)
 
 
 def _carry_delta(a, b):
@@ -332,9 +395,10 @@ def equilibrate(
     dtype=None,
     newton_max_iter: int = 30,
     verbose: bool = False,
+    engine: str = "auto",
+    years_per_dispatch: Optional[int] = None,
 ) -> EquilibriumResult:
-    """Iterate the year map to a seasonal fixed point (on device, one
-    dispatch).
+    """Iterate the year map to a seasonal fixed point on device.
 
     Converged when every metric field's annual mean changes by at most
     ``tol`` (max norm over the grid) from one year to the next, for every
@@ -344,11 +408,32 @@ def equilibrate(
     key ``"F"`` instead (per-member constant offsets, as in
     ``ensemble_integrate``).
 
-    ``par`` leaves of shape ``(K,)`` make the run an ensemble (batch-native
-    engine); ``init`` may be per-member ``(K, nx)`` or shared ``(nx,)``.
-    Passing a previous result's ``.state`` as ``init`` warm-starts a
-    continuation (the extra carry fields it contains beyond the model's
-    init vars are re-derived, which costs at most one extra Newton solve).
+    ``par`` leaves of shape ``(K,)`` make the run an ensemble; ``init`` may
+    be per-member ``(K, nx)`` or shared ``(nx,)``. Passing a previous
+    result's ``.state`` as ``init`` warm-starts a continuation (the extra
+    carry fields it contains beyond the model's init vars are re-derived,
+    which costs at most one extra Newton solve).
+
+    ``engine`` selects the year map inside the convergence loop:
+    ``'batched'`` is the XLA scan graph (the one ``integrate`` runs —
+    equilibria reproduce under the standard driver; the only float64
+    option), ``'fused'`` the whole-year Pallas kernel (each simulated year
+    is ONE kernel launch with the full nt-step year in VMEM — the
+    throughput engine, and equilibration is long-horizon by construction).
+    ``'auto'`` picks ``'fused'`` on TPU when the kernel exists for the
+    model, the dtype is not float64, and the VMEM fit predicates admit the
+    configuration — same policy as ``ensemble_integrate``. The two engines
+    agree to tolerance (MIZ differs below Newton tolerance across layouts;
+    classic is bitwise across launches, ops/pallas_year.py docstrings).
+
+    ``years_per_dispatch`` bounds how many simulated years one device
+    dispatch may run. The loop state NEVER leaves the device — chunking is
+    bitwise-invariant; between chunks the host fetches two scalars to check
+    convergence. Default ``None`` adapts the chunk toward ~15 wall seconds
+    per dispatch, which matters on tunneled TPUs: a single unbounded
+    dispatch of a long equilibration (measured at ~130 s device time)
+    kills the remote TPU worker process, while ~30 s dispatches run
+    reliably.
 
     ``st.dur`` is ignored — the horizon is ``max_years``; ``st`` only fixes
     the grid and intra-year resolution.
@@ -394,12 +479,32 @@ def equilibrate(
         dtype.name, newton_max_iter=newton_max_iter, verbose=verbose,
     )
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
-    if ensemble:
-        # trailing broadcast axis so (K,) sweeps meet (K, nx) state
-        par_j = Collection({
-            k: (v[:, None] if jnp.ndim(v) == 1 else v)
-            for k, v in par_j.items()
-        })
+
+    if engine == "auto":
+        # same policy as ensemble_integrate: the fused whole-year kernel is
+        # the TPU throughput engine; stay on the XLA graph for float64 (no
+        # practical Mosaic f64 path), kernel-less models, CPU (interpret
+        # mode is slow), or configs the VMEM fit predicates reject
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and spec.name in ("MIZ", "Classic")
+            and dtype != jnp.float64
+        )
+        if use_fused:
+            from .ops.pallas_year import fused_unfit
+
+            use_fused = fused_unfit(spec.name, st, dtype, par_j) is None
+        engine = "fused" if use_fused else "batched"
+    if engine not in ("batched", "fused"):
+        raise ValueError(
+            f"unknown engine {engine!r}; expected 'batched', 'fused', or "
+            "'auto'"
+        )
+    if engine == "fused" and spec.name not in ("MIZ", "Classic"):
+        raise ValueError(
+            f"engine='fused' has no whole-year kernel for model "
+            f"{spec.name!r}; use engine='batched'"
+        )
 
     carry = spec.init_carry(init, st, dtype)
     if ensemble:
@@ -409,21 +514,86 @@ def equilibrate(
         })
 
     frow = forcing.table(st)[0]  # (nt,) — constant: every year identical
-    if F_off is not None:
-        # batch-native layout: time-leading with a trailing broadcast axis,
-        # so each step's forcing is a (K, 1) column against (K, nx) state
-        frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
 
-    run = _loop_fn(spec.name, st, cfg, dtype.name, metric)
-    carry, seasonal, _, years, resid, myears, newton = run(
-        carry, par_j, jnp.asarray(frow, dtype=dtype),
-        jnp.asarray(tol, dtype), jnp.int32(max_years),
-    )
+    if engine == "fused":
+        # kernel conventions (ops/pallas_year.py): par leaves scalar or
+        # (K,), per-member forcing offsets through the virtual "F" lane,
+        # frow stays the shared (nt,) row
+        if F_off is not None:
+            par_j["F"] = jnp.asarray(np.asarray(F_off), dtype=dtype)
+        from .ops.pallas_year import default_interpret, fused_unfit
+
+        unfit = fused_unfit(spec.name, st, dtype, par_j)
+        if unfit:
+            raise ValueError(unfit)
+        init_fn, chunk_fn = _fused_loop_fns(
+            spec.name, st, cfg, dtype.name, metric, default_interpret(),
+            not ensemble,
+        )
+    else:
+        if ensemble:
+            # trailing broadcast axis so (K,) sweeps meet (K, nx) state
+            par_j = Collection({
+                k: (v[:, None] if jnp.ndim(v) == 1 else v)
+                for k, v in par_j.items()
+            })
+        if F_off is not None:
+            # batch-native layout: time-leading with a trailing broadcast
+            # axis, so each step's forcing is a (K, 1) column against
+            # (K, nx) state
+            frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
+        init_fn, chunk_fn = _loop_fns(spec.name, st, cfg, dtype.name, metric)
+
+    frow_j = jnp.asarray(frow, dtype=dtype)
+    tol_j = jnp.asarray(tol, dtype)
+    state = init_fn(carry, par_j, frow_j)
+
+    # Host chunking loop: the state stays on device the whole time (any
+    # chunking is bitwise-identical); each dispatch is bounded so it cannot
+    # outlive the remote-TPU execution watchdog — measured on the tunneled
+    # chip, a ~130 s single dispatch kills the TPU worker process
+    # ("UNAVAILABLE: TPU worker crashed or restarted") while ~30 s
+    # dispatches run reliably. Between chunks the host fetches only the
+    # year counter and the (K,) residual (one bulk device_get). Adaptive
+    # mode (years_per_dispatch=None) starts small and resizes each chunk
+    # to ~_CHUNK_TARGET_S wall seconds from the measured years/s.
+    import time as _time
+
+    adaptive = years_per_dispatch is None
+    chunk_years = _CHUNK_START if adaptive else int(years_per_dispatch)
+    if chunk_years < 1:
+        raise ValueError("years_per_dispatch must be >= 1")
+    y, resid_h = jax.device_get((state[3], state[4]))
+    y = int(y)
+    while y < max_years and np.any(resid_h > tol):
+        y_stop = min(y + chunk_years, int(max_years))
+        t0 = _time.perf_counter()
+        state = chunk_fn(state, par_j, frow_j, tol_j, jnp.int32(y_stop))
+        y_new, resid_h = jax.device_get((state[3], state[4]))  # syncs
+        dt = _time.perf_counter() - t0
+        ran = int(y_new) - y
+        y = int(y_new)
+        if ran <= 0:
+            break  # no progress is impossible unless already converged
+        if adaptive:
+            # first chunk's dt includes compile; it only makes the next
+            # chunk conservative, and the one after measures pure run rate
+            chunk_years = int(np.clip(
+                _CHUNK_TARGET_S * ran / max(dt, 1e-6), _CHUNK_START, 4096,
+            ))
+    carry, seasonal, _, years, resid, myears, newton = state
     # one bulk fetch (per-leaf np.asarray pays a round trip each on remote
     # TPUs); this also synchronizes with the device
     carry, seasonal, years, resid, myears, newton = jax.device_get(
         (carry, seasonal, years, resid, myears, newton)
     )
+    if engine == "fused" and not ensemble:
+        # the kernels are ensemble-shaped; drop the lifted 1-member axis
+        carry = Collection({k: v[0] for k, v in carry.items()})
+        seasonal = Seasonal(*(
+            Collection({k: v[0] for k, v in c.items()}) for c in seasonal
+        ))
+        resid, myears = resid[0], myears[0]
     if verbose and not (newton >= 1.0):
         import warnings
 

@@ -124,6 +124,86 @@ class TestEquilibrate:
         assert "converged" in repr(res)
 
 
+class TestFusedEngine:
+    """equilibrate(engine='fused') runs the whole-year Pallas kernel inside
+    the convergence while_loop (interpret mode on CPU). Parity runs pin the
+    year count with tol=0 so both engines simulate exactly max_years years;
+    f32 engine agreement measured at 1e-4..5e-3 after 3 years (Newton
+    tolerance + layout differences, ops/pallas_year.py docstrings)."""
+
+    KW = dict(tol=0.0, max_years=3, dtype="float32")
+
+    @staticmethod
+    def _dmax(a, b):
+        return np.nanmax(np.abs(np.nan_to_num(np.asarray(a))
+                                - np.nan_to_num(np.asarray(b))))
+
+    def test_miz_single_matches_batched(self):
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        par = ebm.default_parameters("MIZ")
+        a = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), engine="batched", **self.KW)
+        b = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), engine="fused", **self.KW)
+        assert a.years == b.years == 3
+        assert b.seasonal.avg["E"].shape == (st.nx,)
+        assert self._dmax(a.seasonal.avg["E"], b.seasonal.avg["E"]) < 0.5
+        assert self._dmax(a.state["Ei"], b.state["Ei"]) < 0.5
+
+    def test_miz_ensemble_F_sweep_matches_batched(self):
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.array([0.0, 1.0, 2.0])
+        a = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), engine="batched", **self.KW)
+        b = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), engine="fused", **self.KW)
+        assert b.seasonal.avg["E"].shape == (3, st.nx)
+        assert self._dmax(a.seasonal.avg["E"], b.seasonal.avg["E"]) < 0.5
+        # the F offsets must actually reach the kernel's forcing lane
+        assert self._dmax(b.seasonal.avg["E"][0],
+                          b.seasonal.avg["E"][2]) > 1e-3
+
+    def test_classic_single_matches_batched(self):
+        st = ebm.SpaceTime.sin(16, 1000, 1)
+        par = ebm.default_parameters("Classic")
+        init = ebm.Collection(E=np.zeros(st.nx), Tg=np.zeros(st.nx))
+        a = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), par, init,
+                            engine="batched", **self.KW)
+        b = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), par, init,
+                            engine="fused", **self.KW)
+        assert self._dmax(a.seasonal.avg["E"], b.seasonal.avg["E"]) < 0.5
+
+    def test_fused_converges_and_reports(self):
+        """The fused loop's convergence accounting (resid/member_years/
+        newton flag) behaves like the batched one's."""
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                              ebm.default_parameters("MIZ"),
+                              ebm.zeros_init(st), tol=1e-2, max_years=300,
+                              dtype="float32", engine="fused")
+        assert res.converged
+        assert res.newton_ok
+        assert 2 <= res.years < 300
+
+    def test_auto_resolves_to_batched_off_tpu(self):
+        import jax
+
+        assert jax.default_backend() != "tpu"
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                              ebm.default_parameters("MIZ"),
+                              ebm.zeros_init(st), engine="auto", **self.KW)
+        assert res.years == 3  # just exercises the resolver + batched run
+
+    def test_unknown_engine_raises(self):
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        with pytest.raises(ValueError, match="unknown engine"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                            ebm.default_parameters("MIZ"),
+                            ebm.zeros_init(st), engine="turbo")
+
+
 class TestImplicitGradients:
     """Implicit-function-theorem adjoint through the fixed point — validated
     against finite differences (measured rel err ~4e-4 at eps=1e-4; the FD
