@@ -216,6 +216,34 @@ def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
     return jax.jit(init), jax.jit(chunk)
 
 
+@functools.lru_cache(maxsize=16)
+def _mesh_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
+                   metric: Tuple[str, ...], mesh, par_key: Tuple):
+    """Jitted (init, chunk) pair with the SHARD-MAPPED fused year kernel as
+    the year map (parallel.sharding.shard_map_fused_year_fn): each chip
+    equilibrates its local ensemble shard — pure DP, zero collectives per
+    simulated year; only the convergence reduction (``jnp.any(resid >
+    tol)`` in the loop predicate) and the Newton-flag ``pmin`` cross chips.
+    ``par_key`` is the hashable ``(name, is_swept)`` summary of the
+    parameter Collection — the shard_map specs depend only on which leaves
+    are per-member, so a dummy template reconstructs them."""
+    from .parallel.sharding import shard_map_fused_year_fn
+
+    par_tmpl = Collection({
+        k: (np.zeros(2) if swept else 0.0) for k, swept in par_key
+    })
+    sharded = shard_map_fused_year_fn(
+        st, mesh, par_tmpl, dtype_name, cfg, model=model_name,
+    )
+
+    def year(carry, par, frow):
+        carry, seasonal, conv = sharded(carry, par, frow)
+        return carry, seasonal, conv, None
+
+    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name))
+    return jax.jit(init), jax.jit(chunk)
+
+
 def _carry_delta(a, b):
     """Max-norm distance between two carry pytrees (no presentation NaNs
     live in the carry, so no masking is needed)."""
@@ -397,6 +425,7 @@ def equilibrate(
     verbose: bool = False,
     engine: str = "auto",
     years_per_dispatch: Optional[int] = None,
+    mesh=None,
 ) -> EquilibriumResult:
     """Iterate the year map to a seasonal fixed point on device.
 
@@ -425,6 +454,13 @@ def equilibrate(
     configuration — same policy as ``ensemble_integrate``. The two engines
     agree to tolerance (MIZ differs below Newton tolerance across layouts;
     classic is bitwise across launches, ops/pallas_year.py docstrings).
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``; requires ``engine='fused'``/
+    ``'auto'`` and an ensemble with ``K`` divisible by the mesh size)
+    shards the members across chips: each chip runs the fused year kernel
+    on its local shard — pure data parallelism, the only cross-chip
+    traffic being the convergence reduction in the loop predicate. A
+    bifurcation scan equilibrates on a whole pod slice this way.
 
     ``years_per_dispatch`` bounds how many simulated years one device
     dispatch may run. The loop state NEVER leaves the device — chunking is
@@ -480,6 +516,16 @@ def equilibrate(
     )
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par.items()})
 
+    if mesh is not None:
+        # a mesh makes fused the only sharded year map we build: force it
+        # under 'auto', surface a clear error for an explicit conflict
+        if engine == "batched":
+            raise ValueError(
+                "mesh= requires engine='fused' (the sharded year map is "
+                "the fused kernel per chip)"
+            )
+        if engine == "auto":
+            engine = "fused"
     if engine == "auto":
         # same policy as ensemble_integrate: the fused whole-year kernel is
         # the TPU throughput engine; stay on the XLA graph for float64 (no
@@ -505,6 +551,15 @@ def equilibrate(
             f"engine='fused' has no whole-year kernel for model "
             f"{spec.name!r}; use engine='batched'"
         )
+    if mesh is not None:
+        if not ensemble:
+            raise ValueError("mesh= needs an ensemble (per-member (K,) "
+                             "par leaves or n_members)")
+        if int(K) % mesh.size != 0:
+            raise ValueError(
+                f"ensemble size {K} is not divisible by the mesh size "
+                f"{mesh.size}"
+            )
 
     carry = spec.init_carry(init, st, dtype)
     if ensemble:
@@ -526,10 +581,18 @@ def equilibrate(
         unfit = fused_unfit(spec.name, st, dtype, par_j)
         if unfit:
             raise ValueError(unfit)
-        init_fn, chunk_fn = _fused_loop_fns(
-            spec.name, st, cfg, dtype.name, metric, default_interpret(),
-            not ensemble,
-        )
+        if mesh is not None:
+            par_key = tuple(sorted(
+                (k, jnp.ndim(v) > 0) for k, v in par_j.items()
+            ))
+            init_fn, chunk_fn = _mesh_loop_fns(
+                spec.name, st, cfg, dtype.name, metric, mesh, par_key,
+            )
+        else:
+            init_fn, chunk_fn = _fused_loop_fns(
+                spec.name, st, cfg, dtype.name, metric, default_interpret(),
+                not ensemble,
+            )
     else:
         if ensemble:
             # trailing broadcast axis so (K,) sweeps meet (K, nx) state

@@ -204,6 +204,52 @@ class TestFusedEngine:
                             ebm.zeros_init(st), engine="turbo")
 
 
+class TestMeshEngine:
+    """equilibrate(mesh=...): members shard across the (virtual 8-device)
+    mesh, each chip runs the fused kernel on its local shard inside the
+    convergence loop. Spread vs the single-launch fused run is layout-level
+    (local shards pick 'kx' where the global launch may pick 'xk')."""
+
+    def test_mesh_matches_single_fused(self):
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        mesh = ensemble_mesh()
+        assert mesh.size == 8
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        K = 16
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.linspace(0.0, 2.0, K)
+        kw = dict(tol=0.0, max_years=3, dtype="float32")
+        a = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), engine="fused", **kw)
+        b = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), mesh=mesh, **kw)
+        assert b.seasonal.avg["E"].shape == (K, st.nx)
+        d = np.nanmax(np.abs(np.nan_to_num(np.asarray(a.seasonal.avg["E"]))
+                             - np.nan_to_num(np.asarray(b.seasonal.avg["E"]))))
+        assert d < 0.5, d
+
+    def test_mesh_engine_conflicts_raise(self):
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        mesh = ensemble_mesh()
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.linspace(0.0, 2.0, 16)
+        with pytest.raises(ValueError, match="engine='fused'"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), mesh=mesh, engine="batched")
+        with pytest.raises(ValueError, match="ensemble"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                            ebm.default_parameters("MIZ"),
+                            ebm.zeros_init(st), mesh=mesh)
+        par_bad = ebm.Collection(ebm.default_parameters("MIZ"))
+        par_bad["F"] = np.linspace(0.0, 2.0, 12)  # 12 % 8 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par_bad,
+                            ebm.zeros_init(st), mesh=mesh)
+
+
 class TestImplicitGradients:
     """Implicit-function-theorem adjoint through the fixed point — validated
     against finite differences (measured rel err ~4e-4 at eps=1e-4; the FD
