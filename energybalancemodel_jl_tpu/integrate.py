@@ -393,6 +393,9 @@ def integrate(
     kernel, so results are bitwise chunking-invariant and checkpoints may
     mix chunkings. Default (``None``): 8 for the fused engine (bitwise-safe
     pure win), 1 for the scan engine (keeps the parity graph unchanged).
+    Keep each chunk's device time under ~30 s: a single dispatch running
+    multiple minutes kills the remote-TPU worker process (execution
+    watchdog — measured, BENCH_NOTES.md).
     """
     spec = get_model(model)
     if dtype is None:

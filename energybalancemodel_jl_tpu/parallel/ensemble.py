@@ -267,7 +267,10 @@ def ensemble_integrate(
     the whole-year kernel. The kernel is a black box the scan feeds the
     carry through, so results (and checkpoints) are bitwise
     chunking-invariant. Default (``None``): 8 for the fused engine (a pure
-    dispatch-latency win), 1 for the XLA engines.
+    dispatch-latency win), 1 for the XLA engines. Keep each chunk's device
+    time under ~30 s: a single dispatch running multiple minutes kills the
+    remote-TPU worker process (execution watchdog — measured,
+    BENCH_NOTES.md).
     """
     spec = get_model(model)
     if raw_mode not in ("none", "last", "all"):

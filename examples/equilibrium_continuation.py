@@ -6,7 +6,8 @@ and reading states off the trajectory (plot_seasonal workflows,
 traced directly: equilibrate at a forcing level, then WARM-START the next
 level from the converged state — the warm/cold branch is followed (and
 its fold located) without simulating the ramp at all. Each equilibration
-is one device dispatch (`lax.while_loop` over the year map).
+runs on device (`lax.while_loop` over the year map, dispatched in
+watchdog-safe chunks; on TPU the year map is the fused Pallas kernel).
 
 Run: python examples/equilibrium_continuation.py
 """
