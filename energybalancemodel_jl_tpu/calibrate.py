@@ -142,7 +142,10 @@ def calibrate(
         — no unrolling, so the chaotic-horizon gradient explosion that
         limits the ``dur``-year objective does not apply. Requires constant
         forcing; meaningful only where the fixed point is attracting (MIZ,
-        or ice-free classic configs — see ``equilibrium.py``).
+        or ice-free classic configs — see ``equilibrium.py``). On a
+        tunneled TPU keep configs calibration-sized (the solve runs as one
+        jitted dispatch; large nx/nt risks the execution watchdog —
+        ``make_equilibrium_seasonal_fn`` docstring).
     loss:
         Custom objective ``seasonal -> scalar`` receiving the final year's
         :class:`~energybalancemodel_jl_tpu.solutions.Seasonal` store (use

@@ -81,7 +81,7 @@ _BWD_STALL_ITERS = 30
 # remote-TPU execution watchdog (measured: ~130 s single dispatches kill
 # the tunneled TPU worker, ~30 s dispatches run reliably) while keeping
 # the per-chunk host round-trip (~2 scalar fetches) negligible.
-_CHUNK_START = 8
+_CHUNK_START = 4
 _CHUNK_TARGET_S = 15.0
 
 
@@ -303,6 +303,15 @@ def make_equilibrium_seasonal_fn(model_name: str, st: SpaceTime, cfg,
     ``tol``/``max_years`` here are Python floats baked into the graph (the
     cached function is keyed on them); the fixed point must be solved
     tightly — the IFT bias is O(tol / (1 - contraction rate)).
+
+    REMOTE-TPU CAVEAT: both loops (forward fixed point + backward Picard)
+    live inside ONE jitted dispatch — they cannot be host-chunked without
+    breaking the custom_vjp structure. On the tunneled TPU a dispatch
+    running multiple minutes of device time kills the worker process
+    (execution watchdog, BENCH_NOTES.md); at calibration-scale configs
+    (nx ~ 16-60) a full solve is well under a second of device time, but
+    large nx/nt configs should run this path on CPU or cap
+    ``max_years``/``bwd_max_iters`` accordingly.
     """
     year = make_year_fn(model_name, st, cfg, dtype_name, False)
 
@@ -326,9 +335,6 @@ def make_equilibrium_seasonal_fn(model_name: str, st: SpaceTime, cfg,
     def fixed_point_fwd(par, frow, carry0):
         c_star = fixed_point(par, frow, carry0)
         return c_star, (par, frow, c_star)
-
-    def cbar_dtype(cbar):
-        return jax.tree_util.tree_leaves(cbar)[0].dtype
 
     def fixed_point_bwd(res, cbar):
         par, frow, c_star = res
@@ -551,6 +557,13 @@ def equilibrate(
             f"engine='fused' has no whole-year kernel for model "
             f"{spec.name!r}; use engine='batched'"
         )
+    if (engine == "fused" and dtype == jnp.float64
+            and jax.default_backend() == "tpu"):
+        raise ValueError(
+            "engine='fused' has no float64 path on TPU (no practical "
+            "Mosaic f64 kernels); use engine='batched' for the x64 "
+            "parity config"
+        )
     if mesh is not None:
         if not ensemble:
             raise ValueError("mesh= needs an ensemble (per-member (K,) "
@@ -607,6 +620,11 @@ def equilibrate(
             frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
         init_fn, chunk_fn = _loop_fns(spec.name, st, cfg, dtype.name, metric)
 
+    adaptive = years_per_dispatch is None
+    chunk_years = _CHUNK_START if adaptive else int(years_per_dispatch)
+    if chunk_years < 1:
+        raise ValueError("years_per_dispatch must be >= 1")
+
     frow_j = jnp.asarray(frow, dtype=dtype)
     tol_j = jnp.asarray(tol, dtype)
     state = init_fn(carry, par_j, frow_j)
@@ -622,10 +640,6 @@ def equilibrate(
     # to ~_CHUNK_TARGET_S wall seconds from the measured years/s.
     import time as _time
 
-    adaptive = years_per_dispatch is None
-    chunk_years = _CHUNK_START if adaptive else int(years_per_dispatch)
-    if chunk_years < 1:
-        raise ValueError("years_per_dispatch must be >= 1")
     y, resid_h = jax.device_get((state[3], state[4]))
     y = int(y)
     while y < max_years and np.any(resid_h > tol):
@@ -641,8 +655,11 @@ def equilibrate(
         if adaptive:
             # first chunk's dt includes compile; it only makes the next
             # chunk conservative, and the one after measures pure run rate
+            # lower bound 1, not _CHUNK_START: on very slow configs (e.g.
+            # f64 emulation) even a handful of years can approach the
+            # watchdog limit, and the chunk must be able to shrink to it
             chunk_years = int(np.clip(
-                _CHUNK_TARGET_S * ran / max(dt, 1e-6), _CHUNK_START, 4096,
+                _CHUNK_TARGET_S * ran / max(dt, 1e-6), 1, 4096,
             ))
     carry, seasonal, _, years, resid, myears, newton = state
     # one bulk fetch (per-leaf np.asarray pays a round trip each on remote
