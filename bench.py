@@ -10,7 +10,11 @@ and prints ONE JSON line.
 Environment knobs: EBM_BENCH_K (ensemble size, default 8192),
 EBM_BENCH_YEARS (timed years, default 5), EBM_BENCH_DTYPE (float32|float64),
 EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
-(fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K.
+(fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K,
+EBM_BENCH_MODE (integrate|equilibrate — equilibrate times the fixed-point
+driver: the fused kernel inside the convergence while_loop, measured
+faster per model-year than the integrate path since no host year loop
+remains; see BENCH_NOTES.md).
 """
 import json
 import os
@@ -46,6 +50,12 @@ def main():
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
     engine = os.environ.get("EBM_BENCH_ENGINE", "fused")
+    mode = os.environ.get("EBM_BENCH_MODE", "integrate")
+
+    if mode == "equilibrate":
+        return bench_equilibrate(K, dtype)
+    if mode != "integrate":
+        raise SystemExit(f"unknown EBM_BENCH_MODE {mode!r}")
 
     st = ebm.SpaceTime.sin(180, 2000, 1)
     # realistic bifurcation sweep: spread diffusivity across members
@@ -132,6 +142,58 @@ def main():
         f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s compile={compile_s:.1f}s "
         f"steps/s={steps_per_sec:.0f} "
         f"finite={finite} checksum={checksum:.6g} device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_equilibrate(K, dtype):
+    """Fixed-point throughput: a fixed-horizon equilibration (tol=0 pins
+    the year count) of a K-member forcing sweep through the fused-kernel
+    convergence loop, timed after a compile/claim warmup run."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import energybalancemodel_jl_tpu as ebm
+    from energybalancemodel_jl_tpu.utils.collection import Collection
+
+    years = int(os.environ.get("EBM_BENCH_YEARS", "100"))
+    st = ebm.SpaceTime.sin(180, 2000, 1)
+    par = Collection(ebm.default_parameters("MIZ"))
+    par["F"] = np.linspace(0.0, 6.0, K)
+    init = ebm.zeros_init(st)
+
+    # claim + compile warmup (2 years covers init_fn and chunk_fn)
+    t0 = time.time()
+    float(np.asarray(jnp.ones((8, 128), dtype) + 1.0).sum())
+    claim_s = time.time() - t0
+    t0 = time.time()
+    ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init, tol=0.0,
+                    max_years=2, dtype=dtype.name, engine="fused")
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init, tol=0.0,
+                          max_years=years, dtype=dtype.name, engine="fused")
+    elapsed = time.time() - t0
+
+    E = np.nan_to_num(np.asarray(res.seasonal.avg["E"]))
+    finite = bool(np.isfinite(np.asarray(res.seasonal.avg["E"])).all())
+    years_per_day = K * int(res.years) / elapsed * 86400.0
+    baseline = 2.2e4
+
+    print(json.dumps({
+        "metric": "miz_equilibration_model_years_per_day_per_chip",
+        "value": round(years_per_day, 1),
+        "unit": "model-years/day",
+        "vs_baseline": round(years_per_day / baseline, 2),
+    }))
+    print(
+        f"# mode=equilibrate K={K} years={int(res.years)} dtype={dtype.name} "
+        f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s compile={compile_s:.1f}s "
+        f"finite={finite} checksum={float(E.sum()):.6g} "
+        f"device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
