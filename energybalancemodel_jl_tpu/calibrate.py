@@ -65,19 +65,30 @@ class CalibrationResult:
     ``losses``: per-step loss trajectory, shape ``(steps,)``.
     ``grads``: final-step gradient per varied parameter (stationarity
     diagnostic: large values mean the fit has not converged).
+
+    Multi-start runs (``n_starts``/``theta0``) report the BEST start (by
+    final loss) in the fields above, and additionally fill ``best`` (its
+    index), ``start_params`` (per-start fitted values, ``(S,)`` each) and
+    ``start_losses`` (per-start final loss, ``(S,)``) — inspecting them
+    shows which basins the starts found.
     """
     params: Collection
     par: Collection
     losses: np.ndarray
     grads: Collection
+    best: Optional[int] = None
+    start_params: Optional[Collection] = None
+    start_losses: Optional[np.ndarray] = None
 
     def __repr__(self):
         fitted = ", ".join(f"{k}={float(v):.6g}" for k, v in self.params.items())
+        starts = (f", best of {len(self.start_losses)} starts"
+                  if self.start_losses is not None else "")
         if len(self.losses) == 0:  # steps=0: plumbing-only call
-            return f"CalibrationResult({fitted}; 0 steps)"
+            return f"CalibrationResult({fitted}; 0 steps{starts})"
         return (
             f"CalibrationResult({fitted}; loss {self.losses[0]:.3e} -> "
-            f"{self.losses[-1]:.3e} in {len(self.losses)} steps)"
+            f"{self.losses[-1]:.3e} in {len(self.losses)} steps{starts})"
         )
 
 
@@ -122,6 +133,10 @@ def calibrate(
     equilibrium: bool = False,
     equilibrium_tol: float = 1e-9,
     equilibrium_max_years: int = 500,
+    n_starts: Optional[int] = None,
+    start_spread: float = 0.1,
+    seed: int = 0,
+    theta0: Optional[Dict[str, np.ndarray]] = None,
 ) -> CalibrationResult:
     """Fit the parameters named in ``vary`` so the run's final-year seasonal
     diagnostics match ``target`` (or minimize a custom ``loss``).
@@ -156,6 +171,18 @@ def calibrate(
     steps, learning_rate, optimizer:
         ``optimizer`` is any optax gradient transformation (default
         ``optax.adam(learning_rate)``); ``steps`` update steps are run.
+    n_starts, start_spread, seed, theta0:
+        MULTI-START mode — the on-chip version of the sweep-then-polish
+        recipe the jagged MIZ landscape demands (module docstring): ``S``
+        independent optimizations run vmapped in ONE compiled program (S
+        independent optimizer states; the hardware sees one batched
+        model), and the best final loss wins. ``n_starts=S`` perturbs
+        each varied parameter multiplicatively by
+        ``U(-start_spread, +start_spread)`` (start 0 is the unperturbed
+        value; additive for a zero base value); ``theta0`` instead gives
+        explicit start values per varied name, shape ``(S,)``. The result
+        reports the best start and keeps every start's outcome
+        (``start_params``/``start_losses``/``best``).
     dtype:
         Defaults to :func:`~energybalancemodel_jl_tpu.integrate.default_dtype`
         — float64 when x64 is enabled (strongly recommended: f32 gradient
@@ -243,27 +270,86 @@ def calibrate(
             final = jax.tree_util.tree_map(lambda v: v[-1], seasons)
             return loss(final)
 
-    theta0 = Collection({n: jnp.asarray(par[n], dtype=dtype) for n in vary})
+    multi = (n_starts is not None) or (theta0 is not None)
+    if theta0 is not None:
+        missing = [n for n in vary if n not in theta0]
+        if missing:
+            raise ValueError(f"theta0 missing varied names {missing}")
+        th0 = {n: jnp.atleast_1d(jnp.asarray(np.asarray(theta0[n]),
+                                             dtype=dtype)) for n in vary}
+        sizes = {v.shape[0] for v in th0.values()}
+        if len(sizes) != 1:
+            raise ValueError(
+                f"theta0 leaves must share one length, got {sorted(sizes)}"
+            )
+        S = sizes.pop()
+        if n_starts is not None and int(n_starts) != S:
+            raise ValueError(
+                f"n_starts={n_starts} conflicts with theta0 length {S}"
+            )
+    elif multi:
+        S = int(n_starts)
+        if S < 1:
+            raise ValueError("n_starts must be >= 1")
+        rng = np.random.default_rng(seed)
+        th0 = {}
+        for n in vary:
+            val = float(np.asarray(par[n]))
+            u = rng.uniform(-1.0, 1.0, S)
+            pert = (val * (1.0 + start_spread * u) if val != 0.0
+                    else start_spread * u)
+            pert[0] = val  # start 0: the unperturbed base, a free baseline
+            th0[n] = jnp.asarray(pert, dtype=dtype)
+    else:
+        th0 = {n: jnp.asarray(par[n], dtype=dtype) for n in vary}
+
     opt = optax.adam(learning_rate) if optimizer is None else optimizer
-    opt_state = opt.init(dict(theta0))
+    opt_state = opt.init(dict(th0))
+    # vmap makes the S starts one batched model; optax transformations are
+    # elementwise over the (S,) leaves, i.e. S independent optimizers
+    vg = (jax.vmap(jax.value_and_grad(objective)) if multi
+          else jax.value_and_grad(objective))
 
     @jax.jit
     def update(theta, opt_state):
-        val, grads = jax.value_and_grad(objective)(theta)
+        val, grads = vg(theta)
         updates, opt_state = opt.update(grads, opt_state, theta)
         theta = optax.apply_updates(theta, updates)
         return theta, opt_state, val, grads
 
-    theta = dict(theta0)
+    theta = dict(th0)
     losses = []
-    grads = {n: jnp.zeros((), dtype) for n in vary}
+    grads = {n: jnp.zeros_like(v) for n, v in th0.items()}
     for _ in range(int(steps)):
         theta, opt_state, val, grads = update(theta, opt_state)
         losses.append(val)
+    # (steps,) single-start, (steps, S) multi-start
     losses = np.asarray(jax.device_get(losses), dtype=np.float64)
     theta, grads = jax.device_get((theta, grads))
-    fitted = Collection({k: np.asarray(v) for k, v in theta.items()})
     full = Collection({k: np.asarray(v) for k, v in par.items()})
+    if multi:
+        best = int(np.argmin(losses[-1])) if len(losses) else 0
+        start_params = Collection(
+            {k: np.asarray(v) for k, v in theta.items()}
+        )
+        start_losses = (losses[-1] if len(losses)
+                        else np.full(S, np.nan))
+        fitted = Collection(
+            {k: np.asarray(v)[best] for k, v in theta.items()}
+        )
+        full.update(fitted)
+        return CalibrationResult(
+            params=fitted,
+            par=full,
+            losses=losses[:, best] if len(losses) else losses.reshape(0),
+            grads=Collection(
+                {k: np.asarray(v)[best] for k, v in grads.items()}
+            ),
+            best=best,
+            start_params=start_params,
+            start_losses=np.asarray(start_losses),
+        )
+    fitted = Collection({k: np.asarray(v) for k, v in theta.items()})
     full.update(fitted)
     return CalibrationResult(
         params=fitted,

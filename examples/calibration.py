@@ -67,6 +67,17 @@ def main():
     print(f"fitted A = {float(res.params['A']):.4f} (true {A_true}); "
           f"|grad| at stop = {abs(float(res.grads['A'])):.2e}")
 
+    # one-call alternative: multi-start calibration — S vmapped
+    # optimizations in ONE compiled program (the sweep-then-polish recipe
+    # fused on chip); the best final loss wins, every start is reported
+    res_ms = ebm.calibrate("Classic", st, forcing, base, init,
+                           target={"E": E_obs}, vary=("A",),
+                           steps=80, learning_rate=0.3,
+                           n_starts=8, start_spread=0.03)
+    print(res_ms)
+    print(f"multi-start: best start #{res_ms.best} of 8, "
+          f"per-start A = {np.round(np.asarray(res_ms.start_params['A']), 3)}")
+
 
 if __name__ == "__main__":
     main()

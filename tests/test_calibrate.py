@@ -145,3 +145,77 @@ class TestCalibrate:
         with pytest.raises(ValueError, match="target variables"):
             ebm.calibrate("Classic", st, ebm.Forcing(0.0), base, init,
                           target={"nope": np.zeros(st.nx)}, vary=("A",))
+
+
+class TestMultiStart:
+    """Multi-start calibration: S vmapped optimizations in one compiled
+    program, best final loss wins (the on-chip sweep-then-polish recipe)."""
+
+    def test_classic_multistart_recovers_and_reports(self):
+        st, base, init = classic_setup()
+        par_true = ebm.Collection(base)
+        par_true["A"] = 196.0
+        sols = ebm.integrate("Classic", st, ebm.Forcing(0.0), par_true, init,
+                             progress=False, raw_mode="none")
+        target = {"E": np.asarray(sols.seasonal.avg["E"][-1])}
+        res = ebm.calibrate("Classic", st, ebm.Forcing(0.0),
+                            ebm.Collection(base), init, target=target,
+                            vary=("A",), steps=60, learning_rate=0.3,
+                            n_starts=3, start_spread=0.02, seed=1)
+        assert res.best is not None and 0 <= res.best < 3
+        assert res.start_losses.shape == (3,)
+        assert np.asarray(res.start_params["A"]).shape == (3,)
+        assert res.losses.shape == (60,)
+        # the reported best IS the argmin of the final per-start losses
+        assert res.best == int(np.argmin(res.start_losses))
+        assert abs(float(res.params["A"]) - 196.0) < 0.5
+        assert "starts" in repr(res)
+
+    def test_theta0_explicit_starts(self):
+        st, base, init = classic_setup()
+        target = {"E": np.full(st.nx, 40.0)}
+        res = ebm.calibrate("Classic", st, ebm.Forcing(0.0),
+                            ebm.Collection(base), init, target=target,
+                            vary=("A", "B"), steps=2, learning_rate=0.05,
+                            theta0={"A": np.array([192.0, 194.0]),
+                                    "B": np.array([2.0, 2.2])})
+        assert res.start_losses.shape == (2,)
+        assert np.isfinite(res.start_losses).all()
+
+    def test_equilibrium_multistart(self):
+        """vmap composes with the implicit-gradient fixed point."""
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        base = ebm.default_parameters("MIZ")
+        truth = ebm.Collection(base)
+        truth["A"] = 195.5
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), truth,
+                             ebm.zeros_init(st), tol=1e-8, max_years=400)
+        res = ebm.calibrate("MIZ", st, ebm.Forcing(0.0), ebm.Collection(base),
+                            ebm.zeros_init(st),
+                            target={"E": np.asarray(eq.seasonal.avg["E"])},
+                            vary=("A",), steps=10, learning_rate=0.3,
+                            equilibrium=True, equilibrium_tol=1e-8,
+                            equilibrium_max_years=400,
+                            theta0={"A": np.array([194.0, 195.4])})
+        assert np.isfinite(res.start_losses).all()
+        assert res.losses.shape == (10,)
+
+    def test_multistart_validation(self):
+        st, base, init = classic_setup()
+        t = {"E": np.zeros(st.nx)}
+        with pytest.raises(ValueError, match="n_starts must be"):
+            ebm.calibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                          target=t, vary=("A",), n_starts=0)
+        with pytest.raises(ValueError, match="missing varied names"):
+            ebm.calibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                          target=t, vary=("A", "B"),
+                          theta0={"A": np.array([1.0])})
+        with pytest.raises(ValueError, match="share one length"):
+            ebm.calibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                          target=t, vary=("A", "B"),
+                          theta0={"A": np.array([1.0, 2.0]),
+                                  "B": np.array([1.0, 2.0, 3.0])})
+        with pytest.raises(ValueError, match="conflicts with theta0"):
+            ebm.calibrate("Classic", st, ebm.Forcing(0.0), base, init,
+                          target=t, vary=("A",), n_starts=3,
+                          theta0={"A": np.array([1.0, 2.0])})
