@@ -100,3 +100,34 @@ def test_classic_random_config_matches_oracle(seed):
             sols.raw[k][:nsteps], np.stack(outs[k]), rtol=1e-8, atol=1e-8,
             err_msg=f"variable {k} (seed {seed}: nx={nx} nt={nt} {grid} f={f:.3f})",
         )
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33])
+def test_equilibrate_engine_parity_random_config(seed):
+    """Fused-kernel vs XLA-graph equilibration engines across random
+    configs (grid size, intra-year resolution, ensemble size, forcing
+    offsets): tol=0 pins the year count so both engines simulate the same
+    fixed horizon; f32 agreement at the Newton-tolerance/layout level."""
+    import energybalancemodel_jl_tpu as ebm
+
+    rng = np.random.default_rng(seed)
+    nx = int(rng.integers(12, 28))
+    nt = int(rng.integers(80, 160))
+    K = int(rng.integers(2, 5))
+    st = SpaceTime.sin(nx, nt, 1)
+    par = Collection(default_parameters("MIZ"))
+    par["F"] = rng.uniform(-1.0, 2.0, K)
+    par["A"] = float(default_parameters("MIZ")["A"]) * float(
+        rng.uniform(0.99, 1.01))
+    kw = dict(tol=0.0, max_years=2, dtype="float32")
+    a = ebm.equilibrate("MIZ", st, Forcing(0.0), par, zeros_init(st),
+                        engine="batched", **kw)
+    b = ebm.equilibrate("MIZ", st, Forcing(0.0), par, zeros_init(st),
+                        engine="fused", **kw)
+    assert a.years == b.years == 2
+    for v in ("E", "h", "phi"):
+        np.testing.assert_allclose(
+            zero_nans(np.asarray(a.seasonal.avg[v])),
+            zero_nans(np.asarray(b.seasonal.avg[v])),
+            atol=0.5, err_msg=f"{v} seed={seed} nx={nx} nt={nt} K={K}",
+        )
