@@ -59,13 +59,16 @@ def zeros_init(st, model: str = "MIZ") -> Collection:
 # IO and plotting are imported lazily-but-eagerly here; they depend only on
 # h5py/matplotlib which are part of the baked environment.
 from .calibrate import CalibrationResult, calibrate  # noqa: E402
-from .equilibrium import EquilibriumResult, equilibrate  # noqa: E402
+from .equilibrium import (ContinuationResult, EquilibriumResult,  # noqa: E402
+                          StabilityResult, continuation, equilibrate,
+                          stability)
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
     backend,
     plot_avg,
     plot_bifurcation,
+    plot_continuation,
     plot_raw,
     plot_seasonal,
 )
@@ -99,12 +102,17 @@ __all__ = [
     "plot_avg",
     "plot_seasonal",
     "plot_bifurcation",
+    "plot_continuation",
     "Progress",
     "update",
     "zeros_init",
     "calibrate",
     "CalibrationResult",
     "equilibrate",
+    "continuation",
+    "ContinuationResult",
+    "stability",
+    "StabilityResult",
     "EquilibriumResult",
 ]
 

@@ -66,11 +66,13 @@ class CalibrationResult:
     ``grads``: final-step gradient per varied parameter (stationarity
     diagnostic: large values mean the fit has not converged).
 
-    Multi-start runs (``n_starts``/``theta0``) report the BEST start (by
-    final loss) in the fields above, and additionally fill ``best`` (its
-    index), ``start_params`` (per-start fitted values, ``(S,)`` each) and
-    ``start_losses`` (per-start final loss, ``(S,)``) — inspecting them
-    shows which basins the starts found.
+    Multi-start runs (``n_starts``/``theta0``) report the BEST start in the
+    fields above — smallest final loss among starts whose loss and fitted
+    values are all finite (diverged starts never win; if every start
+    diverged, start 0 is reported with a warning) — and additionally fill
+    ``best`` (its index), ``start_params`` (per-start fitted values,
+    ``(S,)`` each) and ``start_losses`` (per-start final loss, ``(S,)``) —
+    inspecting them shows which basins the starts found.
     """
     params: Collection
     par: Collection
@@ -92,21 +94,39 @@ class CalibrationResult:
         )
 
 
-def _default_loss(target: Dict[str, np.ndarray]):
+def _default_loss(target: Dict[str, np.ndarray],
+                  nan_ok: Sequence[str] = ()):
     """Mean-squared misfit of final-year seasonal annual means against
-    ``target`` fields. Cells where EITHER side is a NaN presentation value
-    (``T``/``Ti``/``Tw`` over ice-free/ice-covered cells) are masked out of
-    the misfit entirely — a target taken from a prior run's ``seasonal.avg``
-    contains them, and zeroing only one side would score real predictions
-    against a spurious 0.0 in edge cells that changed regime, pulling the
-    fit toward T=0 there instead of ignoring them."""
+    ``target`` fields.
+
+    For PRESENTATION-NaN variables (``nan_ok`` — the model's
+    ``Ti``/``Tw``, NaN-masked over ice-free/ice-covered cells in healthy
+    runs), cells where EITHER side is NaN are masked out of the misfit
+    entirely — a target taken from a prior run's ``seasonal.avg`` contains
+    them, and zeroing only one side would score real predictions against a
+    spurious 0.0 in edge cells that changed regime, pulling the fit toward
+    T=0 there instead of ignoring them.
+
+    For every OTHER variable a NaN prediction means the run DIVERGED, so it
+    incurs an infinite loss instead of being masked: silently excluding it
+    would report loss 0 for a fully diverged run, and a multi-start fit
+    would then select the diverged start as the winner. NaN cells in the
+    *target* are still excluded (caller-provided junk is harmless)."""
     tgt = {k: jnp.asarray(v) for k, v in target.items()}
+    nan_ok = frozenset(nan_ok)
 
     def loss(seasonal):
         total = 0.0
         for k, v in tgt.items():
             pred = seasonal.avg[k]
-            valid = ~(jnp.isnan(v) | jnp.isnan(pred))
+            tgt_ok = ~jnp.isnan(v)
+            if k in nan_ok:
+                valid = tgt_ok & ~jnp.isnan(pred)
+            else:
+                valid = tgt_ok
+                diverged = jnp.any(jnp.isnan(pred) & tgt_ok)
+                # constant branch values: no gradient path through `where`
+                total = total + jnp.where(diverged, jnp.inf, 0.0)
             # mask-multiply on nan_to_num'd operands: where() alone still
             # propagates NaN through the gradient of the untaken branch
             diff = jnp.nan_to_num(pred) - jnp.nan_to_num(v)
@@ -209,7 +229,7 @@ def calibrate(
             raise ValueError(
                 f"target variables {unknown} not in {spec.solution_vars}"
             )
-        loss = _default_loss(target)
+        loss = _default_loss(target, nan_ok=spec.presentation_nan_vars)
 
     from .integrate import default_dtype, make_year_fn
 
@@ -328,7 +348,26 @@ def calibrate(
     theta, grads = jax.device_get((theta, grads))
     full = Collection({k: np.asarray(v) for k, v in par.items()})
     if multi:
-        best = int(np.argmin(losses[-1])) if len(losses) else 0
+        if len(losses):
+            final = losses[-1]
+            # a start only qualifies as "best" if its final loss AND its
+            # fitted values are finite: np.argmin alone would pick a NaN
+            # loss over every finite one, and a NaN theta with a masked-to-
+            # zero loss is a diverged run, not a fit
+            ok = np.isfinite(final)
+            for v in theta.values():
+                ok &= np.isfinite(np.asarray(v))
+            if ok.any():
+                best = int(np.argmin(np.where(ok, final, np.inf)))
+            else:  # every start diverged; report start 0 (grads flag it)
+                best = 0
+                warnings.warn(
+                    "all calibration starts diverged (non-finite loss or "
+                    "fitted values); reporting start 0 — shrink "
+                    "learning_rate/start_spread or check the configuration"
+                )
+        else:
+            best = 0
         start_params = Collection(
             {k: np.asarray(v) for k, v in theta.items()}
         )

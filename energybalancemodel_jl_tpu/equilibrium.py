@@ -64,7 +64,9 @@ from .solutions import Seasonal
 from .spacetime import SpaceTime
 from .utils.collection import Collection
 
-__all__ = ["equilibrate", "EquilibriumResult", "make_equilibrium_seasonal_fn"]
+__all__ = ["equilibrate", "EquilibriumResult", "make_equilibrium_seasonal_fn",
+           "stability", "StabilityResult", "continuation",
+           "ContinuationResult"]
 
 # Adjoint stall cutoff: the implicit-gradient Picard loop ends once NO
 # projected-gradient leaf has produced a finite, strictly smaller increment
@@ -693,4 +695,375 @@ def equilibrate(
         state=state, seasonal=seasonal, years=int(years),
         resid=float(resid), converged=bool(resid <= tol),
         member_years=None, newton_ok=bool(newton >= 1.0), tol=float(tol),
+    )
+
+
+@dataclasses.dataclass
+class StabilityResult:
+    """Result of :func:`stability`.
+
+    ``growth`` is the dominant ``|lambda|`` estimate of the year-map
+    Jacobian at the linearization state (the last power-iteration Rayleigh
+    value); ``history`` holds every iteration's estimate, shape
+    ``(n_iter,)`` (plus a leading member axis for ensembles — history is
+    stored iteration-major, ``history[i]`` is iteration ``i``).
+    ``converged`` marks members whose last two estimates agree to
+    ``rtol``; ``mode`` is the final unit ADJOINT mode (left singular
+    direction), a Collection shaped like the carry — inspecting which
+    leaves/cells carry its mass identifies the slow/unstable direction.
+    """
+
+    growth: Union[float, np.ndarray]
+    history: np.ndarray
+    converged: Union[bool, np.ndarray]
+    mode: Collection
+    rtol: float
+
+    def __repr__(self):
+        if np.ndim(self.growth) == 0:
+            conv = "converged" if self.converged else "NOT converged"
+            kind = ("attracting" if self.growth < 1.0 - self.rtol
+                    else "non-attracting" if self.growth > 1.0 + self.rtol
+                    else "neutral")
+            return (f"StabilityResult(|lambda| ~ {float(self.growth):.6g} "
+                    f"({kind}), {len(self.history)} iterations, {conv})")
+        k = int(np.count_nonzero(self.converged))
+        return (f"StabilityResult({len(np.atleast_1d(self.growth))} members, "
+                f"|lambda| in [{float(np.min(self.growth)):.6g}, "
+                f"{float(np.max(self.growth)):.6g}], {k} converged)")
+
+
+def stability(
+    model: str,
+    st: SpaceTime,
+    forcing: Union[Forcing, float],
+    par: Collection,
+    init: Collection,
+    n_iter: int = 50,
+    rtol: float = 1e-3,
+    project: Sequence[str] = (),
+    seed: int = 0,
+    dtype=None,
+    newton_max_iter: int = 30,
+    iters_per_dispatch: Optional[int] = None,
+) -> StabilityResult:
+    """Linear stability of the YEAR map at a state: dominant ``|lambda|``
+    of its Jacobian by reverse-mode power iteration.
+
+    No reference analog — the reference probes stability by forward
+    integration and eyeballing trajectories. Here the year map is
+    differentiable (the Newton solve carries an implicit-diff VJP), so the
+    spectral radius of ``dY/dstate`` at any state — usually an
+    :func:`equilibrate` result's ``.state`` — comes from iterating the
+    TRANSPOSE Jacobian: ``v <- J^T v / ||J^T v||`` (forward-mode is
+    unavailable through the solver's ``custom_vjp``, and ``J`` and ``J^T``
+    share their singular spectrum, so the growth estimate is identical).
+    Each iteration is one reverse pass through the compiled year; the
+    whole loop is a ``lax.scan`` on device.
+
+    Reading the number (measured, nx=16-24 f64):
+
+    * classic warm/ice-free equilibrium: ``|lambda| ~ 0.98`` — cleanly
+      attracting; icy classic equilibria sit near 0.96.
+    * the classic step-instability regime (``dt*M/cw > 1``, nt below
+      ~1000) reads 5-50: a non-attracting state detector.
+    * healthy MIZ equilibria report ``|lambda| -> 1`` EXACTLY: the year
+      map is non-hyperbolic there — fully ice-covered cells carry frozen
+      integrator coordinates (``Ew``, then ``phi``) that neither grow nor
+      decay. That 1.0 is truthful, but it hides the physical contraction;
+      ``project`` names carry leaves whose components are ZEROED, each
+      iteration, in cells where the base state is fully ice-covered
+      (``phi >= 0.99``) — ``project=("Ew", "phi")`` peels the two frozen
+      families so the estimate reflects the observable dynamics. Values
+      meaningfully above 1 flag the knife-edge non-attracting
+      configurations that stall :func:`equilibrate` (growth 1.008-4.9
+      observed at isolated ``A`` values, see
+      :func:`make_equilibrium_seasonal_fn`).
+
+    ``par`` leaves of shape ``(K,)`` make the run an ensemble exactly as in
+    :func:`equilibrate` (the Jacobian is block-diagonal over members, so
+    the lockstep iteration estimates every member's radius at once);
+    ``init`` is the linearization state — pass ``equilibrate(...).state``
+    for equilibria, or any init/carry Collection to probe an arbitrary
+    state. ``iters_per_dispatch`` bounds how many backward passes one
+    device dispatch runs (remote-TPU watchdog, as in :func:`equilibrate`;
+    each extra dispatch re-runs the forward year once). Default: all in
+    one dispatch — fine at diagnostic sizes.
+
+    Runs the differentiable XLA year graph (``integrate(engine='scan')``'s
+    — the fused Pallas kernels have no AD path); float64 strongly
+    recommended: ~50 composed reverse years in f32 drown small contraction
+    rates in rounding noise.
+    """
+    spec = get_model(model)
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError(
+            "stability needs constant forcing (the year map must be "
+            "autonomous); sweep levels across members via par['F']"
+        )
+    if int(n_iter) < 2:
+        raise ValueError("n_iter must be >= 2")
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+
+    par = Collection(par)
+    sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
+    sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
+    if len(sizes) > 1:
+        raise ValueError(f"inconsistent ensemble sizes {sorted(sizes)}")
+    K = sizes.pop() if sizes else None
+    ensemble = K is not None
+
+    F_off = par.pop("F", None)
+    if F_off is not None and not ensemble:
+        forcing = Forcing(float(forcing.base) + float(np.asarray(F_off)))
+        F_off = None
+    if F_off is not None and np.ndim(F_off) == 0:
+        F_off = np.full((int(K),), float(F_off))
+
+    cfg = default_step_config(dtype.name, newton_max_iter=newton_max_iter)
+    year = make_year_fn(model, st, cfg, dtype.name, False)
+
+    carry = spec.init_carry(init, st, dtype)
+    if ensemble:
+        carry = Collection({
+            k: (v if jnp.ndim(v) > 1
+                else jnp.broadcast_to(v, (int(K),) + v.shape))
+            for k, v in carry.items()
+        })
+        par_j = Collection({
+            k: (jnp.asarray(v, dtype)[:, None] if np.ndim(v) == 1
+                else jnp.asarray(v, dtype))
+            for k, v in par.items()
+        })
+    else:
+        par_j = Collection(
+            {k: jnp.asarray(v, dtype) for k, v in par.items()}
+        )
+    frow = forcing.table(st)[0]
+    if F_off is not None:
+        frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
+    frow_j = jnp.asarray(frow, dtype=dtype)
+
+    bad = [n for n in project if n not in carry]
+    if bad:
+        raise ValueError(
+            f"project names {bad} not in the {spec.name} carry "
+            f"{tuple(carry.keys())}"
+        )
+    if project and "phi" not in carry:
+        raise ValueError(
+            "project needs a 'phi' carry field to locate fully "
+            "ice-covered cells (MIZ only)"
+        )
+    project = frozenset(project)
+    frozen = (carry["phi"] >= 0.99) if project else None
+
+    def proj(t):
+        if not project:
+            return t
+        return Collection({
+            k: (jnp.where(frozen, 0.0, v) if k in project else v)
+            for k, v in t.items()
+        })
+
+    def member_norm(t):
+        return jnp.sqrt(sum(
+            jnp.sum(x * x, axis=-1) for x in jax.tree_util.tree_leaves(t)
+        ))
+
+    tiny = jnp.asarray(np.finfo(dtype).tiny, dtype)
+
+    def normalize(t):
+        nrm = jnp.maximum(member_norm(t), tiny)
+        return jax.tree_util.tree_map(lambda x: x / nrm[..., None], t), nrm
+
+    rng = np.random.default_rng(seed)
+    v0 = Collection({
+        k: jnp.asarray(rng.standard_normal(np.shape(v)), dtype)
+        for k, v in carry.items()
+    })
+    v0, _ = normalize(proj(v0))
+
+    @functools.partial(jax.jit, static_argnums=1)
+    def run(v, k):
+        # linearize once per dispatch; J^T applications ride the residuals
+        _, pb = jax.vjp(lambda c: year(c, par_j, frow_j)[0], carry)
+
+        def it(v, _):
+            w, = pb(v)
+            v, lam = normalize(proj(w))
+            return v, lam
+
+        return lax.scan(it, v, None, length=int(k))
+
+    chunk = int(n_iter) if iters_per_dispatch is None \
+        else max(1, int(iters_per_dispatch))
+    v, hist = v0, []
+    done = 0
+    while done < int(n_iter):
+        k = min(chunk, int(n_iter) - done)
+        v, lams = run(v, k)
+        hist.append(lams)
+        done += k
+    v, history = jax.device_get((v, jnp.concatenate(hist, axis=0)))
+    history = np.asarray(history, dtype=np.float64)
+    growth = history[-1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        converged = (
+            np.isfinite(growth)
+            & (np.abs(history[-1] - history[-2])
+               <= rtol * np.maximum(np.abs(growth), np.finfo(np.float64).tiny))
+        )
+    mode = Collection({k: np.asarray(x) for k, x in v.items()})
+    if ensemble:
+        return StabilityResult(
+            growth=np.asarray(growth), history=history,
+            converged=np.asarray(converged), mode=mode, rtol=float(rtol),
+        )
+    return StabilityResult(
+        growth=float(growth), history=history, converged=bool(converged),
+        mode=mode, rtol=float(rtol),
+    )
+
+
+@dataclasses.dataclass
+class ContinuationResult:
+    """Result of :func:`continuation`: one :class:`EquilibriumResult` per
+    level, in trace order.
+
+    ``values`` are the swept levels; ``direction`` is +1 on the forward
+    leg, -1 on the ``round_trip`` return leg (hysteresis: where the two
+    legs disagree at the same value, the model is bistable there).
+    ``years``/``converged`` are stacked per-level convenience views; use
+    ``mean(var)`` for the hemispheric annual mean of a seasonal field and
+    ``ice_area()`` for the bifurcation diagnostic ``2 pi <phi>`` (the same
+    one ``plot_bifurcation`` draws; classic runs fall back to ``E < 0``).
+    """
+
+    values: np.ndarray
+    direction: np.ndarray
+    results: list
+    vary: str
+    spacetime: SpaceTime
+
+    @property
+    def years(self) -> np.ndarray:
+        return np.asarray([r.years for r in self.results])
+
+    @property
+    def converged(self) -> np.ndarray:
+        return np.asarray([np.all(r.converged) for r in self.results])
+
+    def mean(self, var: str = "E", season: str = "avg") -> np.ndarray:
+        """Hemispheric mean of a seasonal field per level — shape ``(L,)``
+        (``(L, K)`` for ensemble continuations); presentation NaNs
+        contribute zero, as in the convergence metric."""
+        from .utils.numerics import hemispheric_mean
+
+        rows = [
+            np.asarray(hemispheric_mean(
+                np.nan_to_num(getattr(r.seasonal, season)[var]),
+                self.spacetime.x,
+            ))
+            for r in self.results
+        ]
+        return np.asarray(rows) / float(self.spacetime.x[-1]
+                                        - self.spacetime.x[0])
+
+    def ice_area(self, season: str = "avg") -> np.ndarray:
+        """Ice-covered area ``2 pi <phi>`` per level (classic: from
+        ``E < 0``), the standard bifurcation-diagram ordinate."""
+        from .utils.numerics import hemispheric_mean
+
+        rows = []
+        for r in self.results:
+            coll = getattr(r.seasonal, season)
+            if "phi" in coll:
+                field = np.nan_to_num(np.asarray(coll["phi"]))
+            else:
+                field = (np.asarray(coll["E"]) < 0.0).astype(np.float64)
+            rows.append(np.asarray(
+                hemispheric_mean(field, self.spacetime.x)
+            ))
+        return 2.0 * np.pi * np.asarray(rows)
+
+    def __repr__(self):
+        k = int(np.count_nonzero(self.converged))
+        legs = ("round trip" if np.any(self.direction < 0)
+                else "one-way")
+        return (f"ContinuationResult({self.vary}: {len(self.results)} "
+                f"levels in [{self.values.min():g} .. "
+                f"{self.values.max():g}] {legs}, "
+                f"{k}/{len(self.results)} converged, "
+                f"{int(self.years.sum())} total years)")
+
+
+def continuation(
+    model: str,
+    st: SpaceTime,
+    values: Sequence[float],
+    par: Collection,
+    init: Collection,
+    vary: str = "F",
+    forcing: Union[Forcing, float] = 0.0,
+    round_trip: bool = False,
+    tol: float = 1e-3,
+    max_years: int = 1000,
+    **equilibrate_kwargs,
+) -> ContinuationResult:
+    """Numerical continuation: equilibrate along a parameter path, each
+    level WARM-STARTED from the previous level's converged state.
+
+    The package's native replacement for the reference's hysteresis
+    workflow (integrate a multi-decade forcing ramp and read states off
+    the trajectory, /root/reference/src/plot.jl:173-225): warm starts keep
+    every solve inside the attractor's basin, so each branch is traced
+    directly — the warm/cold branch and its fold — without simulating the
+    ramp. ``round_trip=True`` appends the reversed path (omitting the
+    repeated turning point), tracing BOTH hysteresis branches in one call;
+    compare the two legs' :meth:`~ContinuationResult.ice_area` at equal
+    values to find the bistable window.
+
+    ``vary="F"`` sweeps the constant forcing level (each entry of
+    ``values`` offsets ``forcing``'s base); any other ``vary`` names a
+    ``par`` key to set per level. All other keywords
+    (``engine``/``mesh``/``dtype``/``metric``/...) pass through to
+    :func:`equilibrate`; ``par`` leaves of shape ``(K,)`` make each level
+    an ensemble equilibration (K members trace the path in lockstep).
+    """
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError("continuation needs a constant base forcing")
+    values = list(values)
+    if not values:
+        raise ValueError("values must be non-empty")
+    if vary != "F" and vary not in par:
+        raise ValueError(f"vary {vary!r} not in par (and not 'F')")
+    path = [(float(v), 1) for v in values]
+    if round_trip:
+        path += [(float(v), -1) for v in values[-2::-1]]
+
+    par = Collection(par)
+    state, results = init, []
+    for v, _ in path:
+        if vary == "F":
+            fc = Forcing(float(forcing.base) + v)
+            p = par
+        else:
+            fc = forcing
+            p = Collection(par)
+            p[vary] = v
+        res = equilibrate(model, st, fc, p, state, tol=tol,
+                          max_years=max_years, **equilibrate_kwargs)
+        results.append(res)
+        state = res.state
+    return ContinuationResult(
+        values=np.asarray([v for v, _ in path]),
+        direction=np.asarray([d for _, d in path], dtype=np.int8),
+        results=results, vary=vary, spacetime=st,
     )

@@ -79,6 +79,10 @@ class ModelSpec:
     step_inputs: Callable
     solution_vars: Tuple[str, ...]
     init_vars: Tuple[str, ...]
+    # variables whose stored values are NaN-masked for PRESENTATION in
+    # healthy runs (ice-free/ice-covered cells, /root/reference/src/miz.jl:193-194);
+    # NaN in any OTHER variable means the run diverged
+    presentation_nan_vars: Tuple[str, ...] = ()
 
 
 _REGISTRY: Dict[str, ModelSpec] = {}

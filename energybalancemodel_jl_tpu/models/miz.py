@@ -382,6 +382,7 @@ MIZ = register_model(
         step=step,
         step_inputs=step_inputs,
         solution_vars=("E", "T", "h", "Ei", "Ew", "Ti", "Tw", "D", "phi", "n"),
+        presentation_nan_vars=("Ti", "Tw"),
         init_vars=("Ei", "Ew", "h", "D", "phi"),
     )
 )

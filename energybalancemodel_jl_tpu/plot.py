@@ -34,6 +34,7 @@ __all__ = [
     "plot_avg",
     "plot_seasonal",
     "plot_bifurcation",
+    "plot_continuation",
     "miz_layout",
     "classic_layout",
     "unsafesave",
@@ -336,6 +337,79 @@ def plot_bifurcation(
             )
     if any(lbl for _, _, lbl in states):
         ax.legend()
+    return fig
+
+
+def plot_continuation(
+    cont,
+    bcknd: Optional[str] = None,
+    var: Optional[str] = None,
+    seasons=("avg", "winter", "summer"),
+    members=None,
+    title: Optional[str] = None,
+    ylabel: Optional[str] = None,
+):
+    """Bifurcation/hysteresis diagram from an
+    :func:`~energybalancemodel_jl_tpu.continuation` result: the equilibrated
+    ice-covered area (default) — or the hemispheric mean of ``var`` — at
+    each level, against the continued parameter. The forward leg draws red
+    and the ``round_trip`` return leg blue (the package's warming/cooling
+    color language); where the two legs disagree at the same value the
+    model is bistable — the hysteresis window. Levels whose equilibration
+    did not converge are marked with a black 'x'.
+
+    Ensemble continuations (``(K,)`` par leaves) overlay every member's
+    legs; ``members`` selects a subset of member indices. Reference analog:
+    the plot_seasonal hysteresis workflow
+    (/root/reference/src/plot.jl:173-225) — drawn from equilibria instead
+    of ramp snapshots."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    vals = np.asarray(cont.values, dtype=np.float64)
+    direction = np.asarray(cont.direction)
+    conv = np.asarray(cont.converged)
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    ax.set_title(title or f"{var or 'Ice covered area'} vs {cont.vary}")
+    ax.set_xlabel(cont.vary)
+    ax.set_ylabel(var if ylabel is None and var is not None
+                  else (ylabel if ylabel is not None else r"$A_i$"))
+
+    legs = [(direction > 0, "tab:red", "forward")]
+    if np.any(direction < 0):
+        legs.append((direction < 0, "tab:blue", "return"))
+
+    cols = None  # member columns; resolved from the first field's shape
+    for season in seasons:
+        y = np.asarray(cont.ice_area(season) if var is None
+                       else cont.mean(var, season))
+        if cols is None:
+            cols = ([None] if y.ndim == 1 else
+                    list(range(y.shape[1])) if members is None
+                    else [int(i) for i in members])
+        alpha = 1.0 if len(cols) == 1 else max(0.25, 1.5 / len(cols))
+        for leg, color, label in legs:
+            for j, c in enumerate(cols):
+                ax.plot(
+                    vals[leg], y[leg] if c is None else y[leg, c],
+                    color=color, alpha=alpha,
+                    linewidth=2.0 if season == "avg" else 1.0,
+                    linestyle="--" if season == "summer" else "-",
+                    marker="o" if season == "avg" else None, markersize=3,
+                    label=(f"{label} {season}"
+                           if season == "avg" and j == 0 else None),
+                )
+    bad = ~conv
+    if bad.any():
+        y = np.asarray(cont.ice_area("avg") if var is None
+                       else cont.mean(var, "avg"))
+        for j, c in enumerate(cols):
+            ax.plot(vals[bad], y[bad] if c is None else y[bad, c],
+                    linestyle="none", marker="x", color="black",
+                    markersize=7,
+                    label="not converged" if j == 0 else None)
+    ax.legend()
     return fig
 
 

@@ -1,0 +1,70 @@
+"""Linear stability of seasonal cycles: year-map spectral radii.
+
+The reference probes stability by forward integration and eyeballing
+trajectories. Here the year map is differentiable, so `ebm.stability`
+power-iterates its (transpose) Jacobian at a state — one reverse pass per
+iteration, the whole loop a `lax.scan` on device — and returns the
+dominant |lambda|:
+
+* `< 1`: attracting, with per-year contraction rate |lambda|;
+* `~ 1`: non-hyperbolic — healthy MIZ equilibria sit here exactly
+  (frozen `Ew`/`phi` integrator coordinates in fully ice-covered cells;
+  `project=("Ew", "phi")` peels them to expose the observable rate);
+* `> 1`: non-attracting — the knife-edge configurations that stall
+  `equilibrate`, or outright numerical instability.
+
+Run: python examples/stability.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import energybalancemodel_jl_tpu as ebm  # noqa: E402
+
+
+def main():
+    # -- MIZ ensemble: one lockstep estimate per OLR level ---------------
+    st = ebm.SpaceTime.sin(24, 200, 1)
+    par = ebm.Collection(ebm.default_parameters("MIZ"))
+    par["A"] = np.array([193.0, 196.0, 199.0])
+    eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                         ebm.zeros_init(st), tol=1e-5, max_years=500)
+    print(eq)
+
+    raw = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                        n_iter=40)
+    proj = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                         n_iter=40, project=("Ew", "phi"))
+    print(f"{'A':>6}  {'|lambda|':>10}  {'projected':>10}")
+    for a, g, gp in zip(np.asarray(par["A"]), np.atleast_1d(raw.growth),
+                        np.atleast_1d(proj.growth)):
+        print(f"{a:6.1f}  {g:10.6f}  {gp:10.6f}")
+
+    # where does the slow mode live? (inspect the adjoint mode's mass)
+    full_ice = np.asarray(eq.state["phi"])[0] >= 0.99
+    m = np.asarray(raw.mode["Ew"])[0]
+    frac = float((m[full_ice] ** 2).sum() / max((m**2).sum(), 1e-300))
+    print(f"member 0 raw mode: {frac:.0%} of its Ew mass in fully "
+          f"ice-covered cells (the frozen integrator family)")
+
+    # -- classic: attracting equilibrium vs the step-instability regime --
+    stc = ebm.SpaceTime.sin(24, 1000, 1)
+    base = ebm.default_parameters("Classic")
+    E0 = np.full(stc.nx, 40.0)
+    init = ebm.Collection(E=E0, Tg=E0 / float(base["cw"]))
+    eqc = ebm.equilibrate("Classic", stc, ebm.Forcing(6.0), base, init,
+                          tol=0.5, max_years=300)
+    resc = ebm.stability("Classic", stc, ebm.Forcing(6.0), base, eqc.state,
+                         n_iter=40)
+    print(f"classic warm equilibrium: {resc}")
+
+    st_bad = ebm.SpaceTime.sin(24, 400, 1)  # dt*M/cw > 1: unstable stepping
+    res_bad = ebm.stability("Classic", st_bad, ebm.Forcing(0.0), base, init,
+                            n_iter=10)
+    print(f"classic at nt=400 (dt*M/cw > 1): {res_bad}")
+
+
+if __name__ == "__main__":
+    main()

@@ -200,6 +200,43 @@ class TestMultiStart:
         assert np.isfinite(res.start_losses).all()
         assert res.losses.shape == (10,)
 
+    def test_diverged_start_never_wins(self):
+        """A start that drives the run non-finite (cw -> 0 divides the
+        classic temperature by zero) must not be selected as best: its
+        NaN prediction is an infinite loss under the default objective
+        (not a masked-to-zero one), and non-finite losses/fitted values
+        are excluded from the argmin."""
+        st, base, init = classic_setup()
+        target = {"E": np.full(st.nx, 40.0)}
+        res = ebm.calibrate("Classic", st, ebm.Forcing(0.0),
+                            ebm.Collection(base), init, target=target,
+                            vary=("cw",), steps=3, learning_rate=1e-4,
+                            theta0={"cw": np.array([float(base["cw"]), 0.0])})
+        assert res.best == 0
+        assert np.isfinite(float(res.params["cw"]))
+        assert not np.isfinite(res.start_losses[1])
+
+    def test_divergence_penalty_vs_presentation_mask(self):
+        """NaN predictions: infinite loss for ordinary variables
+        (divergence), masked out for presentation-NaN variables."""
+        import jax.numpy as jnp
+
+        from energybalancemodel_jl_tpu.calibrate import _default_loss
+        from energybalancemodel_jl_tpu.solutions import Seasonal
+        from energybalancemodel_jl_tpu.utils.collection import Collection
+
+        pred = jnp.array([np.nan, 2.0, 3.0])
+        tgt = np.array([1.0, 2.0, 3.0])
+        seasonal = Seasonal(
+            winter=Collection(E=pred, Ti=pred),
+            summer=Collection(E=pred, Ti=pred),
+            avg=Collection(E=pred, Ti=pred),
+        )
+        assert float(_default_loss({"E": tgt}, nan_ok=("Ti", "Tw"))(
+            seasonal)) == np.inf
+        assert float(_default_loss({"Ti": tgt}, nan_ok=("Ti", "Tw"))(
+            seasonal)) == 0.0
+
     def test_multistart_validation(self):
         st, base, init = classic_setup()
         t = {"E": np.zeros(st.nx)}

@@ -322,3 +322,184 @@ class TestImplicitGradients:
             ebm.calibrate("MIZ", st, ramp, base, ebm.zeros_init(st),
                           target={"E": np.zeros(st.nx)}, vary=("A",),
                           equilibrium=True)
+
+
+class TestStability:
+    """Year-map spectral radius by reverse-mode power iteration
+    (ebm.stability). Expected magnitudes measured in development (f64,
+    nx=16-24): classic warm equilibrium ~0.985, classic icy ~0.96,
+    classic step-instability regime (nt < ~1000) reads 5-50, healthy MIZ
+    equilibria -> exactly 1 (frozen-cell integrator modes)."""
+
+    def test_classic_warm_equilibrium_attracting(self):
+        st, base, init = classic_setup()
+        # the spectral radius is a smooth function of the state, so the
+        # linearization point only needs to be NEAR the attractor — and
+        # classic can't do better anyway: even warmed configs keep a
+        # winter ice edge whose E==0 albedo-hole wobble floors the
+        # year-over-year residual at O(1e-2) (module docstring), so use
+        # the documented arrival tolerance
+        eq = ebm.equilibrate("Classic", st, ebm.Forcing(6.0), base, init,
+                             tol=0.5, max_years=300)
+        assert eq.converged and eq.resid < 0.5
+        res = ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
+                            n_iter=40)
+        assert res.converged
+        assert 0.9 < res.growth < 1.0
+        assert res.history.shape == (40,)
+        assert "attracting" in repr(res)
+        # chunked dispatch is invariant (same v sequence; the forward
+        # linearization is recomputed per dispatch, bitwise-identically)
+        res2 = ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
+                             n_iter=40, iters_per_dispatch=7)
+        np.testing.assert_array_equal(res.history, res2.history)
+
+    def test_classic_unstable_config_detected(self):
+        """nt=400 puts the classic explicit step in its dt*M/cw > 1
+        oscillatory regime (CLAUDE.md invariant); the year map at the
+        warm init must read strongly non-attracting."""
+        st = ebm.SpaceTime.sin(24, 400, 1)
+        base = ebm.default_parameters("Classic")
+        E0 = np.full(st.nx, 40.0)
+        init = ebm.Collection(E=E0, Tg=E0 / float(base["cw"]))
+        res = ebm.stability("Classic", st, ebm.Forcing(0.0), base, init,
+                            n_iter=10)
+        assert res.growth > 2.0
+        assert "non-attracting" in repr(res)
+
+    def test_miz_neutral_and_projected(self):
+        """Healthy MIZ equilibrium: spectral radius -> 1 (frozen-cell Ew
+        integrator mode, with its mass in fully ice-covered cells);
+        projecting the frozen families keeps the estimate at/below
+        neutral rather than above."""
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        base = ebm.default_parameters("MIZ")
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), base,
+                             ebm.zeros_init(st), tol=1e-7, max_years=400)
+        assert eq.converged
+        res = ebm.stability("MIZ", st, ebm.Forcing(0.0), base, eq.state,
+                            n_iter=50)
+        assert 0.97 < res.growth < 1.05
+        full_ice = np.asarray(eq.state["phi"]) >= 0.99
+        m = np.asarray(res.mode["Ew"])
+        assert (m[full_ice] ** 2).sum() > 0.5 * (m**2).sum()
+
+        proj = ebm.stability("MIZ", st, ebm.Forcing(0.0), base, eq.state,
+                             n_iter=50, project=("Ew", "phi"))
+        assert proj.growth < 1.05
+        mp = np.asarray(proj.mode["Ew"])
+        assert (mp[full_ice] ** 2).sum() < 1e-8
+
+    def test_ensemble_lockstep_matches_solo(self):
+        """Members iterate independently (block-diagonal Jacobian): the
+        2-member run reproduces each solo estimate."""
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        base = ebm.default_parameters("MIZ")
+        par = ebm.Collection(base)
+        par["A"] = np.array([193.0, 196.0])
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=1e-6, max_years=400)
+        res = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                            n_iter=30)
+        assert res.growth.shape == (2,)
+        assert np.isfinite(res.growth).all()
+        assert res.history.shape == (30, 2)
+        for i in (0, 1):
+            solo_par = ebm.Collection(base)
+            solo_par["A"] = float(np.asarray(par["A"])[i])
+            solo_init = ebm.Collection(
+                {k: np.asarray(v)[i] for k, v in eq.state.items()}
+            )
+            solo = ebm.stability("MIZ", st, ebm.Forcing(0.0), solo_par,
+                                 solo_init, n_iter=30)
+            # the random start vectors differ between the (K, nx) and
+            # (nx,) draws, so the two estimates share a limit but not a
+            # transient: compare at the iteration-30 convergence level
+            np.testing.assert_allclose(res.growth[i], solo.growth,
+                                       rtol=5e-3)
+        assert "members" in repr(res)
+
+    def test_forcing_offset_sweep(self):
+        """The virtual 'F' parameter works as in equilibrate: per-member
+        constant forcing offsets (scalar F folds into the base)."""
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.array([0.0, 2.0])
+        res = ebm.stability("MIZ", st, ebm.Forcing(0.0), par,
+                            ebm.zeros_init(st), n_iter=5)
+        assert res.growth.shape == (2,)
+        assert np.isfinite(res.growth).all()
+        solo_par = ebm.Collection(ebm.default_parameters("MIZ"))
+        solo_par["F"] = 2.0  # scalar offset on a single run
+        solo = ebm.stability("MIZ", st, ebm.Forcing(0.0), solo_par,
+                             ebm.zeros_init(st), n_iter=5)
+        assert np.isfinite(solo.growth)
+
+    def test_validation(self):
+        st, base, init = classic_setup()
+        with pytest.raises(ValueError, match="constant forcing"):
+            ebm.stability("Classic", st,
+                          ebm.Forcing(0.0, 1.0, -1.0, (2, 2), (0.5, -0.5)),
+                          base, init)
+        with pytest.raises(ValueError, match="n_iter"):
+            ebm.stability("Classic", st, ebm.Forcing(0.0), base, init,
+                          n_iter=1)
+        with pytest.raises(ValueError, match="not in the Classic carry"):
+            ebm.stability("Classic", st, ebm.Forcing(0.0), base, init,
+                          project=("Ew",))
+
+
+class TestContinuation:
+    """Warm-started parameter-path equilibration (ebm.continuation) — the
+    native replacement for the reference's ramp-based hysteresis recipe."""
+
+    def test_forcing_path_round_trip(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        cont = ebm.continuation("MIZ", st, [-2.0, 2.0, 6.0], par,
+                                ebm.zeros_init(st), round_trip=True,
+                                tol=1e-2, max_years=300)
+        assert len(cont.results) == 5
+        np.testing.assert_array_equal(cont.values, [-2, 2, 6, 2, -2])
+        np.testing.assert_array_equal(cont.direction, [1, 1, 1, -1, -1])
+        assert cont.converged.all()
+        area = cont.ice_area()
+        assert area.shape == (5,)
+        assert np.isfinite(area).all()
+        # more forcing, less ice on the forward leg
+        assert area[0] > area[2]
+        # warming melts: hemispheric-mean enthalpy rises with F
+        E = cont.mean("E")
+        assert E[2] > E[0]
+        assert "round trip" in repr(cont)
+        # levels chain: the final level's state warm-starts nothing, but
+        # each stored result is a full EquilibriumResult
+        assert all(hasattr(r, "state") for r in cont.results)
+
+    def test_parameter_path_and_ensemble(self):
+        """vary= names a par key; (K,) par leaves trace the path as a
+        lockstep ensemble."""
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = np.array([0.55, 0.65])
+        cont = ebm.continuation("MIZ", st, [196.0, 193.0], par,
+                                ebm.zeros_init(st), vary="A",
+                                tol=1e-2, max_years=300)
+        assert cont.ice_area().shape == (2, 2)
+        assert cont.mean("E").shape == (2, 2)
+        assert np.isfinite(cont.ice_area()).all()
+        assert "one-way" in repr(cont)
+
+    def test_validation(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        with pytest.raises(ValueError, match="non-empty"):
+            ebm.continuation("MIZ", st, [], par, ebm.zeros_init(st))
+        with pytest.raises(ValueError, match="not in par"):
+            ebm.continuation("MIZ", st, [1.0], par, ebm.zeros_init(st),
+                             vary="bogus")
+        with pytest.raises(ValueError, match="constant base forcing"):
+            ebm.continuation(
+                "MIZ", st, [1.0], par, ebm.zeros_init(st),
+                forcing=ebm.Forcing(0.0, 1.0, -1.0, (2, 2), (0.5, -0.5)),
+            )

@@ -194,3 +194,53 @@ class TestEnsemblePlots:
             ebm.plot_bifurcation(ens)
         fig = ebm.plot_bifurcation(ens, param="A")
         assert fig.axes[0].get_xlabel() == "A"
+
+
+@pytest.fixture(scope="module")
+def cont_result():
+    st = ebm.SpaceTime.sin(16, 150, 1)
+    par = ebm.default_parameters("MIZ")
+    return ebm.continuation("MIZ", st, [-2.0, 2.0, 6.0], par,
+                            ebm.zeros_init(st), round_trip=True,
+                            tol=1e-2, max_years=150)
+
+
+class TestPlotContinuation:
+    """plot_continuation: hysteresis/bifurcation diagrams from
+    ebm.continuation results (equilibria instead of ramp snapshots)."""
+
+    def test_round_trip_legs(self, cont_result):
+        fig = ebm.plot_continuation(cont_result)
+        ax = fig.axes[0]
+        labels = [ln.get_label() for ln in ax.lines]
+        assert "forward avg" in labels and "return avg" in labels
+        # 3 seasons x 2 legs, all levels converged (no 'x' markers)
+        assert len(ax.lines) == 6
+        assert "not converged" not in labels
+
+    def test_var_mean_ylabel(self, cont_result):
+        fig = ebm.plot_continuation(cont_result, var="E", seasons=("avg",))
+        ax = fig.axes[0]
+        assert ax.get_ylabel() == "E"
+        assert len(ax.lines) == 2  # one avg line per leg
+
+    def test_nonconverged_marked(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        cont = ebm.continuation("MIZ", st, [-2.0, 6.0], par,
+                                ebm.zeros_init(st), tol=1e-8, max_years=3)
+        assert not cont.converged.all()
+        fig = ebm.plot_continuation(cont)
+        labels = [ln.get_label() for ln in fig.axes[0].lines]
+        assert "not converged" in labels
+
+    def test_ensemble_overlay_and_members(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        cont = ebm.continuation("MIZ", st, [-2.0, 2.0], par,
+                                ebm.zeros_init(st), tol=1e-2, max_years=150)
+        full = ebm.plot_continuation(cont, seasons=("avg",))
+        sub = ebm.plot_continuation(cont, seasons=("avg",), members=[1])
+        assert len(full.axes[0].lines) == 2  # one per member, one leg
+        assert len(sub.axes[0].lines) == 1
