@@ -503,3 +503,80 @@ class TestContinuation:
                 "MIZ", st, [1.0], par, ebm.zeros_init(st),
                 forcing=ebm.Forcing(0.0, 1.0, -1.0, (2, 2), (0.5, -0.5)),
             )
+
+
+class TestStabilityDenseOracle:
+    """ebm.stability vs a dense-Jacobian eigendecomposition of the SAME
+    year map: assemble J with jax.jacrev, take np.linalg.eigvals, and the
+    power-iteration growth must reproduce the spectral radius — including
+    for the PROJECTED operator (zeroing Ew/phi rows+columns in frozen
+    cells is exactly what per-iteration projection applies). AD-vs-FD
+    correctness of the underlying VJPs is covered by test_gradients.py;
+    this validates the iteration/normalization/projection machinery."""
+
+    @staticmethod
+    def _dense_jac(model, st, forcing, par, state):
+        import jax
+        import jax.numpy as jnp
+
+        from energybalancemodel_jl_tpu.integrate import make_year_fn
+        from energybalancemodel_jl_tpu.models.base import (
+            default_step_config, get_model)
+
+        spec = get_model(model)
+        cfg = default_step_config("float64", newton_max_iter=30)
+        year = make_year_fn(model, st, cfg, "float64", False)
+        carry = spec.init_carry(state, st, jnp.float64)
+        par_j = ebm.Collection(
+            {k: jnp.asarray(v, jnp.float64) for k, v in par.items()}
+        )
+        frow = jnp.asarray(forcing.table(st)[0], jnp.float64)
+        Jt = jax.jacrev(lambda c: year(c, par_j, frow)[0])(carry)
+        keys = sorted(carry.keys())
+        rows = [
+            np.concatenate([
+                np.asarray(Jt[ko][ki]).reshape(
+                    np.asarray(carry[ko]).size, np.asarray(carry[ki]).size
+                )
+                for ki in keys
+            ], axis=1)
+            for ko in keys
+        ]
+        return np.concatenate(rows, axis=0), keys, carry
+
+    def test_classic_matches_dense_radius(self):
+        st, base, init = classic_setup()
+        eq = ebm.equilibrate("Classic", st, ebm.Forcing(6.0), base, init,
+                             tol=0.5, max_years=300)
+        J, _, _ = self._dense_jac("Classic", st, ebm.Forcing(6.0), base,
+                                  eq.state)
+        lam = float(np.max(np.abs(np.linalg.eigvals(J))))
+        res = ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
+                            n_iter=80)
+        assert abs(res.growth - lam) <= 1e-3 * lam
+
+    def test_miz_raw_and_projected_match_dense(self):
+        st = ebm.SpaceTime.sin(8, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=1e-6, max_years=500)
+        assert eq.resid < 1e-6  # near enough: the radius is smooth in the state
+        J, keys, carry = self._dense_jac("MIZ", st, ebm.Forcing(0.0), par,
+                                         eq.state)
+        lam = float(np.max(np.abs(np.linalg.eigvals(J))))
+        res = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                            n_iter=80)
+        assert abs(res.growth - lam) <= 5e-3 * lam
+
+        frozen = np.asarray(eq.state["phi"]) >= 0.99
+        assert frozen.any()
+        keep = ~np.concatenate([
+            frozen if k in ("Ew", "phi")
+            else np.zeros(np.asarray(carry[k]).size, bool)
+            for k in keys
+        ])
+        P = np.diag(keep.astype(float))
+        lam_p = float(np.max(np.abs(np.linalg.eigvals(P @ J @ P))))
+        proj = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                             n_iter=80, project=("Ew", "phi"))
+        assert abs(proj.growth - lam_p) <= 5e-3 * max(lam_p, 1e-12)
