@@ -1,0 +1,78 @@
+"""Two-dimensional bistability map: the snowball hysteresis vs diffusivity.
+
+One `ebm.continuation` call traces BOTH hysteresis legs of a whole ensemble
+in lockstep: the forcing path is continued level by level (warm starts keep
+each solve inside its attractor's basin) while a `(K,)` par leaf spreads a
+second parameter across members. Comparing the two legs' ice area at equal
+forcing maps the bistable region of the (D, F) plane in a single program —
+the reference's equivalent study is K sequential multi-decade ramp
+integrations read off by eye (plot_seasonal workflows,
+/root/reference/src/plot.jl:173-225).
+
+The classic model carries the textbook ice-albedo ("snowball") bistability:
+descending from a warm state, the planet stays warm far below the forcing
+at which an ice-covered planet would thaw, and once fully frozen the return
+leg cannot escape within the window. (The MIZ model's ice thermodynamics
+damps this at default parameters — measured leg gaps stay below 0.1 over
+F in [-6, 8] for D in [0.05, 0.7].)
+
+Run: python examples/bistability_map.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import energybalancemodel_jl_tpu as ebm  # noqa: E402
+
+
+def main():
+    # classic model: nt >= 1000 (explicit-step stability) and a
+    # Tg = E/cw-consistent warm init (CLAUDE.md invariants)
+    st = ebm.SpaceTime.sin(24, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    D_vals = np.linspace(0.3, 0.9, 4)
+    par["D"] = D_vals  # (K,) leaf -> lockstep ensemble continuation
+
+    E0 = np.full(st.nx, 40.0)
+    init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+
+    # descend from warm into the snowball, then return: start warm so the
+    # forward leg rides the warm branch to its fold
+    F_path = np.linspace(20.0, -10.0, 13)
+    cont = ebm.continuation("Classic", st, F_path, par, init,
+                            round_trip=True, tol=0.5, max_years=300)
+    print(cont)
+
+    area = cont.ice_area()           # (L, K)
+    fwd = cont.direction > 0
+    gap_tol = 0.5                    # ice-area split that counts as bistable
+
+    print("\nbistable cells of the (D, F) plane "
+          f"(|descending - returning| ice area > {gap_tol}):")
+    print("  D \\ F " + "".join(f"{F:+6.1f}" for F in F_path))
+    for k, D in enumerate(D_vals):
+        row = []
+        for F in F_path:
+            dn = area[fwd & (cont.values == F), k]       # descending leg
+            up = area[~fwd & (cont.values == F), k]      # returning leg
+            if len(up) == 0:                             # turning point
+                row.append("     .")
+                continue
+            row.append("     B" if abs(dn[0] - up[0]) > gap_tol else "     .")
+        print(f"  {D:5.2f} " + "".join(row))
+    print("\nB = bistable (warm branch and snowball coexist), "
+          ". = single attractor")
+
+    # warm-branch fold per member: the last F (descending) still warm
+    print(f"\n{'D':>6}  {'warm branch survives to':>24}")
+    for k, D in enumerate(D_vals):
+        warm = [F for F in F_path
+                if area[fwd & (cont.values == F), k][0] < 3.0]
+        fold = f"F = {min(warm):+.1f}" if warm else "nowhere (all frozen)"
+        print(f"{D:6.2f}  {fold:>24}")
+
+
+if __name__ == "__main__":
+    main()

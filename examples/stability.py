@@ -65,6 +65,12 @@ def main():
                             n_iter=10)
     print(f"classic at nt=400 (dt*M/cw > 1): {res_bad}")
 
+    # -- the leading spectrum at once: block (subspace) iteration ---------
+    blk = ebm.stability("Classic", stc, ebm.Forcing(6.0), base, eqc.state,
+                        n_iter=80, n_modes=4)
+    print(f"classic leading modes: {np.round(blk.growth, 4)} "
+          f"(per-year contraction of the 4 slowest directions)")
+
 
 if __name__ == "__main__":
     main()

@@ -580,3 +580,51 @@ class TestStabilityDenseOracle:
         proj = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
                              n_iter=80, project=("Ew", "phi"))
         assert abs(proj.growth - lam_p) <= 5e-3 * max(lam_p, 1e-12)
+
+    def test_block_modes_match_dense_spectrum(self):
+        """n_modes=3 subspace iteration reproduces the three largest
+        eigenvalue moduli of the dense classic Jacobian."""
+        st, base, init = classic_setup()
+        eq = ebm.equilibrate("Classic", st, ebm.Forcing(6.0), base, init,
+                             tol=0.5, max_years=300)
+        J, _, _ = self._dense_jac("Classic", st, ebm.Forcing(6.0), base,
+                                  eq.state)
+        top = np.sort(np.abs(np.linalg.eigvals(J)))[::-1][:3]
+        res = ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
+                            n_iter=120, n_modes=3)
+        assert res.growth.shape == (3,)
+        assert res.history.shape == (120, 3)
+        # the leading mode separates cleanly; modes 2-3 are near-degenerate
+        # here (modulus ratio ~0.992), so individual values converge slowly
+        # while the SET is already right — compare sorted with a looser bar
+        np.testing.assert_allclose(res.growth[0], top[0], rtol=2e-3)
+        np.testing.assert_allclose(np.sort(res.growth), np.sort(top),
+                                   rtol=1e-2)
+        # chunked dispatch invariance holds for blocks too
+        res2 = ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
+                             n_iter=120, n_modes=3, iters_per_dispatch=13)
+        np.testing.assert_array_equal(res.history, res2.history)
+
+    def test_block_modes_ensemble_shapes_and_validation(self):
+        st = ebm.SpaceTime.sin(8, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=1e-5, max_years=500)
+        res = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                            n_iter=30, n_modes=3)
+        assert res.growth.shape == (2, 3)
+        assert res.history.shape == (30, 2, 3)
+        assert np.isfinite(res.growth).all()
+        # modes within a member are orthonormal
+        v = np.concatenate([np.asarray(res.mode[k]) for k in
+                            sorted(res.mode.keys())], axis=-1)  # (3, 2, n)
+        for kmem in (0, 1):
+            g = v[:, kmem, :] @ v[:, kmem, :].T
+            np.testing.assert_allclose(g, np.eye(3), atol=1e-10)
+        with pytest.raises(ValueError, match="n_modes"):
+            ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                          n_modes=0)
+        with pytest.raises(ValueError, match="n_modes"):
+            ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                          n_modes=10_000)
