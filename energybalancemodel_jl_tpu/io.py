@@ -124,6 +124,79 @@ def _read_ensemble(f: h5py.Group):
     )
 
 
+def _read_spacetime(f: h5py.Group) -> SpaceTime:
+    a = f["spacetime"].attrs
+    return SpaceTime(
+        nx=int(a["nx"]), nt=int(a["nt"]), dur=int(a["dur"]), grid=str(a["grid"]),
+        urange=tuple(np.asarray(a["urange"]).tolist()),
+        winter=float(a["winter"]), summer=float(a["summer"]),
+    )
+
+
+def _write_equilibrium(f: h5py.Group, eq) -> None:
+    """Equilibria have no reference analog (the reference only persists
+    trajectories); the schema mirrors the Solutions one — tagged groups of
+    Collections — so `load` round-trips EquilibriumResult objects for
+    warm-starting later runs."""
+    f.attrs["__ebm_type__"] = "EquilibriumResult"
+    f.attrs.update(years=int(eq.years), newton_ok=bool(eq.newton_ok),
+                   tol=float(eq.tol))
+    f.create_dataset("resid", data=np.asarray(eq.resid))
+    f.create_dataset("converged", data=np.asarray(eq.converged))
+    if eq.member_years is not None:
+        f.create_dataset("member_years", data=np.asarray(eq.member_years))
+    _write_collection(f.create_group("state"), eq.state)
+    g = f.create_group("seasonal")
+    for season in ("winter", "summer", "avg"):
+        _write_collection(g.create_group(season), getattr(eq.seasonal, season))
+
+
+def _read_equilibrium(f: h5py.Group):
+    from .equilibrium import EquilibriumResult
+
+    resid = np.asarray(f["resid"])
+    conv = np.asarray(f["converged"])
+    return EquilibriumResult(
+        state=_read_collection(f["state"]),
+        seasonal=Seasonal(
+            winter=_read_collection(f["seasonal/winter"]),
+            summer=_read_collection(f["seasonal/summer"]),
+            avg=_read_collection(f["seasonal/avg"]),
+        ),
+        years=int(f.attrs["years"]),
+        resid=float(resid) if resid.ndim == 0 else resid,
+        converged=bool(conv) if conv.ndim == 0 else conv,
+        member_years=(np.asarray(f["member_years"])
+                      if "member_years" in f else None),
+        newton_ok=bool(f.attrs["newton_ok"]),
+        tol=float(f.attrs["tol"]),
+    )
+
+
+def _write_continuation(f: h5py.Group, cont) -> None:
+    f.attrs["__ebm_type__"] = "ContinuationResult"
+    f.attrs["vary"] = str(cont.vary)
+    f.create_dataset("values", data=np.asarray(cont.values))
+    f.create_dataset("direction", data=np.asarray(cont.direction))
+    _write_spacetime(f, cont.spacetime)
+    levels = f.create_group("levels")
+    for i, r in enumerate(cont.results):
+        _write_equilibrium(levels.create_group(f"{i:04d}"), r)
+
+
+def _read_continuation(f: h5py.Group):
+    from .equilibrium import ContinuationResult
+
+    levels = f["levels"]
+    return ContinuationResult(
+        values=np.asarray(f["values"]),
+        direction=np.asarray(f["direction"]),
+        results=[_read_equilibrium(levels[k]) for k in sorted(levels.keys())],
+        vary=str(f.attrs["vary"]),
+        spacetime=_read_spacetime(f),
+    )
+
+
 def _read_solutions(f: h5py.Group) -> Solutions:
     a = f["spacetime"].attrs
     st = SpaceTime(
@@ -173,6 +246,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             return path
     except ImportError:  # pragma: no cover
         pass
+    from .equilibrium import ContinuationResult, EquilibriumResult
     from .parallel.ensemble import EnsembleSolutions
 
     with h5py.File(path, "w") as f:
@@ -180,6 +254,10 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_solutions(f, obj)
         elif isinstance(obj, EnsembleSolutions):
             _write_ensemble(f, obj)
+        elif isinstance(obj, EquilibriumResult):
+            _write_equilibrium(f, obj)
+        elif isinstance(obj, ContinuationResult):
+            _write_continuation(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -221,6 +299,10 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_solutions(f)
         if tag == "EnsembleSolutions":
             return _read_ensemble(f)
+        if tag == "EquilibriumResult":
+            return _read_equilibrium(f)
+        if tag == "ContinuationResult":
+            return _read_continuation(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

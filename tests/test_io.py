@@ -121,3 +121,66 @@ class TestEnsembleRoundTrip:
                 loaded.seasonal.avg[k], ens.seasonal.avg[k], err_msg=k
             )
             np.testing.assert_array_equal(loaded.raw[k], ens.raw[k], err_msg=k)
+
+
+class TestEquilibriumRoundTrip:
+    """EquilibriumResult / ContinuationResult persistence (no reference
+    analog — the reference only persists trajectories)."""
+
+    def test_equilibrium_solo(self, tmp_path):
+        st = ebm.SpaceTime.sin(10, 100, 1)
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                             ebm.default_parameters("MIZ"),
+                             ebm.zeros_init(st), tol=0.0, max_years=3)
+        path = str(tmp_path / "eq.h5")
+        ebm.save(eq, path)
+        loaded = ebm.load(path)
+        assert type(loaded).__name__ == "EquilibriumResult"
+        assert loaded.years == eq.years and loaded.tol == eq.tol
+        assert isinstance(loaded.resid, float)
+        assert isinstance(loaded.converged, bool)
+        assert loaded.member_years is None
+        for k in eq.state:
+            np.testing.assert_array_equal(
+                np.asarray(loaded.state[k]), np.asarray(eq.state[k]),
+                err_msg=k)
+        np.testing.assert_array_equal(
+            np.nan_to_num(np.asarray(loaded.seasonal.avg["E"])),
+            np.nan_to_num(np.asarray(eq.seasonal.avg["E"])))
+        # the loaded state warm-starts a continuation, as documented
+        eq2 = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                              ebm.default_parameters("MIZ"), loaded.state,
+                              tol=0.0, max_years=1)
+        assert eq2.years == 1
+
+    def test_equilibrium_ensemble(self, tmp_path):
+        st = ebm.SpaceTime.sin(10, 100, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=0.0, max_years=3)
+        path = str(tmp_path / "eq_ens.h5")
+        ebm.save(eq, path)
+        loaded = ebm.load(path)
+        assert loaded.member_years is not None
+        np.testing.assert_array_equal(loaded.member_years, eq.member_years)
+        np.testing.assert_array_equal(loaded.resid, eq.resid)
+        np.testing.assert_array_equal(loaded.converged, eq.converged)
+
+    def test_continuation(self, tmp_path):
+        st = ebm.SpaceTime.sin(10, 100, 1)
+        cont = ebm.continuation("MIZ", st, [0.0, 2.0],
+                                ebm.default_parameters("MIZ"),
+                                ebm.zeros_init(st), round_trip=True,
+                                tol=0.0, max_years=2)
+        path = str(tmp_path / "cont.h5")
+        ebm.save(cont, path)
+        loaded = ebm.load(path)
+        assert type(loaded).__name__ == "ContinuationResult"
+        assert loaded.vary == "F"
+        assert loaded.spacetime == cont.spacetime
+        np.testing.assert_array_equal(loaded.values, cont.values)
+        np.testing.assert_array_equal(loaded.direction, cont.direction)
+        assert len(loaded.results) == 3
+        np.testing.assert_allclose(loaded.ice_area(), cont.ice_area())
+        assert repr(loaded) == repr(cont)
