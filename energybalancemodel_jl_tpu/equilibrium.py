@@ -129,7 +129,8 @@ def _metric_vec(seasonal: Seasonal, metric: Tuple[str, ...]):
     )
 
 
-def _fixed_point_fns(year, metric: Tuple[str, ...], dtype):
+def _fixed_point_fns(year, metric: Tuple[str, ...], dtype,
+                     anderson: int = 0):
     """Build the fixed-point convergence loop around a one-year function
     with the standard ``(carry, par, frow) -> (carry, Seasonal, conv, _)``
     signature (shared by :func:`make_year_fn` and the fused Pallas
@@ -142,31 +143,145 @@ def _fixed_point_fns(year, metric: Tuple[str, ...], dtype):
     so no single dispatch outlives the remote-TPU execution watchdog
     (measured: ~130 s dispatches kill the tunnel worker, ~30 s survive —
     see equilibrate); the state never leaves the device between chunks, so
-    any chunking produces bitwise-identical trajectories."""
+    any chunking produces bitwise-identical trajectories.
+
+    ``anderson=m > 0`` wraps the Picard iteration in safeguarded Anderson
+    acceleration of depth m (see :func:`equilibrate`); the AA buffers ride
+    at the END of the loop-state tuple, so positional access to the first
+    seven slots is unchanged."""
+    use_aa = int(anderson) > 0
+    m_hist = int(anderson)
+
+    def flat(carry):
+        ks = sorted(carry.keys())
+        return jnp.concatenate([carry[k] for k in ks], axis=-1), ks
+
+    def unflat(x, carry_tmpl):
+        ks = sorted(carry_tmpl.keys())
+        out, i = {}, 0
+        for k in ks:
+            w = carry_tmpl[k].shape[-1]
+            out[k] = x[..., i:i + w]
+            i += w
+        return Collection(out)
 
     def init(carry, par, frow):
-        carry, seasonal, conv, _ = year(carry, par, frow)
+        carry_n, seasonal, conv, _ = year(carry, par, frow)
         prev = _metric_vec(seasonal, metric)
         resid0 = jnp.full(prev.shape[:-1], jnp.inf, dtype)
         newton = (jnp.min(conv) if conv is not None
                   else jnp.asarray(1.0, dtype))
         myears0 = jnp.zeros(prev.shape[:-1], jnp.int32)
-        return (carry, seasonal, prev, jnp.int32(1), resid0, myears0, newton)
+        base = (carry_n, seasonal, prev, jnp.int32(1), resid0, myears0,
+                newton)
+        if not use_aa:
+            return base
+        # AA buffers: the m most recent (residual, G-value) pairs of the
+        # FLATTENED carry, slot 0 newest; per-member valid-slot counter and
+        # previous residual norm for the safeguard. Seed with the year-1
+        # pair: x0 = the caller's init carry, G(x0) = carry_n. The carry
+        # mixes field scales (energies vs concentrations), so AA works in
+        # SCALED coordinates: each leaf's slice of the flat vector is
+        # divided by that leaf's global magnitude at year 1 (kept in the
+        # state so chunking stays bitwise-invariant).
+        x0, ks = flat(carry)
+        g0, _ = flat(carry_n)
+        # per-member, per-leaf scale (a global max would couple members:
+        # ensemble trajectories must match solo runs)
+        scale = jnp.concatenate([
+            jnp.broadcast_to(
+                jnp.maximum(
+                    jnp.max(jnp.abs(carry_n[k]), axis=-1, keepdims=True),
+                    jnp.asarray(1e-8, dtype),
+                ),
+                carry_n[k].shape,
+            )
+            for k in ks
+        ], axis=-1)
+        r0 = (g0 - x0) / scale
+        zeros = jnp.zeros((m_hist,) + r0.shape, r0.dtype)
+        Rbuf = zeros.at[0].set(r0)
+        Gbuf = zeros.at[0].set(g0 / scale)
+        cnt = jnp.ones(r0.shape[:-1], jnp.int32)
+        rnorm = jnp.max(jnp.abs(r0), axis=-1)
+        return base + ((Rbuf, Gbuf, cnt, rnorm, scale),)
+
+    def aa_next(carry, par, frow, aa):
+        """One accelerated step: run the year at the current iterate, then
+        combine the last histories (Anderson Type II, difference form,
+        regularized per-member normal equations). Safeguard: a member
+        whose residual norm grew takes the plain Picard value and restarts
+        its history."""
+        Rbuf, Gbuf, cnt, rnorm_prev, scale = aa
+        x_k, _ = flat(carry)
+        x_k = x_k / scale
+        carry_g, seasonal, conv, _ = year(carry, par, frow)
+        g_k, _ = flat(carry_g)
+        g_k = g_k / scale
+        r_k = g_k - x_k
+        rnorm = jnp.max(jnp.abs(r_k), axis=-1)
+        grew = rnorm > rnorm_prev
+        cnt = jnp.where(grew, 0, cnt)
+
+        # difference matrices vs the buffered history (invalid slots are
+        # masked to zero columns; the Tikhonov term then zeroes their
+        # gamma components instead of making the solve singular)
+        valid = (jnp.arange(m_hist) < cnt[..., None])  # (..., m)
+        vmask = jnp.moveaxis(valid, -1, 0)[..., None]  # (m, ..., 1)
+        dR = jnp.where(vmask, r_k - Rbuf, 0.0)
+        dG = jnp.where(vmask, g_k - Gbuf, 0.0)
+        M = jnp.einsum("i...n,j...n->...ij", dR, dR)
+        b = jnp.einsum("i...n,...n->...i", dR, r_k)
+        trace = jnp.trace(M, axis1=-2, axis2=-1)
+        eps = jnp.maximum(
+            trace / m_hist * 1e-6,
+            jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype) ** 2,
+        )
+        # b as an explicit column: with batch dims, a (..., m) b is
+        # otherwise broadcast as a matrix rather than solved as a vector
+        gamma = jnp.linalg.solve(
+            M + eps[..., None, None] * jnp.eye(m_hist, dtype=M.dtype),
+            b[..., None],
+        )[..., 0]
+        x_aa = g_k - jnp.einsum("i...n,...i->...n", dG, gamma)
+        # members with no usable history (fresh restart) step plain Picard
+        x_next = jnp.where((cnt > 0)[..., None], x_aa, g_k)
+
+        # shift the newest pair in
+        Rbuf = jnp.concatenate([r_k[None], Rbuf[:-1]], axis=0)
+        Gbuf = jnp.concatenate([g_k[None], Gbuf[:-1]], axis=0)
+        cnt = jnp.minimum(cnt + 1, m_hist)
+        carry_next = unflat(x_next * scale, carry)
+        # unscaled year-map residual: AA iterates can stop moving at the
+        # CENTER of a wobbling attractor while a plain year still moves
+        # the state, so convergence must also see ||G(x) - x|| in real
+        # units — otherwise "converged" would stop meaning year-over-year
+        # stationarity (measured: O(0.3) wobble reported as 1e-7)
+        runorm = jnp.max(jnp.abs(r_k * scale), axis=-1)
+        return (carry_next, seasonal, conv, runorm,
+                (Rbuf, Gbuf, cnt, rnorm, scale))
 
     def chunk(state, par, frow, tol, y_stop):
         def cond(s):
-            _, _, _, y, resid, _, _ = s
+            y, resid = s[3], s[4]
             return (y < y_stop) & jnp.any(resid > tol)
 
         def body(s):
-            carry, _, prev, y, _, myears, newton = s
-            carry, seasonal, conv, _ = year(carry, par, frow)
+            carry, _, prev, y, _, myears, newton = s[:7]
+            if use_aa:
+                carry, seasonal, conv, runorm, aa = aa_next(
+                    carry, par, frow, s[7])
+            else:
+                carry, seasonal, conv, _ = year(carry, par, frow)
             cur = _metric_vec(seasonal, metric)
             resid = jnp.max(jnp.abs(cur - prev), axis=-1)
+            if use_aa:
+                resid = jnp.maximum(resid, runorm)
             myears = jnp.where((resid <= tol) & (myears == 0), y + 1, myears)
             if conv is not None:
                 newton = jnp.minimum(newton, jnp.min(conv))
-            return (carry, seasonal, cur, y + 1, resid, myears, newton)
+            out = (carry, seasonal, cur, y + 1, resid, myears, newton)
+            return out + ((aa,) if use_aa else ())
 
         return lax.while_loop(cond, body, state)
 
@@ -175,18 +290,20 @@ def _fixed_point_fns(year, metric: Tuple[str, ...], dtype):
 
 @functools.lru_cache(maxsize=32)
 def _loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-              metric: Tuple[str, ...]):
+              metric: Tuple[str, ...], anderson: int = 0):
     """Jitted (init, chunk) pair for the XLA-graph engine; the year function
     comes from the shared :func:`make_year_fn` cache (same graph
     ``integrate`` runs — equilibria reproduce under the standard driver)."""
     year = make_year_fn(model_name, st, cfg, dtype_name, False)
-    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name))
+    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name),
+                                   anderson)
     return jax.jit(init), jax.jit(chunk)
 
 
 @functools.lru_cache(maxsize=32)
 def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-                    metric: Tuple[str, ...], interpret: bool, single: bool):
+                    metric: Tuple[str, ...], interpret: bool, single: bool,
+                    anderson: int = 0):
     """Jitted (init, chunk) pair with the fused whole-year Pallas kernel as
     the year map (ops/pallas_year.py): each loop iteration is ONE kernel
     launch that runs the entire nt-step year in VMEM — the throughput
@@ -205,7 +322,8 @@ def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                                         interpret=interpret)
         return carry, seasonal, conv, None
 
-    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name))
+    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name),
+                                   anderson)
     if single:
         base_init = init
 
@@ -220,7 +338,8 @@ def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
 
 @functools.lru_cache(maxsize=16)
 def _mesh_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-                   metric: Tuple[str, ...], mesh, par_key: Tuple):
+                   metric: Tuple[str, ...], mesh, par_key: Tuple,
+                   anderson: int = 0):
     """Jitted (init, chunk) pair with the SHARD-MAPPED fused year kernel as
     the year map (parallel.sharding.shard_map_fused_year_fn): each chip
     equilibrates its local ensemble shard — pure DP, zero collectives per
@@ -242,7 +361,8 @@ def _mesh_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
         carry, seasonal, conv = sharded(carry, par, frow)
         return carry, seasonal, conv, None
 
-    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name))
+    init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name),
+                                   anderson)
     return jax.jit(init), jax.jit(chunk)
 
 
@@ -434,6 +554,7 @@ def equilibrate(
     engine: str = "auto",
     years_per_dispatch: Optional[int] = None,
     mesh=None,
+    anderson: int = 0,
 ) -> EquilibriumResult:
     """Iterate the year map to a seasonal fixed point on device.
 
@@ -479,6 +600,32 @@ def equilibrate(
     kills the remote TPU worker process, while ~30 s dispatches run
     reliably.
 
+    ``anderson=m > 0`` turns on safeguarded Anderson acceleration of depth
+    ``m`` (typically 3-5) around the year map: each iteration combines the
+    last m (residual, value) pairs of the carry — Type-II AA in difference
+    form, per-member regularized normal equations, per-leaf scale
+    normalization — to extrapolate toward the fixed point, instead of
+    waiting out the Picard contraction rate (the slowest year-map
+    ``|lambda|``, 0.96-0.99 at typical configs — see :func:`stability`).
+    A member whose residual norm grows falls back to the plain year step
+    and restarts its history, which keeps the nonsmooth spots (albedo
+    discontinuities, Newton masks) from destabilizing the iteration.
+    ``years`` then counts accelerated iterations (still one simulated year
+    of dynamics each). Convergence under AA is STRICTER than Picard's
+    metric: the year-map residual of the full carry (max norm, real
+    units) must also meet ``tol`` — AA iterates can stop moving at the
+    center of a wobbling attractor while a plain year still moves the
+    state, and "converged" must keep meaning year-over-year stationarity
+    (so wobble-limited configs — classic's albedo-hole O(0.1) — report
+    NOT converged at tight tolerances under AA exactly as they do under
+    Picard). On non-hyperbolic maps (the MIZ frozen-cell neutral
+    families, :func:`stability`) the equilibria form a MANIFOLD: AA may
+    land on a different — measured MORE stationary — point of it than
+    forward integration, with field offsets within the neutral freedom
+    (E up to O(1) in fully ice-covered cells). Composes with every
+    engine and with ``mesh`` (the AA algebra is per-member). Default
+    off: plain Picard is the bitwise-reproducible reference behavior.
+
     ``st.dur`` is ignored — the horizon is ``max_years``; ``st`` only fixes
     the grid and intra-year resolution.
     """
@@ -497,6 +644,9 @@ def equilibrate(
             f"metric vars {bad} not in {spec.name} solution vars "
             f"{spec.solution_vars}"
         )
+    if int(anderson) < 0:
+        raise ValueError("anderson must be >= 0 (0 = plain Picard)")
+    anderson = int(anderson)
     if dtype is None:
         dtype = default_dtype()
     dtype = jnp.dtype(dtype)
@@ -602,11 +752,12 @@ def equilibrate(
             ))
             init_fn, chunk_fn = _mesh_loop_fns(
                 spec.name, st, cfg, dtype.name, metric, mesh, par_key,
+                anderson,
             )
         else:
             init_fn, chunk_fn = _fused_loop_fns(
                 spec.name, st, cfg, dtype.name, metric, default_interpret(),
-                not ensemble,
+                not ensemble, anderson,
             )
     else:
         if ensemble:
@@ -620,7 +771,8 @@ def equilibrate(
             # axis, so each step's forcing is a (K, 1) column against
             # (K, nx) state
             frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
-        init_fn, chunk_fn = _loop_fns(spec.name, st, cfg, dtype.name, metric)
+        init_fn, chunk_fn = _loop_fns(spec.name, st, cfg, dtype.name, metric,
+                                      anderson)
 
     adaptive = years_per_dispatch is None
     chunk_years = _CHUNK_START if adaptive else int(years_per_dispatch)
@@ -663,7 +815,7 @@ def equilibrate(
             chunk_years = int(np.clip(
                 _CHUNK_TARGET_S * ran / max(dt, 1e-6), 1, 4096,
             ))
-    carry, seasonal, _, years, resid, myears, newton = state
+    carry, seasonal, _, years, resid, myears, newton = state[:7]
     # one bulk fetch (per-leaf np.asarray pays a round trip each on remote
     # TPUs); this also synchronizes with the device
     carry, seasonal, years, resid, myears, newton = jax.device_get(
