@@ -1216,6 +1216,7 @@ def continuation(
     round_trip: bool = False,
     tol: float = 1e-3,
     max_years: int = 1000,
+    progress: bool = False,
     **equilibrate_kwargs,
 ) -> ContinuationResult:
     """Numerical continuation: equilibrate along a parameter path, each
@@ -1233,7 +1234,9 @@ def continuation(
 
     ``vary="F"`` sweeps the constant forcing level (each entry of
     ``values`` offsets ``forcing``'s base); any other ``vary`` names a
-    ``par`` key to set per level. All other keywords
+    ``par`` key to set per level. ``progress=True`` draws the package's
+    throttled progress bar (one tick per level, level diagnostics on the
+    info line) — levels can take minutes each at large configs. All other keywords
     (``engine``/``mesh``/``dtype``/``metric``/...) pass through to
     :func:`equilibrate`; ``par`` leaves of shape ``(K,)`` make each level
     an ensemble equilibration (K members trace the path in lockstep).
@@ -1252,8 +1255,19 @@ def continuation(
         path += [(float(v), -1) for v in values[-2::-1]]
 
     par = Collection(par)
+    prog = None
+    if progress:
+        from .utils.progress import Progress
+
+        prog = Progress(
+            len(path), title=f"Continuation ({vary})",
+            infofeed=lambda v, res: (
+                f"{vary}={v:g}: {res!r}" if res is not None else ""
+            ),
+        )
+        prog.update(0, feedargs=(path[0][0], None))
     state, results = init, []
-    for v, _ in path:
+    for i, (v, _) in enumerate(path):
         if vary == "F":
             fc = Forcing(float(forcing.base) + v)
             p = par
@@ -1265,6 +1279,8 @@ def continuation(
                           max_years=max_years, **equilibrate_kwargs)
         results.append(res)
         state = res.state
+        if prog is not None:
+            prog.update(i + 1, feedargs=(v, res))
     return ContinuationResult(
         values=np.asarray([v for v, _ in path]),
         direction=np.asarray([d for _, d in path], dtype=np.int8),

@@ -742,3 +742,26 @@ class TestAnderson:
             np.nan_to_num(np.asarray(a.seasonal.avg["E"]))
             - np.nan_to_num(np.asarray(b.seasonal.avg["E"]))))
         assert d < 5.0, d
+
+
+class TestContinuationProgress:
+    def test_progress_bar_completes(self, monkeypatch):
+        import io
+        import sys
+
+        class Tty(io.StringIO):
+            def isatty(self):  # Progress renders only on ttys
+                return True
+
+        fake = Tty()
+        monkeypatch.setattr(sys, "stdout", fake)
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        cont = ebm.continuation("MIZ", st, [0.0, 2.0],
+                                ebm.default_parameters("MIZ"),
+                                ebm.zeros_init(st), tol=1e-2, max_years=60,
+                                progress=True)
+        out = fake.getvalue()
+        assert "Continuation (F)" in out
+        assert "Done" in out
+        assert "EquilibriumResult" in out  # infofeed carries the level repr
+        assert len(cont.results) == 2
