@@ -62,8 +62,12 @@ class CalibrationResult:
 
     ``params``: fitted values of the varied parameters (name -> float).
     ``par``: the full parameter Collection with fitted values substituted.
-    ``losses``: per-step loss trajectory, shape ``(steps,)``.
-    ``grads``: final-step gradient per varied parameter (stationarity
+    ``losses``: loss trajectory, shape ``(steps,)`` — ``losses[i]`` is the
+    loss AFTER ``i + 1`` optimizer steps, so ``losses[-1]`` is evaluated
+    at the returned parameters themselves (one extra objective evaluation
+    after the loop; without it the report would lag the parameters by one
+    update, and a final step off a jagged basin would go unnoticed).
+    ``grads``: gradient at the returned parameters (stationarity
     diagnostic: large values mean the fit has not converged).
 
     Multi-start runs (``n_starts``/``theta0``) report the BEST start in the
@@ -339,10 +343,17 @@ def calibrate(
 
     theta = dict(th0)
     losses = []
-    grads = {n: jnp.zeros_like(v) for n, v in th0.items()}
     for _ in range(int(steps)):
-        theta, opt_state, val, grads = update(theta, opt_state)
+        theta, opt_state, val, _g = update(theta, opt_state)
         losses.append(val)
+    # update() evaluates the objective BEFORE applying the step, so the
+    # recorded values lag the parameters by one update; evaluate once more
+    # at the RETURNED theta so losses[-1]/grads (and the multi-start
+    # winner selection below) describe the parameters actually reported —
+    # on the jagged MIZ landscapes the final step can leave the basin
+    final_val, grads = jax.jit(vg)(theta)
+    losses.append(final_val)
+    losses = losses[1:]  # keep (steps,): drop the pre-fit initial loss
     # (steps,) single-start, (steps, S) multi-start
     losses = np.asarray(jax.device_get(losses), dtype=np.float64)
     theta, grads = jax.device_get((theta, grads))

@@ -816,6 +816,22 @@ def equilibrate(
                 _CHUNK_TARGET_S * ran / max(dt, 1e-6), 1, 4096,
             ))
     carry, seasonal, _, years, resid, myears, newton = state[:7]
+    if anderson > 0:
+        # report the last MODEL-EVALUATED state (Gbuf slot 0 = the year
+        # map's output at the final evaluated iterate), not the AA
+        # extrapolation the loop would iterate next: the extrapolated
+        # vector was never run through the model — it can hold bounded
+        # fields slightly outside their range (phi beyond [0,1]) and is
+        # not the state that seasonal/resid/converged certify
+        _, Gbuf, _, _, scale = state[7]
+        gflat = Gbuf[0] * scale
+        ks = sorted(carry.keys())
+        out, i = {}, 0
+        for k in ks:
+            w = carry[k].shape[-1]
+            out[k] = gflat[..., i:i + w]
+            i += w
+        carry = Collection(out)
     # one bulk fetch (per-leaf np.asarray pays a round trip each on remote
     # TPUs); this also synchronizes with the device
     carry, seasonal, years, resid, myears, newton = jax.device_get(
@@ -856,9 +872,11 @@ class StabilityResult:
 
     ``growth`` is the dominant ``|lambda|`` estimate of the year-map
     Jacobian at the linearization state (the last power-iteration Rayleigh
-    value); ``history`` holds every iteration's estimate, shape
-    ``(n_iter,)`` (plus a leading member axis for ensembles — history is
-    stored iteration-major, ``history[i]`` is iteration ``i``).
+    value); ``history`` holds every iteration's estimate, ITERATION-major:
+    ``history[i]`` is iteration ``i`` — shape ``(n_iter,)``, with a
+    TRAILING member axis for ensembles (``(n_iter, K)``; member ``k``'s
+    trace is ``history[:, k]``) and a trailing mode axis under
+    ``n_modes``.
     ``converged`` marks members whose last two estimates agree to
     ``rtol``; ``mode`` is the final unit ADJOINT mode (left singular
     direction), a Collection shaped like the carry — inspecting which

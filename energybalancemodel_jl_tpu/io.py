@@ -94,21 +94,8 @@ def _write_ensemble(f: h5py.Group, ens) -> None:
 def _read_ensemble(f: h5py.Group):
     from .parallel.ensemble import EnsembleSolutions
 
-    a = f["spacetime"].attrs
-    st = SpaceTime(
-        nx=int(a["nx"]), nt=int(a["nt"]), dur=int(a["dur"]), grid=str(a["grid"]),
-        urange=tuple(np.asarray(a["urange"]).tolist()),
-        winter=float(a["winter"]), summer=float(a["summer"]),
-    )
-    fa = f["forcing"].attrs
-    if bool(fa["constant"]):
-        forcing = Forcing(float(fa["base"]))
-    else:
-        forcing = Forcing(
-            float(fa["base"]), float(fa["peak"]), float(fa["cool"]),
-            tuple(int(v) for v in np.asarray(fa["holdyrs"])),
-            tuple(float(v) for v in np.asarray(fa["rates"])),
-        )
+    st = _read_spacetime(f)
+    forcing = _read_forcing(f)
     seasonal = Seasonal(
         winter=_read_collection(f["seasonal/winter"]),
         summer=_read_collection(f["seasonal/summer"]),
@@ -130,6 +117,17 @@ def _read_spacetime(f: h5py.Group) -> SpaceTime:
         nx=int(a["nx"]), nt=int(a["nt"]), dur=int(a["dur"]), grid=str(a["grid"]),
         urange=tuple(np.asarray(a["urange"]).tolist()),
         winter=float(a["winter"]), summer=float(a["summer"]),
+    )
+
+
+def _read_forcing(f: h5py.Group) -> Forcing:
+    a = f["forcing"].attrs
+    if bool(a["constant"]):
+        return Forcing(float(a["base"]))
+    return Forcing(
+        float(a["base"]), float(a["peak"]), float(a["cool"]),
+        tuple(int(v) for v in np.asarray(a["holdyrs"])),
+        tuple(float(v) for v in np.asarray(a["rates"])),
     )
 
 
@@ -181,38 +179,27 @@ def _write_continuation(f: h5py.Group, cont) -> None:
     _write_spacetime(f, cont.spacetime)
     levels = f.create_group("levels")
     for i, r in enumerate(cont.results):
-        _write_equilibrium(levels.create_group(f"{i:04d}"), r)
+        _write_equilibrium(levels.create_group(f"{i:08d}"), r)
 
 
 def _read_continuation(f: h5py.Group):
     from .equilibrium import ContinuationResult
 
     levels = f["levels"]
+    # numeric order, not lexical: lexical sorting misorders level 10000+
     return ContinuationResult(
         values=np.asarray(f["values"]),
         direction=np.asarray(f["direction"]),
-        results=[_read_equilibrium(levels[k]) for k in sorted(levels.keys())],
+        results=[_read_equilibrium(levels[k])
+                 for k in sorted(levels.keys(), key=int)],
         vary=str(f.attrs["vary"]),
         spacetime=_read_spacetime(f),
     )
 
 
 def _read_solutions(f: h5py.Group) -> Solutions:
-    a = f["spacetime"].attrs
-    st = SpaceTime(
-        nx=int(a["nx"]), nt=int(a["nt"]), dur=int(a["dur"]), grid=str(a["grid"]),
-        urange=tuple(np.asarray(a["urange"]).tolist()),
-        winter=float(a["winter"]), summer=float(a["summer"]),
-    )
-    a = f["forcing"].attrs
-    if bool(a["constant"]):
-        forcing = Forcing(float(a["base"]))
-    else:
-        forcing = Forcing(
-            float(a["base"]), float(a["peak"]), float(a["cool"]),
-            tuple(int(v) for v in np.asarray(a["holdyrs"])),
-            tuple(float(v) for v in np.asarray(a["rates"])),
-        )
+    st = _read_spacetime(f)
+    forcing = _read_forcing(f)
     seasonal = Seasonal(
         winter=_read_collection(f["seasonal/winter"]),
         summer=_read_collection(f["seasonal/summer"]),

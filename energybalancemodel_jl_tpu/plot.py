@@ -335,7 +335,7 @@ def plot_bifurcation(
                 marker="o" if season == "avg" else None, markersize=3,
                 label=f"{label} {season}" if (label and season == "avg") else None,
             )
-    if any(lbl for _, _, lbl in states):
+    if ax.get_legend_handles_labels()[1]:
         ax.legend()
     return fig
 
@@ -380,36 +380,40 @@ def plot_continuation(
     if np.any(direction < 0):
         legs.append((direction < 0, "tab:blue", "return"))
 
-    cols = None  # member columns; resolved from the first field's shape
+    def field(season):
+        return np.asarray(cont.ice_area(season) if var is None
+                          else cont.mean(var, season))
+
+    seasons = tuple(seasons)
+    lead = seasons[0] if seasons else "avg"
+    y0 = field(lead)
+    cols = ([None] if y0.ndim == 1 else
+            list(range(y0.shape[1])) if members is None
+            else [int(i) for i in members])
+    alpha = 1.0 if len(cols) == 1 else max(0.25, 1.5 / len(cols))
     for season in seasons:
-        y = np.asarray(cont.ice_area(season) if var is None
-                       else cont.mean(var, season))
-        if cols is None:
-            cols = ([None] if y.ndim == 1 else
-                    list(range(y.shape[1])) if members is None
-                    else [int(i) for i in members])
-        alpha = 1.0 if len(cols) == 1 else max(0.25, 1.5 / len(cols))
+        y = y0 if season == lead else field(season)
         for leg, color, label in legs:
             for j, c in enumerate(cols):
                 ax.plot(
                     vals[leg], y[leg] if c is None else y[leg, c],
                     color=color, alpha=alpha,
-                    linewidth=2.0 if season == "avg" else 1.0,
+                    linewidth=2.0 if season == lead else 1.0,
                     linestyle="--" if season == "summer" else "-",
-                    marker="o" if season == "avg" else None, markersize=3,
+                    marker="o" if season == lead else None, markersize=3,
                     label=(f"{label} {season}"
-                           if season == "avg" and j == 0 else None),
+                           if season == lead and j == 0 else None),
                 )
     bad = ~conv
     if bad.any():
-        y = np.asarray(cont.ice_area("avg") if var is None
-                       else cont.mean(var, "avg"))
+        # mark on the lead season's curve so the 'x' sits on drawn data
         for j, c in enumerate(cols):
-            ax.plot(vals[bad], y[bad] if c is None else y[bad, c],
+            ax.plot(vals[bad], y0[bad] if c is None else y0[bad, c],
                     linestyle="none", marker="x", color="black",
                     markersize=7,
                     label="not converged" if j == 0 else None)
-    ax.legend()
+    if ax.get_legend_handles_labels()[1]:
+        ax.legend()
     return fig
 
 

@@ -655,6 +655,11 @@ class TestAnderson:
         probe = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
                                 aa.state, tol=0.0, max_years=3)
         assert float(probe.resid) < 5e-6
+        # the reported state is a MODEL-EVALUATED state (the AA
+        # extrapolation itself is never returned), so bounded fields obey
+        # their ranges
+        phi = np.asarray(aa.state["phi"])
+        assert (phi >= 0.0).all() and (phi <= 1.0).all()
         np.testing.assert_allclose(
             np.nan_to_num(np.asarray(aa.seasonal.avg["E"])),
             np.nan_to_num(np.asarray(plain.seasonal.avg["E"])),
