@@ -923,6 +923,7 @@ def stability(
     rtol: float = 1e-3,
     project: Sequence[str] = (),
     seed: int = 0,
+    v0: Optional[Collection] = None,
     dtype=None,
     newton_max_iter: int = 30,
     iters_per_dispatch: Optional[int] = None,
@@ -976,7 +977,11 @@ def stability(
     the lockstep iteration estimates every member's radius at once);
     ``init`` is the linearization state — pass ``equilibrate(...).state``
     for equilibria, or any init/carry Collection to probe an arbitrary
-    state. ``iters_per_dispatch`` bounds how many backward passes one
+    state. ``v0`` warm-starts the iteration from a given Collection (the
+    previous level's ``mode`` when scanning a path —
+    :meth:`ContinuationResult.stability` does this); shape must match the
+    carry, with a leading mode axis under ``n_modes``.
+    ``iters_per_dispatch`` bounds how many backward passes one
     device dispatch runs (remote-TPU watchdog, as in :func:`equilibrate`;
     each extra dispatch re-runs the forward year once). Default: all in
     one dispatch — fine at diagnostic sizes.
@@ -1097,13 +1102,29 @@ def stability(
         lam = jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))
         return from_mat(jnp.moveaxis(q, -1, 0)), lam
 
-    rng = np.random.default_rng(seed)
-    v0 = Collection({
-        k: jnp.asarray(
-            rng.standard_normal(np.shape(v) if m == 1
-                                else (m,) + np.shape(v)), dtype)
-        for k, v in carry.items()
-    })
+    if v0 is not None:
+        # warm start (e.g. the previous level's mode when scanning a
+        # continuation path): converges in a handful of iterations when
+        # the dominant mode varies continuously along the path
+        want = {k: ((np.shape(v) if m == 1 else (m,) + np.shape(v)))
+                for k, v in carry.items()}
+        bad = {k for k in want
+               if k not in v0 or tuple(np.shape(v0[k])) != want[k]}
+        if bad:
+            raise ValueError(
+                f"v0 leaves {sorted(bad)} missing or mis-shaped; expected "
+                f"{ {k: want[k] for k in sorted(want)} }"
+            )
+        v0 = Collection({k: jnp.asarray(np.asarray(v0[k]), dtype)
+                         for k in want})
+    else:
+        rng = np.random.default_rng(seed)
+        v0 = Collection({
+            k: jnp.asarray(
+                rng.standard_normal(np.shape(v) if m == 1
+                                    else (m,) + np.shape(v)), dtype)
+            for k, v in carry.items()
+        })
     fit = normalize if m == 1 else ortho
     v0, _ = fit(proj(v0))
 
@@ -1170,6 +1191,11 @@ class ContinuationResult:
     results: list
     vary: str
     spacetime: SpaceTime
+    # configuration for post-hoc analysis (stability along the path);
+    # None on results loaded from files written before these were stored
+    model: Optional[str] = None
+    par: Optional[Collection] = None
+    forcing: Optional[Forcing] = None
 
     @property
     def years(self) -> np.ndarray:
@@ -1211,6 +1237,38 @@ class ContinuationResult:
                 hemispheric_mean(field, self.spacetime.x)
             ))
         return 2.0 * np.pi * np.asarray(rows)
+
+    def stability(self, warm_start: bool = True, **stability_kwargs):
+        """Linear stability at every level of the path: one
+        :func:`stability` call per level, linearized at that level's
+        equilibrium, each warm-started from the previous level's ``mode``
+        (``warm_start=False`` for independent random starts). Returns a
+        list of :class:`StabilityResult` in trace order — stack
+        ``[r.growth for r in ...]`` against ``values`` to see folds
+        coming (growth rises toward 1 as an attractor loses stability).
+        Keywords (``n_iter``/``n_modes``/``project``/...) pass through.
+        """
+        if self.model is None or self.par is None or self.forcing is None:
+            raise ValueError(
+                "this ContinuationResult carries no model/par/forcing "
+                "(loaded from a file written before they were stored?) — "
+                "call ebm.stability per level directly"
+            )
+        out, v0 = [], None
+        for v, res in zip(self.values, self.results):
+            if self.vary == "F":
+                fc = Forcing(float(self.forcing.base) + float(v))
+                p = self.par
+            else:
+                fc = self.forcing
+                p = Collection(self.par)
+                p[self.vary] = float(v)
+            r = stability(self.model, self.spacetime, fc, p, res.state,
+                          v0=v0 if warm_start else None,
+                          **stability_kwargs)
+            out.append(r)
+            v0 = r.mode
+        return out
 
     def __repr__(self):
         k = int(np.count_nonzero(self.converged))
@@ -1303,4 +1361,5 @@ def continuation(
         values=np.asarray([v for v, _ in path]),
         direction=np.asarray([d for _, d in path], dtype=np.int8),
         results=results, vary=vary, spacetime=st,
+        model=model, par=par, forcing=forcing,
     )

@@ -177,6 +177,14 @@ def _write_continuation(f: h5py.Group, cont) -> None:
     f.create_dataset("values", data=np.asarray(cont.values))
     f.create_dataset("direction", data=np.asarray(cont.direction))
     _write_spacetime(f, cont.spacetime)
+    # analysis configuration (stability along the path); optional for
+    # results constructed without it
+    if cont.model is not None:
+        f.attrs["model"] = str(cont.model)
+    if cont.par is not None:
+        _write_collection(f.create_group("par"), cont.par)
+    if cont.forcing is not None:
+        _write_forcing(f, cont.forcing)
     levels = f.create_group("levels")
     for i, r in enumerate(cont.results):
         _write_equilibrium(levels.create_group(f"{i:08d}"), r)
@@ -194,6 +202,9 @@ def _read_continuation(f: h5py.Group):
                  for k in sorted(levels.keys(), key=int)],
         vary=str(f.attrs["vary"]),
         spacetime=_read_spacetime(f),
+        model=str(f.attrs["model"]) if "model" in f.attrs else None,
+        par=_read_collection(f["par"]) if "par" in f else None,
+        forcing=_read_forcing(f) if "forcing" in f else None,
     )
 
 

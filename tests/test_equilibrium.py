@@ -770,3 +770,39 @@ class TestContinuationProgress:
         assert "Done" in out
         assert "EquilibriumResult" in out  # infofeed carries the level repr
         assert len(cont.results) == 2
+
+
+class TestContinuationStability:
+    def test_stability_along_path_and_roundtrip(self, tmp_path):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        cont = ebm.continuation("MIZ", st, [0.0, 1.0], par,
+                                ebm.zeros_init(st), tol=1e-4,
+                                max_years=300)
+        res = cont.stability(n_iter=15, project=("Ew", "phi"))
+        assert len(res) == 2
+        assert all(np.isfinite(r.growth) for r in res)
+        assert all(r.growth < 1.1 for r in res)  # healthy branch
+
+        # warm_start=False gives independent random starts, same limits
+        cold = cont.stability(n_iter=15, project=("Ew", "phi"),
+                              warm_start=False)
+        for a, b in zip(res, cold):
+            assert abs(a.growth - b.growth) < 0.05
+
+        # the analysis config survives save/load
+        path = str(tmp_path / "cont.h5")
+        ebm.save(cont, path)
+        loaded = ebm.load(path)
+        assert loaded.model == "MIZ"
+        r2 = loaded.stability(n_iter=5)
+        assert len(r2) == 2
+
+        # results without the config raise a clear error
+        from energybalancemodel_jl_tpu.equilibrium import ContinuationResult
+        bare = ContinuationResult(
+            values=cont.values, direction=cont.direction,
+            results=cont.results, vary=cont.vary, spacetime=cont.spacetime,
+        )
+        with pytest.raises(ValueError, match="model/par/forcing"):
+            bare.stability(n_iter=5)
