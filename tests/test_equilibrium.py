@@ -806,3 +806,30 @@ class TestContinuationStability:
         )
         with pytest.raises(ValueError, match="model/par/forcing"):
             bare.stability(n_iter=5)
+
+
+class TestAndersonFuzz:
+    """AA robustness across random configs: the safeguarded iteration must
+    never go non-finite, and any 'converged' verdict must be certified by
+    a plain-map probe (the honest-residual guarantee)."""
+
+    @pytest.mark.parametrize("seed", [11, 23, 37])
+    def test_random_config_stays_finite(self, seed):
+        r = np.random.default_rng(seed)
+        nx = int(r.choice([16, 24, 32]))
+        nt = int(r.choice([100, 150, 250]))
+        f = float(r.uniform(-2.0, 3.0))
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        for name in ("D", "A"):
+            par[name] = float(par[name] * r.uniform(0.95, 1.05))
+        st = ebm.SpaceTime.sin(nx, nt, 1)
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(f), par,
+                             ebm.zeros_init(st), tol=1e-4, max_years=150,
+                             anderson=int(r.choice([3, 5])))
+        for k, v in eq.state.items():
+            assert np.isfinite(np.asarray(v)).all(), (k, seed)
+        assert np.isfinite(float(eq.resid))
+        if eq.converged:
+            probe = ebm.equilibrate("MIZ", st, ebm.Forcing(f), par,
+                                    eq.state, tol=0.0, max_years=2)
+            assert float(probe.resid) < 10 * eq.tol, seed
