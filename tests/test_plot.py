@@ -244,3 +244,19 @@ class TestPlotContinuation:
         sub = ebm.plot_continuation(cont, seasons=("avg",), members=[1])
         assert len(full.axes[0].lines) == 2  # one per member, one leg
         assert len(sub.axes[0].lines) == 1
+
+    def test_empty_seasons_markers_only(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        cont = ebm.continuation("MIZ", st, [-2.0, 6.0], par,
+                                ebm.zeros_init(st), tol=1e-8, max_years=3)
+        fig = ebm.plot_continuation(cont, seasons=())
+        labels = [ln.get_label() for ln in fig.axes[0].lines]
+        assert labels == ["not converged"]
+
+    def test_winter_only_markers_on_curve(self, cont_result):
+        fig = ebm.plot_continuation(cont_result, seasons=("winter",))
+        ax = fig.axes[0]
+        # winter becomes the lead season: labeled, thick, markered
+        labels = [ln.get_label() for ln in ax.lines]
+        assert "forward winter" in labels and "return winter" in labels
