@@ -71,6 +71,19 @@ def main():
     print(f"classic leading modes: {np.round(blk.growth, 4)} "
           f"(per-year contraction of the 4 slowest directions)")
 
+    # -- stability along a continuation path ------------------------------
+    # one call classifies every level of a bifurcation branch, each
+    # warm-started from the previous level's eigenvector
+    cont = ebm.continuation("MIZ", st, [-2.0, 0.0, 2.0, 4.0],
+                            ebm.default_parameters("MIZ"),
+                            ebm.zeros_init(st), tol=1e-4, max_years=400)
+    path = cont.stability(n_iter=30, project=("Ew", "phi"))
+    print(f"\n{'F':>6}  {'|lambda| (projected)':>20}")
+    for F, r in zip(cont.values, path):
+        print(f"{F:+6.1f}  {r.growth:20.6f}")
+    print("growth rising toward 1 along a branch signals an approaching "
+          "fold")
+
 
 if __name__ == "__main__":
     main()
