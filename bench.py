@@ -8,7 +8,7 @@ with seasonal-only storage, times steady-state years after a compile warmup,
 and prints ONE JSON line.
 
 Environment knobs: EBM_BENCH_K (ensemble size, default 8192),
-EBM_BENCH_YEARS (timed years, default 5), EBM_BENCH_DTYPE (float32|float64),
+EBM_BENCH_YEARS (timed years, default 24; fused mode rounds up to a whole number of EBM_BENCH_YPD-year dispatch chunks, default 8), EBM_BENCH_DTYPE (float32|float64),
 EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
 (fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K,
 EBM_BENCH_MODE (integrate|equilibrate — equilibrate times the fixed-point
@@ -46,7 +46,7 @@ def main():
     from energybalancemodel_jl_tpu.utils.collection import Collection
 
     K = int(os.environ.get("EBM_BENCH_K", "8192"))
-    years = int(os.environ.get("EBM_BENCH_YEARS", "5"))
+    years = int(os.environ.get("EBM_BENCH_YEARS", "24"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
     engine = os.environ.get("EBM_BENCH_ENGINE", "fused")
@@ -99,6 +99,38 @@ def main():
     def sync(x):
         return float(np.asarray(x).sum())  # host transfer = real synchronization
 
+    # the production fused path dispatches years_per_dispatch-year chunks
+    # (one lax.scan of the whole-year kernel per dispatch) — time the same
+    # shape here: per-year host dispatches over the tunnel cost ~0.2 s each,
+    # which is ~25% of the budget at K=8192. Chunks stay well under the
+    # remote watchdog's ~2 min dispatch limit (8 yr ~ 3 s at K=8192).
+    ypd = max(1, int(os.environ.get("EBM_BENCH_YPD", "8")))
+    if engine == "fused" and ypd > 1:
+        # one compiled chunk length only: a sub-ypd remainder would pay a
+        # second compile inside the timed loop
+        years = ((years + ypd - 1) // ypd) * ypd
+        from jax import lax
+
+        @jax.jit
+        def run_chunk(c, f_years):
+            def body(c, fy):
+                c, seas, _conv, _ = run_year(c, par_j, fy)
+                return c, seas
+
+            c, seas = lax.scan(body, c, f_years)
+            # only the final year's seasonal is consumed — index on device
+            return c, jax.tree_util.tree_map(lambda x: x[-1], seas)
+
+        def advance(c, n):
+            return run_chunk(c, jnp.zeros((n, st.nt), dtype=dtype))
+    else:
+        ypd = 1
+
+        def advance(c, n):
+            for _ in range(n):
+                c, seas, _conv, _ = run_year(c, par_j, fyear)
+            return c, seas
+
     # claim the device first with a trivial dispatch: on remote/tunneled
     # TPU backends the first execution of ANY program pays the terminal
     # claim/handshake (measured 100-620 s here, independent of program
@@ -109,15 +141,18 @@ def main():
 
     # warmup: compile + spin into a seasonally active state
     t0 = time.time()
-    carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
+    carry, seasonal = advance(carry, ypd)
     sync(seasonal.avg["E"])
     compile_s = time.time() - t0
-    carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
+    carry, seasonal = advance(carry, ypd)
     sync(seasonal.avg["E"])
 
     t0 = time.time()
-    for _ in range(years):
-        carry, seasonal, conv, _ = run_year(carry, par_j, fyear)
+    done = 0
+    while done < years:
+        n = min(ypd, years - done)
+        carry, seasonal = advance(carry, n)
+        done += n
     checksum = sync(seasonal.avg["E"])
     elapsed = time.time() - t0
 
@@ -138,7 +173,7 @@ def main():
         )
     )
     print(
-        f"# K={K} years={years} dtype={dtype.name} solver={solver} engine={engine} "
+        f"# K={K} years={years} ypd={ypd} dtype={dtype.name} solver={solver} engine={engine} "
         f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s compile={compile_s:.1f}s "
         f"steps/s={steps_per_sec:.0f} "
         f"finite={finite} checksum={checksum:.6g} device={jax.devices()[0].platform}",
