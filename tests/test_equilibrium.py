@@ -833,3 +833,48 @@ class TestAndersonFuzz:
             probe = ebm.equilibrate("MIZ", st, ebm.Forcing(f), par,
                                     eq.state, tol=0.0, max_years=2)
             assert float(probe.resid) < 10 * eq.tol, seed
+
+
+class TestLockstepBisection:
+    def test_virtual_f_bisection_brackets_shrink(self):
+        """The fold-tracking workflow (examples/fold_tracking.py): each
+        member probes its own bracket midpoint through the virtual
+        par['F'] sweep, one lockstep equilibration per bisection step."""
+        st = ebm.SpaceTime.sin(16, 1000, 1)
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        D_vals = np.array([0.4, 0.8])
+        par["D"] = D_vals
+        K = len(D_vals)
+        E0 = np.full(st.nx, 40.0)
+        init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+
+        p_hi = ebm.Collection(par)
+        p_hi["F"] = np.full(K, 20.0)
+        warm = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), p_hi, init,
+                               tol=0.5, max_years=120)
+        assert np.asarray(warm.converged).all()
+
+        from energybalancemodel_jl_tpu.utils.numerics import (
+            np_hemispheric_mean,
+        )
+
+        lo, hi = np.full(K, -10.0), np.full(K, 20.0)
+        for _ in range(5):
+            mid = 0.5 * (lo + hi)
+            p = ebm.Collection(par)
+            p["F"] = mid
+            res = ebm.equilibrate("Classic", st, ebm.Forcing(0.0), p,
+                                  warm.state, tol=0.5, max_years=100)
+            field = (np.asarray(res.seasonal.avg["E"]) < 0.0)
+            area = np.asarray([
+                2.0 * np.pi * np_hemispheric_mean(
+                    f.astype(np.float64), st.x)
+                for f in field
+            ])
+            survived = area < 3.0
+            hi = np.where(survived, mid, hi)
+            lo = np.where(survived, lo, mid)
+        assert (hi - lo <= 30.0 / 2**5 + 1e-9).all()
+        # the warm branch dies at higher F for higher diffusivity
+        fold = 0.5 * (lo + hi)
+        assert fold[1] > fold[0]
