@@ -112,17 +112,30 @@ def main():
         from jax import lax
 
         @jax.jit
-        def run_chunk(c, f_years):
-            def body(c, fy):
+        def run_chunk(c, seas, f_years):
+            # the seasonal rides the scan CARRY (overwritten each year),
+            # exactly like the production equilibrate loop — stacking ypd
+            # years of seasonal output would materialize ~1.4 GB of HBM
+            # stacks per dispatch at the default K that production never
+            # writes
+            def body(cs, fy):
+                c, _ = cs
                 c, seas, _conv, _ = run_year(c, par_j, fy)
-                return c, seas
+                return (c, seas), None
 
-            c, seas = lax.scan(body, c, f_years)
-            # only the final year's seasonal is consumed — index on device
-            return c, jax.tree_util.tree_map(lambda x: x[-1], seas)
+            (c, seas), _ = lax.scan(body, (c, seas), f_years)
+            return c, seas
+
+        seas_state = [None]
 
         def advance(c, n):
-            return run_chunk(c, jnp.zeros((n, st.nt), dtype=dtype))
+            if seas_state[0] is None:
+                # one extra untimed year seeds the seasonal carry
+                # structure (keeps a single compiled chunk length)
+                c, seas_state[0], _conv, _ = run_year(c, par_j, fyear)
+            c, seas_state[0] = run_chunk(
+                c, seas_state[0], jnp.zeros((n, st.nt), dtype=dtype))
+            return c, seas_state[0]
     else:
         ypd = 1
 

@@ -912,6 +912,88 @@ class StabilityResult:
                 f"{float(lead.max()):.6g}], {k}/{total} converged)")
 
 
+@functools.lru_cache(maxsize=32)
+def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
+                       m: int, keys_order: Tuple[str, ...],
+                       widths: Tuple[int, ...], project_keys: frozenset):
+    """Jitted power/subspace-iteration chunk for :func:`stability`. The
+    linearization point (carry), parameters, forcing row, and frozen mask
+    enter as ARGUMENTS, not closure constants, so ONE compilation serves
+    every level of a continuation path with matching shapes — a per-call
+    closure would retrace and recompile the reverse-mode year graph at
+    every level (the same closure-churn pattern progress_steps once hit,
+    CLAUDE.md)."""
+    year = make_year_fn(model_name, st, cfg, dtype_name, False)
+    dtype = jnp.dtype(dtype_name)
+    tiny = jnp.asarray(np.finfo(dtype).tiny, dtype)
+
+    def proj(t, frozen):
+        if not project_keys:
+            return t
+        return Collection({
+            k: (jnp.where(frozen, 0.0, v) if k in project_keys else v)
+            for k, v in t.items()
+        })
+
+    def member_norm(t):
+        return jnp.sqrt(sum(
+            jnp.sum(x * x, axis=-1) for x in jax.tree_util.tree_leaves(t)
+        ))
+
+    def normalize(t):
+        nrm = jnp.maximum(member_norm(t), tiny)
+        return jax.tree_util.tree_map(lambda x: x / nrm[..., None], t), nrm
+
+    def from_mat(x):  # (..., n)[, mode-leading] -> carry-like Collection
+        out, i = {}, 0
+        for k, w in zip(keys_order, widths):
+            out[k] = x[..., i:i + w]
+            i += w
+        return Collection(out)
+
+    def ortho(t):
+        """Per-member QR orthonormalization of the m-mode block; the
+        |diag(R)| entries are the per-iteration growth of each mode."""
+        x = jnp.concatenate([t[k] for k in keys_order], axis=-1)
+        a = jnp.moveaxis(x, 0, -1)  # (n, m) solo, (K, n, m) ensemble
+        q, r = jnp.linalg.qr(a)
+        lam = jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))
+        return from_mat(jnp.moveaxis(q, -1, 0)), lam
+
+    fit = normalize if m == 1 else ortho
+
+    def prep(v, frozen, fallback=None):
+        """Project + orthonormalize a start block; degenerate columns
+        (non-finite, or projected to ~zero norm) take ``fallback``'s."""
+        vp = proj(v, frozen)
+        if fallback is not None:
+            nrm = member_norm(vp)
+            bad = (~jnp.isfinite(nrm)) | (
+                nrm < jnp.asarray(np.sqrt(np.finfo(np.dtype(dtype_name)).tiny),
+                                  dtype)
+            )
+            fb = proj(fallback, frozen)
+            vp = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(bad[..., None], b, a), vp, fb,
+            )
+        return fit(vp)
+
+    @functools.partial(jax.jit, static_argnums=(5,))
+    def run(v, carry, par_j, frow_j, frozen, k):
+        # linearize once per dispatch; J^T applications ride the residuals
+        _, pb = jax.vjp(lambda c: year(c, par_j, frow_j)[0], carry)
+        apply = ((lambda u: pb(u)[0]) if m == 1
+                 else jax.vmap(lambda u: pb(u)[0]))
+
+        def it(v, _):
+            v, lam = fit(proj(apply(v), frozen))
+            return v, lam
+
+        return lax.scan(it, v, None, length=int(k))
+
+    return run, prep
+
+
 def stability(
     model: str,
     st: SpaceTime,
@@ -1021,7 +1103,6 @@ def stability(
         F_off = np.full((int(K),), float(F_off))
 
     cfg = default_step_config(dtype.name, newton_max_iter=newton_max_iter)
-    year = make_year_fn(model, st, cfg, dtype.name, False)
 
     carry = spec.init_carry(init, st, dtype)
     if ensemble:
@@ -1058,54 +1139,33 @@ def stability(
     project = frozenset(project)
     frozen = (carry["phi"] >= 0.99) if project else None
 
-    def proj(t):
-        if not project:
-            return t
-        return Collection({
-            k: (jnp.where(frozen, 0.0, v) if k in project else v)
-            for k, v in t.items()
-        })
-
-    def member_norm(t):
-        return jnp.sqrt(sum(
-            jnp.sum(x * x, axis=-1) for x in jax.tree_util.tree_leaves(t)
-        ))
-
-    tiny = jnp.asarray(np.finfo(dtype).tiny, dtype)
-
-    def normalize(t):
-        nrm = jnp.maximum(member_norm(t), tiny)
-        return jax.tree_util.tree_map(lambda x: x / nrm[..., None], t), nrm
-
     m = int(n_modes)
     if m < 1:
         raise ValueError("n_modes must be >= 1")
     keys_order = tuple(sorted(carry.keys()))
-    n_dim = sum(int(carry[k].shape[-1]) for k in keys_order)
-    if m > n_dim:
-        raise ValueError(f"n_modes={m} exceeds the state dimension {n_dim}")
+    widths = tuple(int(carry[k].shape[-1]) for k in keys_order)
+    if m > sum(widths):
+        raise ValueError(
+            f"n_modes={m} exceeds the state dimension {sum(widths)}"
+        )
+    run, prep = _stability_loop_fn(model, st, cfg, dtype.name, m,
+                                   keys_order, widths, project)
 
-    def from_mat(x):  # (..., n)[, mode-leading] -> carry-like Collection
-        out, i = {}, 0
-        for k in keys_order:
-            w = int(carry[k].shape[-1])
-            out[k] = x[..., i:i + w]
-            i += w
-        return Collection(out)
-
-    def ortho(t):
-        """Per-member QR orthonormalization of the m-mode block; the
-        |diag(R)| entries are the per-iteration growth of each mode."""
-        x = jnp.concatenate([t[k] for k in keys_order], axis=-1)
-        a = jnp.moveaxis(x, 0, -1)  # (n, m) solo, (K, n, m) ensemble
-        q, r = jnp.linalg.qr(a)
-        lam = jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))
-        return from_mat(jnp.moveaxis(q, -1, 0)), lam
-
+    rng = np.random.default_rng(seed)
+    rand = Collection({
+        k: jnp.asarray(
+            rng.standard_normal(np.shape(v) if m == 1
+                                else (m,) + np.shape(v)), dtype)
+        for k, v in carry.items()
+    })
     if v0 is not None:
         # warm start (e.g. the previous level's mode when scanning a
         # continuation path): converges in a handful of iterations when
-        # the dominant mode varies continuously along the path
+        # the dominant mode varies continuously along the path; columns
+        # that arrive degenerate (non-finite — the previous level
+        # diverged — or projected to ~zero: the old mode's support now
+        # lies entirely in frozen cells) fall back to the random draw
+        # instead of poisoning or silently zeroing the iteration
         want = {k: ((np.shape(v) if m == 1 else (m,) + np.shape(v)))
                 for k, v in carry.items()}
         bad = {k for k in want
@@ -1117,29 +1177,9 @@ def stability(
             )
         v0 = Collection({k: jnp.asarray(np.asarray(v0[k]), dtype)
                          for k in want})
+        v0, _ = prep(v0, frozen, fallback=rand)
     else:
-        rng = np.random.default_rng(seed)
-        v0 = Collection({
-            k: jnp.asarray(
-                rng.standard_normal(np.shape(v) if m == 1
-                                    else (m,) + np.shape(v)), dtype)
-            for k, v in carry.items()
-        })
-    fit = normalize if m == 1 else ortho
-    v0, _ = fit(proj(v0))
-
-    @functools.partial(jax.jit, static_argnums=1)
-    def run(v, k):
-        # linearize once per dispatch; J^T applications ride the residuals
-        _, pb = jax.vjp(lambda c: year(c, par_j, frow_j)[0], carry)
-        apply = ((lambda u: pb(u)[0]) if m == 1
-                 else jax.vmap(lambda u: pb(u)[0]))
-
-        def it(v, _):
-            v, lam = fit(proj(apply(v)))
-            return v, lam
-
-        return lax.scan(it, v, None, length=int(k))
+        v0, _ = prep(rand, frozen, fallback=None)
 
     chunk = int(n_iter) if iters_per_dispatch is None \
         else max(1, int(iters_per_dispatch))
@@ -1147,7 +1187,7 @@ def stability(
     done = 0
     while done < int(n_iter):
         k = min(chunk, int(n_iter) - done)
-        v, lams = run(v, k)
+        v, lams = run(v, carry, par_j, frow_j, frozen, k)
         hist.append(lams)
         done += k
     v, history = jax.device_get((v, jnp.concatenate(hist, axis=0)))
@@ -1170,6 +1210,18 @@ def stability(
         growth=float(growth), history=history, converged=bool(converged),
         mode=mode, rtol=float(rtol),
     )
+
+
+def _level_config(vary: str, forcing: Forcing, par: Collection, v: float):
+    """(forcing, par) for one continuation level — the ONE place that
+    defines how a level value maps onto the model configuration, shared by
+    :func:`continuation` and :meth:`ContinuationResult.stability` so the
+    trace and its post-hoc analysis cannot drift apart."""
+    if vary == "F":
+        return Forcing(float(forcing.base) + float(v)), par
+    p = Collection(par)
+    p[vary] = float(v)
+    return forcing, p
 
 
 @dataclasses.dataclass
@@ -1256,13 +1308,7 @@ class ContinuationResult:
             )
         out, v0 = [], None
         for v, res in zip(self.values, self.results):
-            if self.vary == "F":
-                fc = Forcing(float(self.forcing.base) + float(v))
-                p = self.par
-            else:
-                fc = self.forcing
-                p = Collection(self.par)
-                p[self.vary] = float(v)
+            fc, p = _level_config(self.vary, self.forcing, self.par, v)
             r = stability(self.model, self.spacetime, fc, p, res.state,
                           v0=v0 if warm_start else None,
                           **stability_kwargs)
@@ -1344,13 +1390,7 @@ def continuation(
         prog.update(0, feedargs=(path[0][0], None))
     state, results = init, []
     for i, (v, _) in enumerate(path):
-        if vary == "F":
-            fc = Forcing(float(forcing.base) + v)
-            p = par
-        else:
-            fc = forcing
-            p = Collection(par)
-            p[vary] = v
+        fc, p = _level_config(vary, forcing, par, v)
         res = equilibrate(model, st, fc, p, state, tol=tol,
                           max_years=max_years, **equilibrate_kwargs)
         results.append(res)
