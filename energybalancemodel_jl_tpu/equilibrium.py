@@ -1395,6 +1395,16 @@ def continuation(
                           max_years=max_years, **equilibrate_kwargs)
         results.append(res)
         state = res.state
+        if not all(np.isfinite(np.asarray(x)).all()
+                   for x in state.values()):
+            import warnings
+
+            warnings.warn(
+                f"continuation level {vary}={v:g} produced a non-finite "
+                "state; subsequent levels warm-start from it and will "
+                "stay non-finite — shrink the level spacing or restart "
+                "from a fresh init past this level"
+            )
         if prog is not None:
             prog.update(i + 1, feedargs=(v, res))
     return ContinuationResult(

@@ -878,3 +878,28 @@ class TestLockstepBisection:
         # the warm branch dies at higher F for higher diffusivity
         fold = 0.5 * (lo + hi)
         assert fold[1] > fold[0]
+
+
+class TestContinuationDivergenceWarning:
+    def test_non_finite_level_warns(self, monkeypatch):
+        import warnings as warnings_mod
+
+        from energybalancemodel_jl_tpu import equilibrium as eqmod
+
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        par = ebm.default_parameters("MIZ")
+        real = eqmod.equilibrate
+
+        def poisoned(model, st_, fc, p, state, **kw):
+            res = real(model, st_, fc, p, state, **kw)
+            if float(fc.base) >= 1.0:  # second level diverges
+                res.state["Ei"] = np.full_like(
+                    np.asarray(res.state["Ei"]), np.nan)
+            return res
+
+        monkeypatch.setattr(eqmod, "equilibrate", poisoned)
+        with warnings_mod.catch_warnings(record=True) as w:
+            warnings_mod.simplefilter("always")
+            eqmod.continuation("MIZ", st, [0.0, 1.0], par,
+                               ebm.zeros_init(st), tol=1e-2, max_years=30)
+        assert any("non-finite state" in str(x.message) for x in w)
