@@ -555,6 +555,7 @@ def equilibrate(
     years_per_dispatch: Optional[int] = None,
     mesh=None,
     anderson: int = 0,
+    progress: bool = False,
 ) -> EquilibriumResult:
     """Iterate the year map to a seasonal fixed point on device.
 
@@ -625,6 +626,11 @@ def equilibrate(
     (E up to O(1) in fully ice-covered cells). Composes with every
     engine and with ``mesh`` (the AA algebra is per-member). Default
     off: plain Picard is the bitwise-reproducible reference behavior.
+
+    ``progress=True`` draws the package's throttled progress bar, one tick
+    per dispatch chunk (simulated years against ``max_years``, residual on
+    the info line) — feedback for long equilibrations without touching the
+    compiled loop.
 
     ``st.dur`` is ignored — the horizon is ``max_years``; ``st`` only fixes
     the grid and intra-year resolution.
@@ -796,6 +802,16 @@ def equilibrate(
 
     y, resid_h = jax.device_get((state[3], state[4]))
     y = int(y)
+    prog = None
+    if progress:
+        from .utils.progress import Progress
+
+        prog = Progress(
+            int(max_years), title="Equilibrating",
+            infofeed=lambda r: f"max resid {float(np.max(r)):.3e} "
+                               f"(tol {tol:g})",
+        )
+        prog.update(y, feedargs=(resid_h,))
     while y < max_years and np.any(resid_h > tol):
         y_stop = min(y + chunk_years, int(max_years))
         t0 = _time.perf_counter()
@@ -806,6 +822,8 @@ def equilibrate(
         y = int(y_new)
         if ran <= 0:
             break  # no progress is impossible unless already converged
+        if prog is not None:
+            prog.update(y, feedargs=(resid_h,))
         if adaptive:
             # first chunk's dt includes compile; it only makes the next
             # chunk conservative, and the one after measures pure run rate
@@ -816,6 +834,8 @@ def equilibrate(
                 _CHUNK_TARGET_S * ran / max(dt, 1e-6), 1, 4096,
             ))
     carry, seasonal, _, years, resid, myears, newton = state[:7]
+    if prog is not None and prog.current < prog.total:
+        prog.update(prog.total, feedargs=(resid_h,))  # close the bar
     if anderson > 0:
         # report the last MODEL-EVALUATED state (Gbuf slot 0 = the year
         # map's output at the final evaluated iterate), not the AA

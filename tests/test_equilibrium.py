@@ -903,3 +903,26 @@ class TestContinuationDivergenceWarning:
             eqmod.continuation("MIZ", st, [0.0, 1.0], par,
                                ebm.zeros_init(st), tol=1e-2, max_years=30)
         assert any("non-finite state" in str(x.message) for x in w)
+
+
+class TestEquilibrateProgress:
+    def test_progress_bar(self, monkeypatch):
+        import io
+        import sys
+
+        class Tty(io.StringIO):
+            def isatty(self):
+                return True
+
+        fake = Tty()
+        monkeypatch.setattr(sys, "stdout", fake)
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0),
+                             ebm.default_parameters("MIZ"),
+                             ebm.zeros_init(st), tol=1e-3, max_years=100,
+                             progress=True, years_per_dispatch=10)
+        out = fake.getvalue()
+        assert "Equilibrating" in out
+        assert "max resid" in out
+        assert "Done" in out
+        assert eq.converged
