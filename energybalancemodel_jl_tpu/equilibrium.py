@@ -1029,6 +1029,7 @@ def stability(
     dtype=None,
     newton_max_iter: int = 30,
     iters_per_dispatch: Optional[int] = None,
+    mesh=None,
 ) -> StabilityResult:
     """Linear stability of the YEAR map at a state: dominant ``|lambda|``
     of its Jacobian by reverse-mode power iteration.
@@ -1086,7 +1087,11 @@ def stability(
     ``iters_per_dispatch`` bounds how many backward passes one
     device dispatch runs (remote-TPU watchdog, as in :func:`equilibrate`;
     each extra dispatch re-runs the forward year once). Default: all in
-    one dispatch — fine at diagnostic sizes.
+    one dispatch — fine at diagnostic sizes. ``mesh`` (a 1-D
+    ``jax.sharding.Mesh``; ensemble only, ``K`` divisible by the mesh
+    size) shards the members across chips with ``NamedSharding`` — the
+    iteration is block-diagonal over members, so XLA partitions the
+    reverse year and the per-member QR with zero hot-loop collectives.
 
     Runs the differentiable XLA year graph (``integrate(engine='scan')``'s
     — the fused Pallas kernels have no AD path); float64 strongly
@@ -1200,6 +1205,40 @@ def stability(
         v0, _ = prep(v0, frozen, fallback=rand)
     else:
         v0, _ = prep(rand, frozen, fallback=None)
+
+    if mesh is not None:
+        if not ensemble:
+            raise ValueError(
+                "mesh= needs an ensemble (per-member (K,) par leaves or a "
+                "member-batched init)"
+            )
+        if int(K) % mesh.size != 0:
+            raise ValueError(
+                f"ensemble size {K} is not divisible by the mesh size "
+                f"{mesh.size}"
+            )
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        ax = mesh.axis_names[0]
+
+        def _shard(x, axis_idx):
+            # shard any array whose axis_idx extent is the member count;
+            # everything else replicates
+            if np.ndim(x) > axis_idx and np.shape(x)[axis_idx] == int(K):
+                spec = [None] * np.ndim(x)
+                spec[axis_idx] = ax
+                return jax.device_put(x, NamedSharding(mesh, _P(*spec)))
+            return x
+
+        carry = jax.tree_util.tree_map(lambda x: _shard(x, 0), carry)
+        par_j = jax.tree_util.tree_map(lambda x: _shard(x, 0), par_j)
+        frow_j = _shard(frow_j, 1)  # (nt, K, 1) under per-member F offsets
+        if frozen is not None:
+            frozen = _shard(frozen, 0)
+        v0 = jax.tree_util.tree_map(
+            lambda x: _shard(x, 0 if m == 1 else 1), v0,
+        )
 
     chunk = int(n_iter) if iters_per_dispatch is None \
         else max(1, int(iters_per_dispatch))

@@ -926,3 +926,42 @@ class TestEquilibrateProgress:
         assert "max resid" in out
         assert "Done" in out
         assert eq.converged
+
+
+class TestStabilityMesh:
+    """stability(mesh=): members sharded across the virtual 8-device mesh
+    must reproduce the unsharded estimates (block-diagonal iteration; the
+    partitioned norm reductions reassociate, hence ~1e-9 not bitwise)."""
+
+    def test_sharded_matches_unsharded(self):
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.linspace(192, 199, 8)
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=1e-4, max_years=300)
+        a = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                          n_iter=15)
+        b = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                          n_iter=15, mesh=ensemble_mesh(8))
+        np.testing.assert_allclose(a.history, b.history, rtol=1e-9)
+
+        # per-member F offsets + block modes compose with the mesh
+        par2 = ebm.Collection(ebm.default_parameters("MIZ"))
+        par2["F"] = np.linspace(0.0, 1.0, 8)
+        c = ebm.stability("MIZ", st, ebm.Forcing(0.0), par2,
+                          ebm.zeros_init(st), n_iter=10, n_modes=2,
+                          mesh=ensemble_mesh(8))
+        assert c.growth.shape == (8, 2)
+        assert np.isfinite(c.growth).all()
+
+        with pytest.raises(ValueError, match="mesh= needs an ensemble"):
+            ebm.stability("MIZ", st, ebm.Forcing(0.0),
+                          ebm.default_parameters("MIZ"),
+                          ebm.zeros_init(st), mesh=ensemble_mesh(8))
+        par3 = ebm.Collection(ebm.default_parameters("MIZ"))
+        par3["A"] = np.linspace(192, 199, 6)  # 6 % 8 != 0
+        with pytest.raises(ValueError, match="divisible"):
+            ebm.stability("MIZ", st, ebm.Forcing(0.0), par3,
+                          ebm.zeros_init(st), mesh=ensemble_mesh(8))
