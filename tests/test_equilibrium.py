@@ -965,3 +965,24 @@ class TestStabilityMesh:
         with pytest.raises(ValueError, match="divisible"):
             ebm.stability("MIZ", st, ebm.Forcing(0.0), par3,
                           ebm.zeros_init(st), mesh=ensemble_mesh(8))
+
+    def test_anderson_composes_with_mesh(self):
+        """AA + mesh= (sharded fused kernel inside the loop): runs,
+        finite, and tracks the unsharded fused AA run (f32 engine spread
+        ~0.5 amplifies slightly under extrapolation)."""
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        st = ebm.SpaceTime.sin(16, 64, 2)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = np.linspace(0.5, 0.7, 16)
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=0.0, max_years=6,
+                             dtype="float32", mesh=ensemble_mesh(8),
+                             anderson=3)
+        E = np.nan_to_num(np.asarray(eq.seasonal.avg["E"]))
+        assert eq.years == 6 and np.isfinite(E).all()
+        ref = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                              ebm.zeros_init(st), tol=0.0, max_years=6,
+                              dtype="float32", engine="fused", anderson=3)
+        E2 = np.nan_to_num(np.asarray(ref.seasonal.avg["E"]))
+        assert np.abs(E - E2).max() < 2.0
