@@ -803,7 +803,7 @@ def equilibrate(
     y, resid_h = jax.device_get((state[3], state[4]))
     y = int(y)
     prog = None
-    if progress:
+    if progress and int(max_years) > 0:
         from .utils.progress import Progress
 
         prog = Progress(
@@ -835,7 +835,10 @@ def equilibrate(
             ))
     carry, seasonal, _, years, resid, myears, newton = state[:7]
     if prog is not None and prog.current < prog.total:
-        prog.update(prog.total, feedargs=(resid_h,))  # close the bar
+        # close the bar at the ACTUAL simulated years (early convergence
+        # must not render max_years/max_years with an inflated rate)
+        prog.total = max(int(y), 1)
+        prog.update(prog.total, feedargs=(resid_h,))
     if anderson > 0:
         # report the last MODEL-EVALUATED state (Gbuf slot 0 = the year
         # map's output at the final evaluated iterate), not the AA
@@ -1222,22 +1225,29 @@ def stability(
 
         ax = mesh.axis_names[0]
 
-        def _shard(x, axis_idx):
-            # shard any array whose axis_idx extent is the member count;
-            # everything else replicates
-            if np.ndim(x) > axis_idx and np.shape(x)[axis_idx] == int(K):
+        def _shard(x, axis_idx, min_rank):
+            # STRUCTURAL member-axis placement: each operand family has a
+            # fixed layout here (carry (K, nx), swept par (K, 1), F-offset
+            # frow (nt, K, 1), modes (m, K, nx)), so rank alone identifies
+            # the member axis — an extent==K test would collide when K
+            # matches nt/nx (the known-broken heuristic, CLAUDE.md) and
+            # silently shard a non-member axis
+            if np.ndim(x) >= min_rank:
                 spec = [None] * np.ndim(x)
                 spec[axis_idx] = ax
                 return jax.device_put(x, NamedSharding(mesh, _P(*spec)))
             return x
 
-        carry = jax.tree_util.tree_map(lambda x: _shard(x, 0), carry)
-        par_j = jax.tree_util.tree_map(lambda x: _shard(x, 0), par_j)
-        frow_j = _shard(frow_j, 1)  # (nt, K, 1) under per-member F offsets
+        carry = jax.tree_util.tree_map(
+            lambda x: _shard(x, 0, 2), carry)      # (K, nx)
+        par_j = jax.tree_util.tree_map(
+            lambda x: _shard(x, 0, 2), par_j)      # (K, 1) swept leaves
+        frow_j = _shard(frow_j, 1, 3)              # (nt, K, 1) F offsets
         if frozen is not None:
-            frozen = _shard(frozen, 0)
+            frozen = _shard(frozen, 0, 2)
         v0 = jax.tree_util.tree_map(
-            lambda x: _shard(x, 0 if m == 1 else 1), v0,
+            lambda x: _shard(x, 0 if m == 1 else 1, 2 if m == 1 else 3),
+            v0,
         )
 
     chunk = int(n_iter) if iters_per_dispatch is None \
@@ -1448,21 +1458,27 @@ def continuation(
         )
         prog.update(0, feedargs=(path[0][0], None))
     state, results = init, []
+    warned_nonfinite = False
     for i, (v, _) in enumerate(path):
         fc, p = _level_config(vary, forcing, par, v)
         res = equilibrate(model, st, fc, p, state, tol=tol,
                           max_years=max_years, **equilibrate_kwargs)
         results.append(res)
         state = res.state
-        if not all(np.isfinite(np.asarray(x)).all()
-                   for x in state.values()):
+        if not warned_nonfinite and not all(
+            np.isfinite(np.asarray(x)).all() for x in state.values()
+        ):
+            # once, at the FIRST divergent level: later levels inherit
+            # the NaNs by warm start and would misattribute the blame
+            warned_nonfinite = True
             import warnings
 
             warnings.warn(
                 f"continuation level {vary}={v:g} produced a non-finite "
                 "state; subsequent levels warm-start from it and will "
                 "stay non-finite — shrink the level spacing or restart "
-                "from a fresh init past this level"
+                "from a fresh init past this level",
+                stacklevel=2,
             )
         if prog is not None:
             prog.update(i + 1, feedargs=(v, res))
