@@ -1359,7 +1359,8 @@ class ContinuationResult:
             ))
         return 2.0 * np.pi * np.asarray(rows)
 
-    def stability(self, warm_start: bool = True, **stability_kwargs):
+    def stability(self, warm_start: bool = True, progress: bool = False,
+                  **stability_kwargs):
         """Linear stability at every level of the path: one
         :func:`stability` call per level, linearized at that level's
         equilibrium, each warm-started from the previous level's ``mode``
@@ -1367,7 +1368,9 @@ class ContinuationResult:
         list of :class:`StabilityResult` in trace order — stack
         ``[r.growth for r in ...]`` against ``values`` to see folds
         coming (growth rises toward 1 as an attractor loses stability).
-        Keywords (``n_iter``/``n_modes``/``project``/...) pass through.
+        ``progress=True`` draws the package progress bar, one tick per
+        level. Other keywords (``n_iter``/``n_modes``/``project``/...)
+        pass through.
         """
         if self.model is None or self.par is None or self.forcing is None:
             raise ValueError(
@@ -1375,14 +1378,27 @@ class ContinuationResult:
                 "(loaded from a file written before they were stored?) — "
                 "call ebm.stability per level directly"
             )
+        prog = None
+        if progress:
+            from .utils.progress import Progress
+
+            prog = Progress(
+                len(self.results), title=f"Stability ({self.vary})",
+                infofeed=lambda v, r: (
+                    f"{self.vary}={v:g}: {r!r}" if r is not None else ""
+                ),
+            )
+            prog.update(0, feedargs=(self.values[0], None))
         out, v0 = [], None
-        for v, res in zip(self.values, self.results):
+        for i, (v, res) in enumerate(zip(self.values, self.results)):
             fc, p = _level_config(self.vary, self.forcing, self.par, v)
             r = stability(self.model, self.spacetime, fc, p, res.state,
                           v0=v0 if warm_start else None,
                           **stability_kwargs)
             out.append(r)
             v0 = r.mode
+            if prog is not None:
+                prog.update(i + 1, feedargs=(v, r))
         return out
 
     def __repr__(self):
