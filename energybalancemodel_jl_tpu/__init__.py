@@ -62,6 +62,7 @@ from .calibrate import CalibrationResult, calibrate  # noqa: E402
 from .equilibrium import (ContinuationResult, EquilibriumResult,  # noqa: E402
                           StabilityResult, continuation, equilibrate,
                           stability)
+from .fold import FoldResult, fold  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
@@ -114,6 +115,8 @@ __all__ = [
     "stability",
     "StabilityResult",
     "EquilibriumResult",
+    "fold",
+    "FoldResult",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,238 @@
+"""Fold (saddle-node) tracking by lockstep ensemble bisection.
+
+No reference analog — the reference finds where a branch ends by
+integrating a slow forcing ramp and eyeballing where the trajectory jumps
+(/root/reference/src/plot.jl:173-225, the hysteresis workflow). Here the
+fold location is BISECTED: a branch exists at ``hi`` (anchored by one
+converged :func:`~energybalancemodel_jl_tpu.equilibrium.equilibrate`) and
+is gone at ``lo``; each probe warm-starts from the anchor state and asks
+"did the solve stay on the branch, or fall off?". ``steps`` bisection
+steps shrink the bracket by ``2**-steps``.
+
+The TPU leverage is the ensemble axis: members carry DIFFERENT second
+parameters (e.g. ``par["D"] = np.linspace(...)``) and different brackets,
+so one lockstep equilibration probes every member's own midpoint at once —
+K fold locations cost ``steps`` ensemble solves instead of K independent
+scans, and on TPU each solve is the fused whole-year kernel
+(``engine='auto'``). ``examples/fold_tracking.py`` drives this API.
+
+Caveat (critical slowing down): the relaxation time diverges at a fold,
+so ``max_years`` bounds how sharply the fold can be resolved — a probe
+that has not settled is classified by its final state anyway. Brackets
+much tighter than the relaxation scale need larger ``max_years``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Union
+
+import numpy as np
+
+from .equilibrium import EquilibriumResult, equilibrate
+from .forcing import Forcing
+from .spacetime import SpaceTime
+from .utils.collection import Collection
+from .utils.numerics import hemispheric_mean
+
+__all__ = ["fold", "FoldResult", "seasonal_ice_area"]
+
+
+def seasonal_ice_area(coll, st: SpaceTime) -> np.ndarray:
+    """Ice-covered area ``2 pi <field>`` of one seasonal store — ``phi``
+    where the model has it (MIZ), else the ``E < 0`` indicator (classic).
+    Batched over leading (member) axes; the same diagnostic
+    :meth:`ContinuationResult.ice_area` and ``plot_bifurcation`` use."""
+    if "phi" in coll:
+        field = np.nan_to_num(np.asarray(coll["phi"]))
+    else:
+        field = (np.asarray(coll["E"]) < 0.0).astype(np.float64)
+    return 2.0 * np.pi * np.asarray(hemispheric_mean(field, st.x))
+
+
+@dataclasses.dataclass
+class FoldResult:
+    """Result of :func:`fold`.
+
+    ``lo``/``hi`` are the final per-member brackets (the branch survives
+    at ``hi``, is lost at ``lo`` — ``hi < lo`` when the surviving side is
+    the low end); ``values`` their midpoints, the fold estimates.
+    ``history`` stacks the brackets after each step, shape
+    ``(steps, 2, K)`` in (lo, hi) order; ``survived`` the per-step probe
+    classifications, ``(steps, K)``. ``ok`` flags members whose every
+    probe converged — where it is False the corresponding fold estimate
+    rests on an unconverged solve (raise ``max_years``). ``anchor`` is
+    the converged branch state every probe warm-started from.
+    """
+
+    lo: np.ndarray
+    hi: np.ndarray
+    history: np.ndarray
+    survived: np.ndarray
+    probe_converged: np.ndarray
+    vary: str
+    anchor: EquilibriumResult
+    spacetime: SpaceTime
+
+    @property
+    def values(self) -> np.ndarray:
+        """Per-member fold estimates (bracket midpoints), shape ``(K,)``."""
+        return 0.5 * (self.lo + self.hi)
+
+    @property
+    def width(self) -> np.ndarray:
+        """Final bracket widths ``|hi - lo|``."""
+        return np.abs(self.hi - self.lo)
+
+    @property
+    def ok(self) -> np.ndarray:
+        """True per member when every probe along its bisection converged."""
+        return self.probe_converged.all(axis=0)
+
+    def __repr__(self):
+        v = np.array2string(self.values, precision=4)
+        return (f"FoldResult({self.vary}* = {v}, width "
+                f"{float(self.width.max()):.3g}, "
+                f"{int(np.count_nonzero(self.ok))}/{len(self.lo)} members "
+                f"fully converged)")
+
+
+def _as_members(v, K: int, name: str) -> np.ndarray:
+    out = np.broadcast_to(np.asarray(v, dtype=np.float64), (K,)).copy()
+    if not np.isfinite(out).all():
+        raise ValueError(f"{name} must be finite, got {out}")
+    return out
+
+
+def fold(
+    model: str,
+    st: SpaceTime,
+    par: Collection,
+    init: Collection,
+    lo,
+    hi,
+    vary: str = "F",
+    forcing: Union[Forcing, float] = 0.0,
+    steps: int = 15,
+    predicate: Optional[Callable] = None,
+    jump_tol: float = np.pi / 2,
+    season: str = "avg",
+    check_lo: bool = True,
+    tol: float = 1e-2,
+    max_years: int = 300,
+    progress: bool = False,
+    **equilibrate_kwargs,
+) -> FoldResult:
+    """Locate the fold where a solution branch ends, per ensemble member.
+
+    ``vary`` names the bisected parameter — ``"F"`` (a constant forcing
+    offset per member, the virtual ensemble key) or any ``par`` key. The
+    branch must exist at ``hi`` and be gone at ``lo``; pass ``hi < lo``
+    when the surviving side is the LOW end (e.g. a cold branch lost to
+    warming) — the bisection only assumes "survives at ``hi``".
+
+    One anchor equilibration at ``hi`` (from ``init``) must fully
+    converge; its state warm-starts every probe and its ice area is the
+    survival reference. The default classifier calls a probe "on the
+    branch" when its ice area stays within ``jump_tol`` of the anchor's
+    (a fold departure is an O(1) jump to another attractor — snowball or
+    ice-free); pass ``predicate(probe, anchor) -> (K,) bool`` to
+    classify on any other diagnostic. ``check_lo`` spends one probe
+    verifying the branch is really lost at ``lo`` (catches inverted or
+    too-narrow brackets before ``steps`` solves chase a fold that is not
+    inside them).
+
+    All remaining keywords (``engine``/``mesh``/``dtype``/``anderson``/
+    ...) pass through to :func:`equilibrate`; on TPU each probe runs the
+    fused whole-year kernel. Returns a :class:`FoldResult`.
+    """
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError("fold needs a constant base forcing")
+    par = Collection(par)
+    if vary != "F" and vary not in par:
+        raise ValueError(f"vary {vary!r} not in par (and not 'F')")
+    if vary in par and np.asarray(par[vary]).ndim >= 1:
+        raise ValueError(
+            f"par[{vary!r}] is member-swept, but the bisection owns the "
+            f"{vary!r} axis — sweep the second parameter under a "
+            f"different name")
+    if steps < 1:
+        raise ValueError("steps must be >= 1")
+
+    K = max(int(np.size(lo)), int(np.size(hi)),
+            max((v.size for v in map(np.asarray, par.values())
+                 if v.ndim == 1), default=1))
+    lo = _as_members(lo, K, "lo")
+    hi = _as_members(hi, K, "hi")
+    if np.any(lo == hi):
+        raise ValueError("lo and hi must differ for every member")
+
+    if predicate is None:
+        def predicate(probe, anchor):
+            a = seasonal_ice_area(getattr(probe.seasonal, season), st)
+            b = seasonal_ice_area(getattr(anchor.seasonal, season), st)
+            return np.abs(a - b) < jump_tol
+
+    def solve(values, state):
+        p = Collection(par)
+        p[vary] = np.asarray(values)
+        return equilibrate(model, st, forcing, p, state, tol=tol,
+                           max_years=max_years, **equilibrate_kwargs)
+
+    prog = None
+    if progress:
+        from .utils.progress import Progress
+
+        total = 1 + int(bool(check_lo)) + steps
+        prog = Progress(
+            total, title=f"Fold ({vary})",
+            infofeed=lambda msg: msg,
+        )
+        prog.update(0, feedargs=("anchoring the branch at hi",))
+    done = [0]
+
+    def tick(msg):
+        if prog is not None:
+            done[0] += 1
+            prog.update(done[0], feedargs=(msg,))
+
+    anchor = solve(hi, init)
+    if not np.all(anchor.converged):
+        bad = np.flatnonzero(~np.atleast_1d(anchor.converged))
+        raise ValueError(
+            f"anchor equilibration at hi did not converge for members "
+            f"{bad.tolist()} ({anchor!r}) — the branch reference state "
+            f"must be trusted; raise max_years or move hi")
+    tick("anchor converged")
+
+    if check_lo:
+        probe = solve(lo, anchor.state)
+        still = np.flatnonzero(np.atleast_1d(predicate(probe, anchor)))
+        if still.size:
+            raise ValueError(
+                f"the branch still survives at lo for members "
+                f"{still.tolist()} — the fold is not inside [lo, hi]; "
+                f"widen the bracket (or the branch has no fold there)")
+        tick("lo verified off-branch")
+
+    history = np.empty((steps, 2, K))
+    survived_hist = np.empty((steps, K), dtype=bool)
+    conv_hist = np.empty((steps, K), dtype=bool)
+    for s in range(steps):
+        mid = 0.5 * (lo + hi)
+        probe = solve(mid, anchor.state)
+        survived = np.broadcast_to(
+            np.atleast_1d(predicate(probe, anchor)), (K,))
+        hi = np.where(survived, mid, hi)
+        lo = np.where(survived, lo, mid)
+        history[s, 0], history[s, 1] = lo, hi
+        survived_hist[s] = survived
+        conv_hist[s] = np.broadcast_to(
+            np.atleast_1d(probe.converged), (K,))
+        tick(f"step {s + 1}/{steps}: max width "
+             f"{float(np.abs(hi - lo).max()):.4g}")
+
+    return FoldResult(lo=lo, hi=hi, history=history,
+                      survived=survived_hist, probe_converged=conv_hist,
+                      vary=vary, anchor=anchor, spacetime=st)

@@ -208,6 +208,33 @@ def _read_continuation(f: h5py.Group):
     )
 
 
+def _write_fold(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "FoldResult"
+    f.attrs["vary"] = str(res.vary)
+    f.create_dataset("lo", data=np.asarray(res.lo))
+    f.create_dataset("hi", data=np.asarray(res.hi))
+    f.create_dataset("history", data=np.asarray(res.history))
+    f.create_dataset("survived", data=np.asarray(res.survived))
+    f.create_dataset("probe_converged", data=np.asarray(res.probe_converged))
+    _write_spacetime(f, res.spacetime)
+    _write_equilibrium(f.create_group("anchor"), res.anchor)
+
+
+def _read_fold(f: h5py.Group):
+    from .fold import FoldResult
+
+    return FoldResult(
+        lo=np.asarray(f["lo"]),
+        hi=np.asarray(f["hi"]),
+        history=np.asarray(f["history"]),
+        survived=np.asarray(f["survived"]),
+        probe_converged=np.asarray(f["probe_converged"]),
+        vary=str(f.attrs["vary"]),
+        anchor=_read_equilibrium(f["anchor"]),
+        spacetime=_read_spacetime(f),
+    )
+
+
 def _read_solutions(f: h5py.Group) -> Solutions:
     st = _read_spacetime(f)
     forcing = _read_forcing(f)
@@ -245,6 +272,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
     except ImportError:  # pragma: no cover
         pass
     from .equilibrium import ContinuationResult, EquilibriumResult
+    from .fold import FoldResult
     from .parallel.ensemble import EnsembleSolutions
 
     with h5py.File(path, "w") as f:
@@ -256,6 +284,8 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_equilibrium(f, obj)
         elif isinstance(obj, ContinuationResult):
             _write_continuation(f, obj)
+        elif isinstance(obj, FoldResult):
+            _write_fold(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -301,6 +331,8 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_equilibrium(f)
         if tag == "ContinuationResult":
             return _read_continuation(f)
+        if tag == "FoldResult":
+            return _read_fold(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

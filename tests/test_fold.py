@@ -1,0 +1,145 @@
+"""Fold (saddle-node) tracking: lockstep bisection of branch ends.
+
+The classic model's warm branch ends at a forcing fold whose location
+moves with diffusivity (the hysteresis study's key quantity,
+/root/reference/src/plot.jl:173-225 reads it off ramp trajectories);
+`ebm.fold` bisects it per ensemble member in lockstep. These tests pin
+the bisection mechanics (bracket invariants, lockstep == solo, survival
+history), the default ice-area classifier, persistence, and the
+validation errors.
+"""
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import energybalancemodel_jl_tpu as ebm  # noqa: E402
+
+ST = ebm.SpaceTime.sin(8, 1000, 1)
+D_VALS = np.array([0.45, 0.75])
+LO, HI, STEPS = -10.0, 20.0, 4
+
+
+def _init():
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    E0 = np.full(ST.nx, 40.0)
+    return par, ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+
+
+@pytest.fixture(scope="module")
+def tracked():
+    par, init = _init()
+    par["D"] = D_VALS
+    res = ebm.fold("Classic", ST, par, init, lo=LO, hi=HI, steps=STEPS,
+                   tol=0.5, max_years=120)
+    return res
+
+
+class TestFold:
+    def test_bracket_invariants(self, tracked):
+        # every probe converged, brackets shrank by exactly 2**-steps,
+        # and the estimate sits inside [lo, hi]
+        assert tracked.ok.all()
+        expect = (HI - LO) / 2 ** STEPS
+        assert np.allclose(tracked.width, expect)
+        assert np.all(tracked.lo < tracked.values)
+        assert np.all(tracked.values < tracked.hi)
+
+    def test_fold_moves_with_diffusivity(self, tracked):
+        # higher diffusivity ends the warm branch at higher forcing —
+        # the trend examples/fold_tracking.py demonstrates
+        assert tracked.values[0] < tracked.values[1]
+
+    def test_history_is_the_bisection(self, tracked):
+        # replay the bisection from the recorded survivals: the history
+        # rows must be exactly the brackets the updates produce
+        lo = np.full(len(D_VALS), LO)
+        hi = np.full(len(D_VALS), HI)
+        for s in range(STEPS):
+            mid = 0.5 * (lo + hi)
+            hi = np.where(tracked.survived[s], mid, hi)
+            lo = np.where(tracked.survived[s], lo, mid)
+            assert np.array_equal(tracked.history[s, 0], lo)
+            assert np.array_equal(tracked.history[s, 1], hi)
+        assert np.array_equal(tracked.lo, lo)
+        assert np.array_equal(tracked.hi, hi)
+
+    def test_anchor_is_on_branch(self, tracked):
+        from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+
+        assert np.all(np.atleast_1d(tracked.anchor.converged))
+        area = seasonal_ice_area(tracked.anchor.seasonal.avg, ST)
+        assert np.all(area < np.pi / 2)  # warm branch: little ice
+
+    def test_lockstep_matches_solo(self, tracked):
+        par, init = _init()
+        par["D"] = float(D_VALS[1])
+        solo = ebm.fold("Classic", ST, par, init, lo=LO, hi=HI,
+                        steps=STEPS, tol=0.5, max_years=120)
+        assert np.allclose(solo.values, tracked.values[1])
+        assert np.array_equal(solo.survived[:, 0], tracked.survived[:, 1])
+
+    def test_save_load_roundtrip(self, tracked):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "fold.h5")
+            ebm.save(tracked, path)
+            back = ebm.load(path)
+        assert isinstance(back, ebm.FoldResult)
+        assert back.vary == tracked.vary
+        for name in ("lo", "hi", "history", "survived", "probe_converged"):
+            assert np.array_equal(getattr(back, name), getattr(tracked, name))
+        assert np.allclose(np.asarray(back.anchor.state["E"]),
+                           np.asarray(tracked.anchor.state["E"]))
+        assert back.spacetime.nx == ST.nx
+        assert "FoldResult" in repr(back)
+
+    def test_repr(self, tracked):
+        r = repr(tracked)
+        assert "F*" in r and "2/2" in r
+
+
+class TestFoldValidation:
+    def test_unknown_vary(self):
+        par, init = _init()
+        with pytest.raises(ValueError, match="not in par"):
+            ebm.fold("Classic", ST, par, init, lo=0.0, hi=1.0,
+                     vary="nope", steps=1)
+
+    def test_member_swept_vary_conflicts(self):
+        par, init = _init()
+        par["F"] = np.array([0.0, 1.0])
+        with pytest.raises(ValueError, match="member-swept"):
+            ebm.fold("Classic", ST, par, init, lo=0.0, hi=1.0, steps=1)
+
+    def test_equal_brackets(self):
+        par, init = _init()
+        with pytest.raises(ValueError, match="must differ"):
+            ebm.fold("Classic", ST, par, init, lo=1.0, hi=1.0, steps=1)
+
+    def test_nonpositive_steps(self):
+        par, init = _init()
+        with pytest.raises(ValueError, match="steps"):
+            ebm.fold("Classic", ST, par, init, lo=0.0, hi=1.0, steps=0)
+
+    def test_ramp_forcing_rejected(self):
+        par, init = _init()
+        ramp = ebm.Forcing(0.0, 5.0, -5.0, (10, 10), (0.5, -0.5))
+        with pytest.raises(ValueError, match="constant"):
+            ebm.fold("Classic", ST, par, init, lo=0.0, hi=1.0,
+                     forcing=ramp, steps=1)
+
+    def test_unconverged_anchor_raises(self):
+        par, init = _init()
+        with pytest.raises(ValueError, match="anchor"):
+            ebm.fold("Classic", ST, par, init, lo=LO, hi=HI, steps=1,
+                     tol=1e-12, max_years=1)
+
+    def test_surviving_lo_raises(self):
+        # both bracket ends on the warm branch: check_lo must catch it
+        par, init = _init()
+        with pytest.raises(ValueError, match="survives at lo"):
+            ebm.fold("Classic", ST, par, init, lo=19.0, hi=HI, steps=1,
+                     tol=0.5, max_years=120)
