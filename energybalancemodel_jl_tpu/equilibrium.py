@@ -626,6 +626,13 @@ def equilibrate(
     (E up to O(1) in fully ice-covered cells). Composes with every
     engine and with ``mesh`` (the AA algebra is per-member). Default
     off: plain Picard is the bitwise-reproducible reference behavior.
+    When to use it: AA's 2-3x year savings were measured at TIGHT
+    tolerances in float64 (1e-6); at loose tolerances near the solver
+    noise floor (float32 on-chip, tol ~5e-2) Picard typically converges
+    FIRST — the extrapolation chases noise-scale residuals the plain
+    iteration simply walks through (measured on-chip: Picard 87 years,
+    AA hit max_years on the same K=8 forcing sweep). Reach for
+    ``anderson`` on f64 precision runs, not as a default accelerator.
 
     ``progress=True`` draws the package's throttled progress bar, one tick
     per dispatch chunk (simulated years against ``max_years``, residual on
@@ -1099,7 +1106,16 @@ def stability(
     Runs the differentiable XLA year graph (``integrate(engine='scan')``'s
     — the fused Pallas kernels have no AD path); float64 strongly
     recommended: ~50 composed reverse years in f32 drown small contraction
-    rates in rounding noise.
+    rates in rounding noise. Worse than noise, at float32 the frozen-cell
+    ``Ew``/``phi`` families can carry SPURIOUS linearization gain — the
+    Newton ``custom_vjp`` is near-singular in masked lanes, and f32
+    rounding there compounds multiplicatively over the year (measured
+    on-chip at an nx=16 MIZ wobble level: raw ``|lambda| ~ 20`` where the
+    f64 spectrum reads 1.51 and the projected estimate 1.005). On float32
+    read the PROJECTED growth (``project=("Ew", "phi")``) as the
+    observable-dynamics answer and treat the raw number as an upper
+    bound; on float64 raw vs projected cleanly separates physical
+    non-attraction (survives projection) from the neutral families.
     """
     spec = get_model(model)
     if not isinstance(forcing, Forcing):
