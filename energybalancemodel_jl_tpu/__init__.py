@@ -70,6 +70,7 @@ from .plot import (  # noqa: E402
     plot_avg,
     plot_bifurcation,
     plot_continuation,
+    plot_fold,
     plot_raw,
     plot_seasonal,
 )
@@ -104,6 +105,7 @@ __all__ = [
     "plot_seasonal",
     "plot_bifurcation",
     "plot_continuation",
+    "plot_fold",
     "Progress",
     "update",
     "zeros_init",

@@ -72,6 +72,10 @@ class FoldResult:
     vary: str
     anchor: EquilibriumResult
     spacetime: SpaceTime
+    # the parameter Collection the search ran under (member sweeps
+    # included) — lets plot_fold label the fold curve against the second
+    # parameter post hoc; None on results loaded from older files
+    par: Optional[Collection] = None
 
     @property
     def values(self) -> np.ndarray:
@@ -235,4 +239,4 @@ def fold(
 
     return FoldResult(lo=lo, hi=hi, history=history,
                       survived=survived_hist, probe_converged=conv_hist,
-                      vary=vary, anchor=anchor, spacetime=st)
+                      vary=vary, anchor=anchor, spacetime=st, par=par)

@@ -218,6 +218,8 @@ def _write_fold(f: h5py.Group, res) -> None:
     f.create_dataset("probe_converged", data=np.asarray(res.probe_converged))
     _write_spacetime(f, res.spacetime)
     _write_equilibrium(f.create_group("anchor"), res.anchor)
+    if res.par is not None:
+        _write_collection(f.create_group("par"), res.par)
 
 
 def _read_fold(f: h5py.Group):
@@ -232,6 +234,7 @@ def _read_fold(f: h5py.Group):
         vary=str(f.attrs["vary"]),
         anchor=_read_equilibrium(f["anchor"]),
         spacetime=_read_spacetime(f),
+        par=_read_collection(f["par"]) if "par" in f else None,
     )
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "plot_seasonal",
     "plot_bifurcation",
     "plot_continuation",
+    "plot_fold",
     "miz_layout",
     "classic_layout",
     "unsafesave",
@@ -412,6 +413,55 @@ def plot_continuation(
                     linestyle="none", marker="x", color="black",
                     markersize=7,
                     label="not converged" if j == 0 else None)
+    if ax.get_legend_handles_labels()[1]:
+        ax.legend()
+    return fig
+
+
+def plot_fold(
+    res,
+    against: Optional[str] = None,
+    bcknd: Optional[str] = None,
+    title: Optional[str] = None,
+    xlabel: Optional[str] = None,
+):
+    """Fold curve from an :func:`~energybalancemodel_jl_tpu.fold` result:
+    each member's fold estimate (bracket midpoint) with its final bracket
+    as the error bar, against the second parameter — ``against`` names a
+    key of the parameter Collection stored on the result (e.g. ``"D"``
+    for the classic snowball fold F*(D)) — or the member index when
+    omitted. Members with an unconverged probe (``~res.ok``) are marked
+    with a black 'x': their estimates rest on unsettled solves."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    v = np.asarray(res.values, dtype=np.float64)
+    K = len(v)
+    if against is not None:
+        if res.par is None or against not in res.par:
+            raise ValueError(
+                f"against {against!r} is not a key of the result's stored "
+                f"parameters ({sorted(res.par) if res.par is not None else 'none stored'})")
+        x = np.broadcast_to(
+            np.asarray(res.par[against], dtype=np.float64), (K,))
+        xl = against
+    else:
+        x = np.arange(K, dtype=np.float64)
+        xl = "member"
+    lo = np.minimum(res.lo, res.hi)  # brackets may run high-to-low
+    hi = np.maximum(res.lo, res.hi)
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    ax.errorbar(x, v, yerr=np.vstack([v - lo, hi - v]), fmt="o-",
+                color="tab:red", capsize=3, markersize=4,
+                label=f"{res.vary}* (bracket)")
+    bad = ~np.asarray(res.ok)
+    if bad.any():
+        ax.plot(x[bad], v[bad], linestyle="none", marker="x",
+                color="black", markersize=9, label="unconverged probe")
+    ax.set_xlabel(xlabel or xl)
+    ax.set_ylabel(f"{res.vary}*")
+    ax.set_title(title or f"Fold location {res.vary}*")
     if ax.get_legend_handles_labels()[1]:
         ax.legend()
     return fig

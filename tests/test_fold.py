@@ -95,10 +95,35 @@ class TestFold:
                            np.asarray(tracked.anchor.state["E"]))
         assert back.spacetime.nx == ST.nx
         assert "FoldResult" in repr(back)
+        assert np.allclose(np.asarray(back.par["D"]), D_VALS)
 
     def test_repr(self, tracked):
         r = repr(tracked)
         assert "F*" in r and "2/2" in r
+
+    def test_plot_fold(self, tracked):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        fig = ebm.plot_fold(tracked, against="D")
+        line = fig.axes[0].lines[0]
+        assert np.allclose(line.get_xdata(), D_VALS)
+        assert np.allclose(line.get_ydata(), tracked.values)
+        fig2 = ebm.plot_fold(tracked)  # member-index axis
+        assert np.allclose(fig2.axes[0].lines[0].get_xdata(), [0, 1])
+        with pytest.raises(ValueError, match="against"):
+            ebm.plot_fold(tracked, against="nope")
+
+    def test_plot_fold_marks_unconverged(self, tracked):
+        import dataclasses
+
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        pc = tracked.probe_converged.copy()
+        pc[0, 1] = False
+        shaky = dataclasses.replace(tracked, probe_converged=pc)
+        fig = ebm.plot_fold(shaky)
+        labels = [ln.get_label() for ln in fig.axes[0].lines]
+        assert any("unconverged" in lb for lb in labels)
 
 
 class TestFoldValidation:
