@@ -35,6 +35,8 @@ from .utils.collection import Collection
 __all__ = [
     "write_checkpoint", "read_checkpoint", "checkpoint_matches",
     "config_key", "resume_state", "year_writer",
+    "write_eq_checkpoint", "read_eq_checkpoint",
+    "write_cont_checkpoint", "read_cont_checkpoint",
 ]
 
 _FORMAT = 1
@@ -87,6 +89,83 @@ def read_checkpoint(path: str):
                 ]
             )
     return carry, years_done, tuple(acc), config_key
+
+
+def write_eq_checkpoint(path, carry, seasonal, years, resid, myears,
+                        newton, config_key) -> str:
+    """Atomic checkpoint of an :func:`~energybalancemodel_jl_tpu.equilibrate`
+    convergence loop: the loop carry (the next iterate — under Anderson
+    acceleration this is the extrapolated vector, exactly what the loop
+    would step next), the last completed year's seasonal store, and the
+    convergence bookkeeping (years, per-member residual/first-converged
+    year, Newton health). Everything a resume needs to re-enter the loop
+    bit-exactly (Picard) or with a reseeded AA history (``anderson>0``)."""
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.attrs["__ebm_type__"] = "EqCheckpoint"
+        f.attrs["format"] = _FORMAT
+        f.attrs["years_done"] = int(years)
+        f.attrs["newton_ok"] = float(newton)
+        f.attrs["config_key"] = config_key
+        g = f.create_group("carry")
+        for k, v in carry.items():
+            g.create_dataset(k, data=np.asarray(v))
+        for name, coll in zip(("winter", "summer", "avg"), seasonal):
+            gs = f.create_group(f"seasonal_{name}")
+            for k, v in coll.items():
+                gs.create_dataset(k, data=np.asarray(v))
+        f.create_dataset("resid", data=np.asarray(resid))
+        f.create_dataset("member_years", data=np.asarray(myears))
+    os.replace(tmp, path)
+    return path
+
+
+def read_eq_checkpoint(path: str):
+    """Read an equilibrate checkpoint; returns ``(carry, seasonal_colls,
+    years, resid, myears, newton, config_key)``."""
+    with h5py.File(path, "r") as f:
+        if f.attrs.get("__ebm_type__") != "EqCheckpoint":
+            raise ValueError(f"{path} is not an equilibrate checkpoint")
+        carry = Collection({k: np.asarray(v) for k, v in f["carry"].items()})
+        seasonal = tuple(
+            Collection({k: np.asarray(v)
+                        for k, v in f[f"seasonal_{n}"].items()})
+            for n in ("winter", "summer", "avg")
+        )
+        return (carry, seasonal, int(f.attrs["years_done"]),
+                np.asarray(f["resid"]), np.asarray(f["member_years"]),
+                float(f.attrs["newton_ok"]), str(f.attrs["config_key"]))
+
+
+def write_cont_checkpoint(path, results, config_key) -> str:
+    """Atomic checkpoint of a
+    :func:`~energybalancemodel_jl_tpu.continuation` path: every COMPLETED
+    level's EquilibriumResult (the io.py schema). The whole file is
+    rewritten via tmp+rename per level — levels are warm-start-chained, so
+    the set of completed levels is exactly what a resume needs, and a
+    crash mid-write can never leave a torn file."""
+    from .io import _write_equilibrium
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.attrs["__ebm_type__"] = "ContCheckpoint"
+        f.attrs["format"] = _FORMAT
+        f.attrs["config_key"] = config_key
+        g = f.create_group("levels")
+        for i, r in enumerate(results):
+            _write_equilibrium(g.create_group(f"{i:08d}"), r)
+    os.replace(tmp, path)
+    return path
+
+
+def read_cont_checkpoint(path: str):
+    """Read a continuation checkpoint; returns ``(results, config_key)``."""
+    from .io import _read_equilibrium
+    with h5py.File(path, "r") as f:
+        if f.attrs.get("__ebm_type__") != "ContCheckpoint":
+            raise ValueError(f"{path} is not a continuation checkpoint")
+        g = f["levels"]
+        results = [_read_equilibrium(g[k]) for k in sorted(g.keys(), key=int)]
+        return results, str(f.attrs["config_key"])
 
 
 def config_key(prefix, model, st, forcing, par, dtype_name, solver,
@@ -176,11 +255,12 @@ def year_writer(checkpoint, key, get_state, split=None):
     return _write
 
 
-def checkpoint_matches(path: str, config_key: str) -> bool:
+def checkpoint_matches(path: str, config_key: str,
+                       kind: str = "Checkpoint") -> bool:
     if not os.path.exists(path):
         return False
     with h5py.File(path, "r") as f:
         return (
-            f.attrs.get("__ebm_type__") == "Checkpoint"
+            f.attrs.get("__ebm_type__") == kind
             and str(f.attrs.get("config_key")) == config_key
         )

@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -556,6 +557,9 @@ def equilibrate(
     mesh=None,
     anderson: int = 0,
     progress: bool = False,
+    checkpoint: Optional[str] = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
 ) -> EquilibriumResult:
     """Iterate the year map to a seasonal fixed point on device.
 
@@ -639,6 +643,23 @@ def equilibrate(
     the info line) — feedback for long equilibrations without touching the
     compiled loop.
 
+    ``checkpoint=`` names a file to checkpoint the convergence loop into
+    at chunk boundaries (at most every ``checkpoint_every`` simulated
+    years; also once at the end); ``resume=True`` re-enters the loop from
+    it. Resume validates a config fingerprint (model, grid, forcing,
+    parameters, dtype, engine, metric, anderson, Newton cap — tol and
+    max_years deliberately excluded, so a resume may CONTINUE a run at a
+    tighter tolerance or longer horizon) and warns + starts fresh on
+    mismatch. Picard resumes are bit-exact (the loop state is the carry,
+    the last seasonal, and the convergence bookkeeping — all
+    checkpointed); ``anderson>0`` resumes reseed the acceleration history
+    with one extra simulated year (the safeguarded restart the AA loop
+    already performs after residual growth), so the accelerated iterate
+    sequence may differ from an uninterrupted run while converging to the
+    same tolerance. Checkpoint writes fetch the seasonal store from the
+    device — at large K over a tunneled TPU that is the dominant cost, so
+    raise ``checkpoint_every`` accordingly.
+
     ``st.dur`` is ignored — the horizon is ``max_years``; ``st`` only fixes
     the grid and intra-year resolution.
     """
@@ -660,11 +681,14 @@ def equilibrate(
     if int(anderson) < 0:
         raise ValueError("anderson must be >= 0 (0 = plain Picard)")
     anderson = int(anderson)
+    if int(checkpoint_every) < 1:
+        raise ValueError("checkpoint_every must be >= 1")
     if dtype is None:
         dtype = default_dtype()
     dtype = jnp.dtype(dtype)
 
     par = Collection(par)
+    par_for_key = Collection(par)  # pre-F-pop snapshot for the resume key
     K = n_members
     if K is None:
         sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
@@ -794,7 +818,68 @@ def equilibrate(
 
     frow_j = jnp.asarray(frow, dtype=dtype)
     tol_j = jnp.asarray(tol, dtype)
-    state = init_fn(carry, par_j, frow_j)
+
+    ckpt_key = None
+    if checkpoint is not None or resume:
+        if checkpoint is None:
+            raise ValueError("resume=True needs checkpoint=<path>")
+        from . import checkpoint as ckpt_mod
+
+        extras = (f"engine={engine}", f"metric={','.join(metric)}",
+                  f"aa={anderson}")
+        if mesh is not None:
+            extras += (f"mesh={int(mesh.size)}",)
+        ckpt_key = ckpt_mod.config_key(
+            "equilibrate", spec.name, st, forcing, par_for_key, dtype.name,
+            cfg.solver, newton_max_iter, extras=extras,
+        )
+
+    state = None
+    if resume:
+        import warnings as _warnings
+
+        from . import checkpoint as ckpt_mod
+
+        if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
+                                       kind="EqCheckpoint"):
+            (c_np, seas_np, y0, resid_np, my_np, newton_f, _) = (
+                ckpt_mod.read_eq_checkpoint(checkpoint)
+            )
+            carry_dev = Collection(
+                {k: jnp.asarray(v, dtype) for k, v in c_np.items()}
+            )
+            if anderson > 0:
+                # the AA buffers are not checkpointed: reseed them with
+                # one simulated year (the same restart the safeguard
+                # performs after residual growth) — counted in ``years``
+                state = init_fn(carry_dev, par_j, frow_j)
+                state = (
+                    state[0], state[1], state[2], jnp.int32(int(y0) + 1),
+                    state[4], jnp.asarray(my_np, jnp.int32),
+                    jnp.minimum(state[6], jnp.asarray(newton_f, dtype)),
+                ) + state[7:]
+            else:
+                # bit-exact splice: the loop state IS (carry, seasonal,
+                # metric-of-seasonal, bookkeeping) — no year re-run
+                seasonal_dev = Seasonal(*(
+                    Collection({k: jnp.asarray(v, dtype)
+                                for k, v in c.items()})
+                    for c in seas_np
+                ))
+                state = (
+                    carry_dev, seasonal_dev,
+                    _metric_vec(seasonal_dev, metric), jnp.int32(int(y0)),
+                    jnp.asarray(resid_np, dtype),
+                    jnp.asarray(my_np, jnp.int32),
+                    jnp.asarray(newton_f, dtype),
+                )
+        elif os.path.exists(checkpoint):
+            _warnings.warn(
+                f"Checkpoint {checkpoint} does not match this "
+                "equilibration's configuration; starting from init."
+            )
+    if state is None:
+        state = init_fn(carry, par_j, frow_j)
 
     # Host chunking loop: the state stays on device the whole time (any
     # chunking is bitwise-identical); each dispatch is bounded so it cannot
@@ -809,6 +894,19 @@ def equilibrate(
 
     y, resid_h = jax.device_get((state[3], state[4]))
     y = int(y)
+    last_ckpt = y
+
+    def _write_ckpt(years_done):
+        from . import checkpoint as ckpt_mod
+
+        c, s, rs, my, nw = jax.device_get(
+            (state[0], state[1], state[4], state[5], state[6])
+        )
+        ckpt_mod.write_eq_checkpoint(
+            checkpoint, Collection(c), s, years_done, rs, my,
+            float(np.min(np.atleast_1d(nw))), ckpt_key,
+        )
+
     prog = None
     if progress and int(max_years) > 0:
         from .utils.progress import Progress
@@ -840,6 +938,11 @@ def equilibrate(
             chunk_years = int(np.clip(
                 _CHUNK_TARGET_S * ran / max(dt, 1e-6), 1, 4096,
             ))
+        if ckpt_key is not None and y - last_ckpt >= int(checkpoint_every):
+            _write_ckpt(y)
+            last_ckpt = y
+    if ckpt_key is not None and y > last_ckpt:
+        _write_ckpt(y)  # final state (resume of a finished run returns it)
     carry, seasonal, _, years, resid, myears, newton = state[:7]
     if prog is not None and prog.current < prog.total:
         # close the bar at the ACTUAL simulated years (early convergence
@@ -1440,6 +1543,8 @@ def continuation(
     tol: float = 1e-3,
     max_years: int = 1000,
     progress: bool = False,
+    checkpoint: Optional[str] = None,
+    resume: bool = False,
     **equilibrate_kwargs,
 ) -> ContinuationResult:
     """Numerical continuation: equilibrate along a parameter path, each
@@ -1463,6 +1568,17 @@ def continuation(
     (``engine``/``mesh``/``dtype``/``metric``/...) pass through to
     :func:`equilibrate`; ``par`` leaves of shape ``(K,)`` make each level
     an ensemble equilibration (K members trace the path in lockstep).
+
+    ``checkpoint=`` names a file that records every COMPLETED level;
+    ``resume=True`` reloads the completed levels and continues from the
+    first unfinished one, warm-started from the last completed state —
+    exactly the state an uninterrupted run would have handed it, so the
+    remaining levels are computed identically. The config fingerprint
+    covers the model, grid, forcing, parameters, path (values +
+    directions), tolerance, horizon, and the pass-through equilibrate
+    options; a mismatch warns and restarts. (The per-level ``equilibrate``
+    loop's own ``checkpoint``/``resume`` is not exposed here — one level
+    is the useful granularity for multi-level scans.)
     """
     if not isinstance(forcing, Forcing):
         forcing = Forcing(float(forcing))
@@ -1489,14 +1605,64 @@ def continuation(
             ),
         )
         prog.update(0, feedargs=(path[0][0], None))
-    state, results = init, []
+
+    ckpt_key = None
+    if checkpoint is not None or resume:
+        if checkpoint is None:
+            raise ValueError("resume=True needs checkpoint=<path>")
+        import hashlib
+
+        from . import checkpoint as ckpt_mod
+
+        pv = np.asarray([v for v, _ in path], dtype=np.float64)
+        pd = np.asarray([d for _, d in path], dtype=np.int8)
+        vdig = hashlib.sha1(pv.tobytes() + pd.tobytes()).hexdigest()[:16]
+        kw = ",".join(f"{k}={equilibrate_kwargs[k]!r}"
+                      for k in sorted(equilibrate_kwargs))
+        kdig = hashlib.sha1(kw.encode()).hexdigest()[:16]
+        ckpt_key = ckpt_mod.config_key(
+            "continuation", model, st, forcing, par,
+            str(equilibrate_kwargs.get("dtype", "auto")), "",
+            int(equilibrate_kwargs.get("newton_max_iter", 30)),
+            extras=(f"vary={vary}", f"path#{len(path)}:{vdig}",
+                    f"tol={float(tol)}", f"maxy={int(max_years)}",
+                    f"kw={kdig}"),
+        )
+
+    state, results, start = init, [], 0
+    if resume:
+        import warnings
+
+        from . import checkpoint as ckpt_mod
+
+        if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
+                                       kind="ContCheckpoint"):
+            results, _ = ckpt_mod.read_cont_checkpoint(checkpoint)
+            results = results[:len(path)]
+            start = len(results)
+            if start:
+                state = results[-1].state
+            if prog is not None and start:
+                prog.update(start, feedargs=(path[start - 1][0],
+                                             results[-1]))
+        elif os.path.exists(checkpoint):
+            warnings.warn(
+                f"Checkpoint {checkpoint} does not match this "
+                "continuation's configuration; starting from the first "
+                "level."
+            )
+
     warned_nonfinite = False
-    for i, (v, _) in enumerate(path):
+    for i, (v, _) in enumerate(path[start:], start=start):
         fc, p = _level_config(vary, forcing, par, v)
         res = equilibrate(model, st, fc, p, state, tol=tol,
                           max_years=max_years, **equilibrate_kwargs)
         results.append(res)
         state = res.state
+        if ckpt_key is not None:
+            from . import checkpoint as ckpt_mod
+
+            ckpt_mod.write_cont_checkpoint(checkpoint, results, ckpt_key)
         if not warned_nonfinite and not all(
             np.isfinite(np.asarray(x)).all() for x in state.values()
         ):

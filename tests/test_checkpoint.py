@@ -256,3 +256,175 @@ class TestEnsembleCheckpoint:
         np.testing.assert_array_equal(
             resumed.seasonal.avg["E"], first.seasonal.avg["E"]
         )
+
+
+class TestEquilibrateCheckpoint:
+    """equilibrate(checkpoint=..., resume=True): re-entering the
+    convergence loop (no reference analog — the reference has no
+    equilibration driver at all)."""
+
+    ST = None  # built lazily (module import precedes conftest x64 setup)
+
+    @staticmethod
+    def _cfg():
+        st = ebm.SpaceTime.sin(16, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        return st, par, ebm.zeros_init(st)
+
+    def test_picard_resume_is_bit_exact(self, tmp_path):
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st, par, init = self._cfg()
+        full = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                               tol=1e-4, max_years=40)
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        tol=1e-4, max_years=15, checkpoint=ck,
+                        checkpoint_every=5)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=1e-4, max_years=40, checkpoint=ck,
+                              resume=True)
+        assert res.years == full.years
+        assert np.array_equal(res.member_years, full.member_years)
+        for k in full.state:
+            assert np.array_equal(np.asarray(res.state[k]),
+                                  np.asarray(full.state[k])), k
+        for season in ("winter", "summer", "avg"):
+            a = getattr(res.seasonal, season)
+            b = getattr(full.seasonal, season)
+            for k in b:
+                assert np.array_equal(np.nan_to_num(np.asarray(a[k])),
+                                      np.nan_to_num(np.asarray(b[k]))), k
+
+    def test_resume_of_complete_run_returns_stored(self, tmp_path):
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st, par, init = self._cfg()
+        full = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                               tol=1e-4, max_years=25, checkpoint=ck)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=1e-4, max_years=25, checkpoint=ck,
+                              resume=True)
+        assert res.years == full.years
+        assert np.allclose(np.asarray(res.resid), np.asarray(full.resid))
+
+    def test_resume_extends_horizon_and_tightens_tol(self, tmp_path):
+        # tol/max_years are deliberately OUT of the config key: a resume
+        # may continue the same run longer / to a tighter tolerance
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st, par, init = self._cfg()
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        tol=1e-2, max_years=10, checkpoint=ck)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=1e-4, max_years=40, checkpoint=ck,
+                              resume=True)
+        full = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                               tol=1e-4, max_years=40)
+        assert res.years == full.years
+        for k in full.state:
+            assert np.array_equal(np.asarray(res.state[k]),
+                                  np.asarray(full.state[k])), k
+
+    def test_mismatched_config_warns_and_restarts(self, tmp_path):
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st, par, init = self._cfg()
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        tol=1e-4, max_years=10, checkpoint=ck)
+        par2 = ebm.Collection(par)
+        par2["A"] = np.array([150.0, 155.0])
+        with pytest.warns(UserWarning, match="does not match"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par2, init,
+                            tol=1e-4, max_years=5, checkpoint=ck,
+                            resume=True)
+
+    def test_anderson_resume_converges_to_same_point(self, tmp_path):
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st, par, init = self._cfg()
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        tol=1e-6, max_years=15, checkpoint=ck, anderson=4)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=1e-6, max_years=150, checkpoint=ck,
+                              resume=True, anderson=4)
+        # AA resume reseeds the history (one extra year) — the iterate
+        # sequence may differ from uninterrupted, the tolerance must hold
+        assert np.all(np.asarray(res.converged))
+        assert np.max(np.asarray(res.resid)) <= 1e-6
+
+    def test_resume_needs_checkpoint_path(self):
+        st, par, init = self._cfg()
+        with pytest.raises(ValueError, match="checkpoint"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                            resume=True)
+
+    def test_engine_is_in_the_key(self, tmp_path):
+        # a batched-engine checkpoint must not resume a fused-engine run
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st, par, init = self._cfg()
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        tol=1e-4, max_years=10, checkpoint=ck,
+                        engine="batched")
+        _, _, _, _, _, _, key = ckpt.read_eq_checkpoint(ck)
+        assert "engine=batched" in key
+
+
+class TestContinuationCheckpoint:
+    """continuation(checkpoint=..., resume=True): level-wise restart of a
+    bifurcation scan."""
+
+    @staticmethod
+    def _cfg():
+        st = ebm.SpaceTime.sin(16, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        return st, par, ebm.zeros_init(st)
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+
+        ck = str(tmp_path / "cont.ckpt.h5")
+        st, par, init = self._cfg()
+        vals = [0.0, 1.0, 2.0]
+        full = ebm.continuation("MIZ", st, vals, par, init, vary="F",
+                                round_trip=True, tol=1e-3, max_years=60)
+        ebm.continuation("MIZ", st, vals, par, init, vary="F",
+                         round_trip=True, tol=1e-3, max_years=60,
+                         checkpoint=ck)
+        # simulate a crash after two levels, then resume
+        results, key = ckpt.read_cont_checkpoint(ck)
+        assert len(results) == 5
+        ckpt.write_cont_checkpoint(ck, results[:2], key)
+        res = ebm.continuation("MIZ", st, vals, par, init, vary="F",
+                               round_trip=True, tol=1e-3, max_years=60,
+                               checkpoint=ck, resume=True)
+        assert np.array_equal(res.years, full.years)
+        for i, (rf, rb) in enumerate(zip(full.results, res.results)):
+            for k in rf.state:
+                assert np.array_equal(np.asarray(rf.state[k]),
+                                      np.asarray(rb.state[k])), (i, k)
+
+    def test_complete_resume_skips_every_level(self, tmp_path, monkeypatch):
+        from energybalancemodel_jl_tpu import equilibrium as eqmod
+
+        ck = str(tmp_path / "cont.ckpt.h5")
+        st, par, init = self._cfg()
+        vals = [0.0, 1.0]
+        full = ebm.continuation("MIZ", st, vals, par, init, vary="F",
+                                tol=1e-3, max_years=60, checkpoint=ck)
+
+        def boom(*a, **k):
+            raise AssertionError("equilibrate called on a complete resume")
+
+        monkeypatch.setattr(eqmod, "equilibrate", boom)
+        res = ebm.continuation("MIZ", st, vals, par, init, vary="F",
+                               tol=1e-3, max_years=60, checkpoint=ck,
+                               resume=True)
+        assert np.array_equal(res.years, full.years)
+
+    def test_mismatched_path_warns_and_restarts(self, tmp_path):
+        ck = str(tmp_path / "cont.ckpt.h5")
+        st, par, init = self._cfg()
+        ebm.continuation("MIZ", st, [0.0, 1.0], par, init, vary="F",
+                         tol=1e-3, max_years=60, checkpoint=ck)
+        with pytest.warns(UserWarning, match="does not match"):
+            ebm.continuation("MIZ", st, [0.0, 0.5], par, init, vary="F",
+                             tol=1e-3, max_years=60, checkpoint=ck,
+                             resume=True)
