@@ -137,34 +137,63 @@ def read_eq_checkpoint(path: str):
                 float(f.attrs["newton_ok"]), str(f.attrs["config_key"]))
 
 
-def write_cont_checkpoint(path, results, config_key) -> str:
-    """Atomic checkpoint of a
-    :func:`~energybalancemodel_jl_tpu.continuation` path: every COMPLETED
-    level's EquilibriumResult (the io.py schema). The whole file is
-    rewritten via tmp+rename per level — levels are warm-start-chained, so
-    the set of completed levels is exactly what a resume needs, and a
-    crash mid-write can never leave a torn file."""
+def write_cont_checkpoint(path, results, config_key, n_prev=None) -> str:
+    """Checkpoint of a :func:`~energybalancemodel_jl_tpu.continuation`
+    path: every COMPLETED level's EquilibriumResult (the io.py schema).
+
+    ``n_prev`` is how many leading levels the file already holds from THIS
+    run (the continuation driver threads it): only levels ``n_prev:`` are
+    appended, so per-level cost stays O(1) in completed levels instead of
+    re-serializing the whole prefix (O(n^2) for long scans). The
+    ``n_done`` attribute is bumped only AFTER the new groups are written
+    and flushed, so an interrupted write leaves at most orphan groups
+    past ``n_done``, which the reader ignores (and a later write
+    replaces). ``n_prev=None`` (external callers, e.g. truncating a file
+    in tests) rewrites the file from scratch via tmp+rename."""
     from .io import _write_equilibrium
-    tmp = path + ".tmp"
-    with h5py.File(tmp, "w") as f:
-        f.attrs["__ebm_type__"] = "ContCheckpoint"
-        f.attrs["format"] = _FORMAT
-        f.attrs["config_key"] = config_key
-        g = f.create_group("levels")
-        for i, r in enumerate(results):
-            _write_equilibrium(g.create_group(f"{i:08d}"), r)
-    os.replace(tmp, path)
+    if n_prev is None or not os.path.exists(path):
+        tmp = path + ".tmp"
+        with h5py.File(tmp, "w") as f:
+            f.attrs["__ebm_type__"] = "ContCheckpoint"
+            f.attrs["format"] = _FORMAT
+            f.attrs["config_key"] = config_key
+            g = f.create_group("levels")
+            for i, r in enumerate(results):
+                _write_equilibrium(g.create_group(f"{i:08d}"), r)
+            f.flush()
+            f.attrs["n_done"] = len(results)
+        os.replace(tmp, path)
+        return path
+    with h5py.File(path, "a") as f:
+        if (f.attrs.get("__ebm_type__") != "ContCheckpoint"
+                or str(f.attrs.get("config_key")) != config_key):
+            raise ValueError(
+                f"{path} holds a different run's checkpoint; the driver "
+                "recreates the file on the first write (n_prev=None)")
+        g = f["levels"]
+        for i in range(int(n_prev), len(results)):
+            name = f"{i:08d}"
+            if name in g:  # orphan from an interrupted earlier write
+                del g[name]
+            _write_equilibrium(g.create_group(name), results[i])
+        f.flush()
+        f.attrs["n_done"] = len(results)
     return path
 
 
 def read_cont_checkpoint(path: str):
-    """Read a continuation checkpoint; returns ``(results, config_key)``."""
+    """Read a continuation checkpoint; returns ``(results, config_key)``.
+    Only the ``n_done`` gated prefix of level groups is trusted (orphans
+    past it are a crash artifact of an interrupted append)."""
     from .io import _read_equilibrium
     with h5py.File(path, "r") as f:
         if f.attrs.get("__ebm_type__") != "ContCheckpoint":
             raise ValueError(f"{path} is not a continuation checkpoint")
         g = f["levels"]
-        results = [_read_equilibrium(g[k]) for k in sorted(g.keys(), key=int)]
+        n = f.attrs.get("n_done")
+        keys = (sorted(g.keys(), key=int) if n is None
+                else [f"{i:08d}" for i in range(int(n))])
+        results = [_read_equilibrium(g[k]) for k in keys]
         return results, str(f.attrs["config_key"])
 
 

@@ -851,7 +851,14 @@ def equilibrate(
             if anderson > 0:
                 # the AA buffers are not checkpointed: reseed them with
                 # one simulated year (the same restart the safeguard
-                # performs after residual growth) — counted in ``years``
+                # performs after residual growth) — counted in ``years``.
+                # init_fn for the single-run fused engine lifts its input
+                # to a 1-member batch, but the checkpointed loop carry is
+                # already lifted — drop that axis first
+                if engine == "fused" and not ensemble:
+                    carry_dev = Collection(
+                        {k: v[0] for k, v in carry_dev.items()}
+                    )
                 state = init_fn(carry_dev, par_j, frow_j)
                 state = (
                     state[0], state[1], state[2], jnp.int32(int(y0) + 1),
@@ -1463,20 +1470,16 @@ class ContinuationResult:
 
     def ice_area(self, season: str = "avg") -> np.ndarray:
         """Ice-covered area ``2 pi <phi>`` per level (classic: from
-        ``E < 0``), the standard bifurcation-diagram ordinate."""
-        from .utils.numerics import hemispheric_mean
+        ``E < 0``), the standard bifurcation-diagram ordinate — the shared
+        :func:`~energybalancemodel_jl_tpu.fold.seasonal_ice_area`
+        diagnostic applied per level."""
+        from .fold import seasonal_ice_area
 
-        rows = []
-        for r in self.results:
-            coll = getattr(r.seasonal, season)
-            if "phi" in coll:
-                field = np.nan_to_num(np.asarray(coll["phi"]))
-            else:
-                field = (np.asarray(coll["E"]) < 0.0).astype(np.float64)
-            rows.append(np.asarray(
-                hemispheric_mean(field, self.spacetime.x)
-            ))
-        return 2.0 * np.pi * np.asarray(rows)
+        return np.asarray([
+            np.asarray(seasonal_ice_area(getattr(r.seasonal, season),
+                                         self.spacetime))
+            for r in self.results
+        ])
 
     def stability(self, warm_start: bool = True, progress: bool = False,
                   **stability_kwargs):
@@ -1630,16 +1633,22 @@ def continuation(
         )
 
     state, results, start = init, [], 0
+    n_in_file = None  # levels this run trusts in the file (None: recreate)
     if resume:
         import warnings
 
         from . import checkpoint as ckpt_mod
 
-        if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
-                                       kind="ContCheckpoint"):
-            results, _ = ckpt_mod.read_cont_checkpoint(checkpoint)
-            results = results[:len(path)]
-            start = len(results)
+        try:
+            matches = ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
+                                                  kind="ContCheckpoint")
+            loaded = (ckpt_mod.read_cont_checkpoint(checkpoint)[0]
+                      if matches else None)
+        except (OSError, ValueError):  # torn/corrupt file: start fresh
+            matches, loaded = False, None
+        if matches:
+            results = loaded[:len(path)]
+            start = n_in_file = len(results)
             if start:
                 state = results[-1].state
             if prog is not None and start:
@@ -1652,7 +1661,11 @@ def continuation(
                 "level."
             )
 
-    warned_nonfinite = False
+    # resumed non-finite tails must not re-warn at (and blame) the first
+    # RESUMED level — the divergence happened at an earlier one
+    warned_nonfinite = start > 0 and not all(
+        np.isfinite(np.asarray(x)).all() for x in state.values()
+    )
     for i, (v, _) in enumerate(path[start:], start=start):
         fc, p = _level_config(vary, forcing, par, v)
         res = equilibrate(model, st, fc, p, state, tol=tol,
@@ -1662,7 +1675,9 @@ def continuation(
         if ckpt_key is not None:
             from . import checkpoint as ckpt_mod
 
-            ckpt_mod.write_cont_checkpoint(checkpoint, results, ckpt_key)
+            ckpt_mod.write_cont_checkpoint(checkpoint, results, ckpt_key,
+                                           n_prev=n_in_file)
+            n_in_file = len(results)
         if not warned_nonfinite and not all(
             np.isfinite(np.asarray(x)).all() for x in state.values()
         ):

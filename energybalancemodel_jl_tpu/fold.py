@@ -135,15 +135,23 @@ def fold(
     warming) — the bisection only assumes "survives at ``hi``".
 
     One anchor equilibration at ``hi`` (from ``init``) must fully
-    converge; its state warm-starts every probe and its ice area is the
-    survival reference. The default classifier calls a probe "on the
-    branch" when its ice area stays within ``jump_tol`` of the anchor's
-    (a fold departure is an O(1) jump to another attractor — snowball or
-    ice-free); pass ``predicate(probe, anchor) -> (K,) bool`` to
-    classify on any other diagnostic. ``check_lo`` spends one probe
+    converge; its state warm-starts every probe. The default classifier
+    is NEAREST-NEIGHBOR in ice area against two evolving per-member
+    references: "on the branch" starts at the anchor's area, "off the
+    branch" at the ``lo`` probe's (the other attractor the solve falls
+    to), and each classified probe updates its side's reference — so the
+    on-branch reference FOLLOWS the branch as the bracket tightens, and a
+    diagnostic that drifts along the branch (ice area grows toward the
+    fold) never gets misread as a departure; only the O(1) jump between
+    attractors separates the classes. ``jump_tol`` is the minimum
+    ice-area separation the two bracket-end states must show (default
+    pi/2) — below it the bracket is rejected as not actually straddling
+    a fold. Pass ``predicate(probe, anchor) -> (K,) bool`` to classify
+    on any other diagnostic instead. ``check_lo`` spends one probe
     verifying the branch is really lost at ``lo`` (catches inverted or
     too-narrow brackets before ``steps`` solves chase a fold that is not
-    inside them).
+    inside them); the default classifier requires it (that probe seeds
+    its off-branch reference).
 
     All remaining keywords (``engine``/``mesh``/``dtype``/``anderson``/
     ...) pass through to :func:`equilibrate`; on TPU each probe runs the
@@ -172,11 +180,15 @@ def fold(
     if np.any(lo == hi):
         raise ValueError("lo and hi must differ for every member")
 
-    if predicate is None:
-        def predicate(probe, anchor):
-            a = seasonal_ice_area(getattr(probe.seasonal, season), st)
-            b = seasonal_ice_area(getattr(anchor.seasonal, season), st)
-            return np.abs(a - b) < jump_tol
+    default_classifier = predicate is None
+    if default_classifier and not check_lo:
+        raise ValueError(
+            "the default classifier seeds its off-branch reference from "
+            "the lo probe — keep check_lo=True, or pass predicate=")
+
+    def area_of(res):
+        a = seasonal_ice_area(getattr(res.seasonal, season), st)
+        return np.broadcast_to(np.atleast_1d(a), (K,)).astype(np.float64)
 
     def solve(values, state):
         p = Collection(par)
@@ -210,15 +222,43 @@ def fold(
             f"must be trusted; raise max_years or move hi")
     tick("anchor converged")
 
+    ref_on = ref_off = None
+    if default_classifier:
+        ref_on = area_of(anchor)
     if check_lo:
         probe = solve(lo, anchor.state)
-        still = np.flatnonzero(np.atleast_1d(predicate(probe, anchor)))
+        if default_classifier:
+            ref_off = area_of(probe)
+            still = np.flatnonzero(np.abs(ref_off - ref_on) < jump_tol)
+            msg = (f"ice-area separation between the hi and lo states is "
+                   f"below jump_tol={jump_tol:g} for members "
+                   "{m} — either the branch still survives at lo, or the "
+                   "two attractors are indistinguishable in ice area "
+                   "(pass predicate= for a different diagnostic)")
+        else:
+            still = np.flatnonzero(np.atleast_1d(predicate(probe, anchor)))
+            msg = ("the branch still survives at lo for members {m} — "
+                   "the fold is not inside [lo, hi]; widen the bracket "
+                   "(or the branch has no fold there)")
         if still.size:
-            raise ValueError(
-                f"the branch still survives at lo for members "
-                f"{still.tolist()} — the fold is not inside [lo, hi]; "
-                f"widen the bracket (or the branch has no fold there)")
+            raise ValueError(msg.format(m=still.tolist()))
         tick("lo verified off-branch")
+
+    def classify(probe):
+        nonlocal ref_on, ref_off
+        if not default_classifier:
+            return np.broadcast_to(
+                np.atleast_1d(predicate(probe, anchor)), (K,))
+        # nearest-neighbor against the evolving branch references: the
+        # on-branch diagnostic drifts continuously with the parameter
+        # (O(bracket) per step), while falling off is an O(1) jump — so
+        # whichever reference is closer names the attractor, and the
+        # winning side's reference follows the probe
+        a = area_of(probe)
+        survived = np.abs(a - ref_on) < np.abs(a - ref_off)
+        ref_on = np.where(survived, a, ref_on)
+        ref_off = np.where(~survived, a, ref_off)
+        return survived
 
     history = np.empty((steps, 2, K))
     survived_hist = np.empty((steps, K), dtype=bool)
@@ -226,8 +266,7 @@ def fold(
     for s in range(steps):
         mid = 0.5 * (lo + hi)
         probe = solve(mid, anchor.state)
-        survived = np.broadcast_to(
-            np.atleast_1d(predicate(probe, anchor)), (K,))
+        survived = classify(probe)
         hi = np.where(survived, mid, hi)
         lo = np.where(survived, lo, mid)
         history[s, 0], history[s, 1] = lo, hi

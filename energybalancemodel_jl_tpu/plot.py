@@ -182,13 +182,15 @@ def _default_xfunc(sols: Solutions, year: int) -> float:
 
 
 def _default_yfunc(sols: Solutions, season: str, year: int) -> float:
-    """Ice-covered area ``2 pi <phi>`` (or from E<0 for classic runs)."""
+    """Ice-covered area ``2 pi <phi>`` (or from E<0 for classic runs) —
+    the shared :func:`~energybalancemodel_jl_tpu.fold.seasonal_ice_area`
+    diagnostic on one year's seasonal row."""
+    from .fold import seasonal_ice_area
+
     coll = getattr(sols.seasonal, season)
-    if "phi" in coll:
-        field = coll["phi"][year - 1]
-    else:
-        field = (coll["E"][year - 1] < 0.0).astype(np.float64)
-    return 2.0 * np.pi * np_hemispheric_mean(field, sols.spacetime.x)
+    row = {k: np.asarray(coll[k])[year - 1]
+           for k in ("phi", "E") if k in coll}
+    return float(seasonal_ice_area(row, sols.spacetime))
 
 
 def _seasonal_loops(ax, sols, xfunc, yfunc, alpha=1.0, labeled=True,

@@ -7,8 +7,12 @@ gives each member its own constant forcing, so one ensemble `equilibrate`
 probes every member's bracket midpoint at once — 12 bisection steps
 resolve K fold locations to (hi-lo)/4096 with 12 ensemble equilibrations
 total, instead of K independent scans. Each probe warm-starts from the
-anchored warm state; the default classifier calls a probe off-branch when
-its ice area jumps O(1) from the anchor's (the fall to the snowball).
+anchored warm state; the default classifier is nearest-neighbor in ice
+area against two evolving references — the warm branch's (seeded by the
+anchor, following the branch as it gains ice toward the fold) and the
+snowball's (seeded by the `lo` probe) — so the branch's own drift is
+never misread as a departure; only the O(1) attractor jump separates
+the classes.
 
 Run: python examples/fold_tracking.py
 """

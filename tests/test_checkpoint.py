@@ -348,6 +348,26 @@ class TestEquilibrateCheckpoint:
         assert np.all(np.asarray(res.converged))
         assert np.max(np.asarray(res.resid)) <= 1e-6
 
+    def test_fused_single_anderson_resume_shapes(self, tmp_path):
+        # review r5: the fused single-run init_fn lifts its input to a
+        # 1-member batch, but the checkpointed loop carry is already
+        # lifted — the AA resume must drop that axis before reseeding
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        par = ebm.default_parameters("MIZ")
+        init = ebm.zeros_init(st)
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        tol=0.0, max_years=3, dtype="float32",
+                        engine="fused", anderson=3, checkpoint=ck)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=0.0, max_years=6, dtype="float32",
+                              engine="fused", anderson=3, checkpoint=ck,
+                              resume=True)
+        assert res.seasonal.avg["E"].shape == (st.nx,)
+        assert np.isfinite(np.nan_to_num(
+            np.asarray(res.seasonal.avg["E"]))).all()
+        assert res.member_years is None
+
     def test_resume_needs_checkpoint_path(self):
         st, par, init = self._cfg()
         with pytest.raises(ValueError, match="checkpoint"):

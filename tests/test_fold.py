@@ -74,6 +74,26 @@ class TestFold:
         area = seasonal_ice_area(tracked.anchor.seasonal.avg, ST)
         assert np.all(area < np.pi / 2)  # warm branch: little ice
 
+    def test_branch_drift_does_not_fake_a_fold(self):
+        # review r5 regression: an anchor-relative tolerance classifier
+        # reads the branch's own ice-area drift (0.48 -> 2.78 along this
+        # branch, > pi/2) as a departure and stops at the tolerance
+        # crossing (~F=-2.3); the nearest-neighbor classifier follows the
+        # branch to the real fold (ground-truth probes: alive at F=-4.2,
+        # snowball at F=-4.5)
+        _, init = _init()
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        par["D"] = 0.3
+        res = ebm.fold("Classic", ST, par, init, lo=-10.0, hi=20.0,
+                       steps=6, tol=0.5, max_years=150)
+        assert res.values[0] < -3.0, res
+
+    def test_default_classifier_requires_lo_probe(self):
+        par, init = _init()
+        with pytest.raises(ValueError, match="check_lo"):
+            ebm.fold("Classic", ST, par, init, lo=LO, hi=HI, steps=1,
+                     check_lo=False)
+
     def test_lockstep_matches_solo(self, tracked):
         par, init = _init()
         par["D"] = float(D_VALS[1])
