@@ -688,8 +688,12 @@ def equilibrate(
     dtype = jnp.dtype(dtype)
 
     par = Collection(par)
+    # batched_parameters() product grids mark their member count; honor it
+    # so sweep-style par Collections compose with the equilibrium layer
+    K_hint = par.pop("__K__", None)
     par_for_key = Collection(par)  # pre-F-pop snapshot for the resume key
-    K = n_members
+    K = n_members if n_members is not None else (
+        int(K_hint) if K_hint is not None else None)
     if K is None:
         sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
         sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
@@ -1242,6 +1246,7 @@ def stability(
     dtype = jnp.dtype(dtype)
 
     par = Collection(par)
+    par.pop("__K__", None)  # batched_parameters() marker; sizes say it all
     sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
     sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
     if len(sizes) > 1:

@@ -192,6 +192,22 @@ def s_calibrate():
     assert np.isfinite(float(np.asarray(fit.params["A"]))), fit.params
 
 
+@stage("fold tracking composes with the fused engine")
+def s_fold():
+    st = ebm.SpaceTime.sin(16, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    par["D"] = np.array([0.45, 0.75])
+    E0 = np.full(st.nx, 40.0)
+    init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+    res = ebm.fold("Classic", st, par, init, lo=-10.0, hi=20.0, steps=4,
+                   tol=0.5, max_years=150)
+    assert res.ok.all(), res
+    assert res.values[0] < res.values[1], res  # fold rises with D
+    expect = 30.0 / 2 ** 4
+    assert np.allclose(res.width, expect), res.width
+    print(f"      {res!r}", flush=True)
+
+
 @stage("fused integrate chunks (bench-shaped scan) stay finite")
 def s_integrate_chunks():
     st16 = ebm.SpaceTime.sin(16, 1000, 16)
@@ -207,10 +223,10 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     for fn in [s_claim, s_fused, s_batched, s_anderson, s_continuation,
                s_path_stability, s_projected, s_io, s_calibrate,
-               s_integrate_chunks]:
+               s_fold, s_integrate_chunks]:
         fn()
-    n = 10 - len(FAILURES)
-    print(f"\n{n}/10 stages passed" + (
+    n = 11 - len(FAILURES)
+    print(f"\n{n}/11 stages passed" + (
         f"; FAILED: {FAILURES}" if FAILURES else " — on-chip validation OK"),
         flush=True)
     sys.exit(1 if FAILURES else 0)

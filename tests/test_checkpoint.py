@@ -448,3 +448,34 @@ class TestContinuationCheckpoint:
             ebm.continuation("MIZ", st, [0.0, 0.5], par, init, vary="F",
                              tol=1e-3, max_years=60, checkpoint=ck,
                              resume=True)
+
+
+class TestResumeFuzz:
+    """Resume invariance across random configurations: an interrupted +
+    resumed equilibration must be bit-identical to an uninterrupted one
+    (tol=0 pins the year count so trajectories are comparable)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_config_resume_bit_exact(self, seed, tmp_path):
+        rng = np.random.default_rng(seed)
+        nx = int(rng.integers(8, 20))
+        nt = int(rng.integers(80, 240))
+        st = ebm.SpaceTime.sin(nx, nt, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = rng.uniform(0.4, 0.7, size=2)
+        par["A"] = float(rng.uniform(190, 200))
+        total = int(rng.integers(12, 40))
+        cut = int(rng.integers(3, total - 2))
+        ck = str(tmp_path / "eq.h5")
+        init = ebm.zeros_init(st)
+        f = ebm.Forcing(float(rng.uniform(-2, 4)))
+        full = ebm.equilibrate("MIZ", st, f, par, init, tol=0.0,
+                               max_years=total)
+        ebm.equilibrate("MIZ", st, f, par, init, tol=0.0, max_years=cut,
+                        checkpoint=ck)
+        res = ebm.equilibrate("MIZ", st, f, par, init, tol=0.0,
+                              max_years=total, checkpoint=ck, resume=True)
+        assert res.years == full.years == total
+        for k in full.state:
+            assert np.array_equal(np.asarray(res.state[k]),
+                                  np.asarray(full.state[k])), (seed, k)

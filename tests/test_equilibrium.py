@@ -986,3 +986,35 @@ class TestStabilityMesh:
                               dtype="float32", engine="fused", anderson=3)
         E2 = np.nan_to_num(np.asarray(ref.seasonal.avg["E"]))
         assert np.abs(E - E2).max() < 2.0
+
+
+class TestProductSweep:
+    """batched_parameters() product grids compose with the equilibrium
+    layer (the sweep -> equilibrate bifurcation-map workflow)."""
+
+    def test_batched_parameters_compose_with_equilibrate(self):
+        from energybalancemodel_jl_tpu.parallel.ensemble import (
+            batched_parameters,
+        )
+
+        st = ebm.SpaceTime.sin(16, 200, 1)
+        base = ebm.Collection(ebm.default_parameters("MIZ"))
+        par = batched_parameters(base, {"D": [0.55, 0.65],
+                                        "F": [0.0, 2.0]})
+        init = ebm.zeros_init(st)
+        # tol=0 pins the year count so lockstep members equal solo runs
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=0.0, max_years=20)
+        assert np.asarray(res.resid).shape == (4,)
+        solo_par = ebm.Collection(base)
+        solo_par["D"], solo_par["F"] = 0.55, 0.0
+        solo = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), solo_par,
+                               init, tol=0.0, max_years=20)
+        for k in solo.state:
+            assert np.allclose(
+                np.nan_to_num(np.asarray(res.state[k][0])),
+                np.nan_to_num(np.asarray(solo.state[k])), atol=1e-12), k
+        # stability accepts the same product Collection
+        stab = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, res.state,
+                             n_iter=5)
+        assert np.atleast_1d(stab.growth).shape == (4,)
