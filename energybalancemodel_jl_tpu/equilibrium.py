@@ -131,7 +131,7 @@ def _metric_vec(seasonal: Seasonal, metric: Tuple[str, ...]):
 
 
 def _fixed_point_fns(year, metric: Tuple[str, ...], dtype,
-                     anderson: int = 0):
+                     anderson: int = 0, check_every: int = 1):
     """Build the fixed-point convergence loop around a one-year function
     with the standard ``(carry, par, frow) -> (carry, Seasonal, conv, _)``
     signature (shared by :func:`make_year_fn` and the fused Pallas
@@ -149,9 +149,21 @@ def _fixed_point_fns(year, metric: Tuple[str, ...], dtype,
     ``anderson=m > 0`` wraps the Picard iteration in safeguarded Anderson
     acceleration of depth m (see :func:`equilibrate`); the AA buffers ride
     at the END of the loop-state tuple, so positional access to the first
-    seven slots is unchanged."""
+    seven slots is unchanged.
+
+    ``check_every=M > 1`` runs M years per while-loop iteration as one
+    inner ``lax.scan`` and evaluates the convergence metric only at block
+    boundaries: the residual becomes the metric change over M years, the
+    loop may overshoot ``y_stop`` by up to M-1 years, and ``member_years``
+    resolves to block boundaries. Measured on-chip this is throughput-
+    neutral (the year kernel dominates; see :func:`equilibrate`) — it is
+    a convergence-semantics knob. Mutually exclusive with ``anderson``
+    (the AA algebra is per-year)."""
     use_aa = int(anderson) > 0
     m_hist = int(anderson)
+    check_every = int(check_every)
+    if use_aa and check_every != 1:
+        raise ValueError("check_every > 1 does not compose with anderson")
 
     def flat(carry):
         ks = sorted(carry.keys())
@@ -268,20 +280,37 @@ def _fixed_point_fns(year, metric: Tuple[str, ...], dtype,
             return (y < y_stop) & jnp.any(resid > tol)
 
         def body(s):
-            carry, _, prev, y, _, myears, newton = s[:7]
+            carry, seasonal0, prev, y, _, myears, newton = s[:7]
             if use_aa:
                 carry, seasonal, conv, runorm, aa = aa_next(
                     carry, par, frow, s[7])
-            else:
+            elif check_every == 1:
                 carry, seasonal, conv, _ = year(carry, par, frow)
+            else:
+                # M years per while iteration as one inner scan: the
+                # seasonal rides the scan carry (overwritten each year),
+                # conv accumulates as a running min (None for models
+                # without a solver flag — a static property)
+                def scan_body(cs, _):
+                    c, _s, nw = cs
+                    c2, s2, cv, _ = year(c, par, frow)
+                    if cv is not None:
+                        nw = jnp.minimum(nw, jnp.min(cv))
+                    return (c2, s2, nw), None
+
+                (carry, seasonal, newton), _ = lax.scan(
+                    scan_body, (carry, seasonal0, newton), None,
+                    length=check_every)
+                conv = None  # already folded into newton
             cur = _metric_vec(seasonal, metric)
             resid = jnp.max(jnp.abs(cur - prev), axis=-1)
             if use_aa:
                 resid = jnp.maximum(resid, runorm)
-            myears = jnp.where((resid <= tol) & (myears == 0), y + 1, myears)
+            y = y + check_every
+            myears = jnp.where((resid <= tol) & (myears == 0), y, myears)
             if conv is not None:
                 newton = jnp.minimum(newton, jnp.min(conv))
-            out = (carry, seasonal, cur, y + 1, resid, myears, newton)
+            out = (carry, seasonal, cur, y, resid, myears, newton)
             return out + ((aa,) if use_aa else ())
 
         return lax.while_loop(cond, body, state)
@@ -291,20 +320,21 @@ def _fixed_point_fns(year, metric: Tuple[str, ...], dtype,
 
 @functools.lru_cache(maxsize=32)
 def _loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-              metric: Tuple[str, ...], anderson: int = 0):
+              metric: Tuple[str, ...], anderson: int = 0,
+              check_every: int = 1):
     """Jitted (init, chunk) pair for the XLA-graph engine; the year function
     comes from the shared :func:`make_year_fn` cache (same graph
     ``integrate`` runs — equilibria reproduce under the standard driver)."""
     year = make_year_fn(model_name, st, cfg, dtype_name, False)
     init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name),
-                                   anderson)
+                                   anderson, check_every)
     return jax.jit(init), jax.jit(chunk)
 
 
 @functools.lru_cache(maxsize=32)
 def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                     metric: Tuple[str, ...], interpret: bool, single: bool,
-                    anderson: int = 0):
+                    anderson: int = 0, check_every: int = 1):
     """Jitted (init, chunk) pair with the fused whole-year Pallas kernel as
     the year map (ops/pallas_year.py): each loop iteration is ONE kernel
     launch that runs the entire nt-step year in VMEM — the throughput
@@ -324,7 +354,7 @@ def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
         return carry, seasonal, conv, None
 
     init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name),
-                                   anderson)
+                                   anderson, check_every)
     if single:
         base_init = init
 
@@ -340,7 +370,7 @@ def _fused_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
 @functools.lru_cache(maxsize=16)
 def _mesh_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                    metric: Tuple[str, ...], mesh, par_key: Tuple,
-                   anderson: int = 0):
+                   anderson: int = 0, check_every: int = 1):
     """Jitted (init, chunk) pair with the SHARD-MAPPED fused year kernel as
     the year map (parallel.sharding.shard_map_fused_year_fn): each chip
     equilibrates its local ensemble shard — pure DP, zero collectives per
@@ -363,7 +393,7 @@ def _mesh_loop_fns(model_name: str, st: SpaceTime, cfg, dtype_name: str,
         return carry, seasonal, conv, None
 
     init, chunk = _fixed_point_fns(year, metric, jnp.dtype(dtype_name),
-                                   anderson)
+                                   anderson, check_every)
     return jax.jit(init), jax.jit(chunk)
 
 
@@ -556,6 +586,7 @@ def equilibrate(
     years_per_dispatch: Optional[int] = None,
     mesh=None,
     anderson: int = 0,
+    check_every: int = 1,
     progress: bool = False,
     checkpoint: Optional[str] = None,
     checkpoint_every: int = 1,
@@ -638,6 +669,24 @@ def equilibrate(
     AA hit max_years on the same K=8 forcing sweep). Reach for
     ``anderson`` on f64 precision runs, not as a default accelerator.
 
+    ``check_every=M`` evaluates convergence only every M simulated years:
+    each while-loop iteration runs M years as one inner ``lax.scan``
+    and skips M-1 of every M metric/predicate evaluations. Measured on
+    the tunneled chip (K=8192, fused engine) the throughput difference
+    vs ``check_every=1`` is within timing noise (<3% — the year kernel
+    dominates; window-to-window device variance is larger), so treat
+    this as a SEMANTIC knob, not an accelerator: the residual becomes
+    the metric change ACROSS an M-year block (a coarser, usually
+    stricter year-over-year proxy), ``years``/``member_years`` resolve
+    to block boundaries, and the run can overshoot convergence by up to
+    M-1 years. Default 1 preserves exact per-year semantics. Not
+    combinable with ``anderson``. Trajectories: the fused engine is
+    BITWISE-invariant to ``check_every`` (each year is one opaque
+    kernel call, so the composition cannot re-fuse); the XLA engine
+    recompiles the block as one scan and differs at FMA-contraction
+    rounding (measured ~1e-13 over 13 f64 years — the same class of
+    difference the golden-fixture notes document).
+
     ``progress=True`` draws the package's throttled progress bar, one tick
     per dispatch chunk (simulated years against ``max_years``, residual on
     the info line) — feedback for long equilibrations without touching the
@@ -683,6 +732,12 @@ def equilibrate(
     anderson = int(anderson)
     if int(checkpoint_every) < 1:
         raise ValueError("checkpoint_every must be >= 1")
+    check_every = int(check_every)
+    if check_every < 1:
+        raise ValueError("check_every must be >= 1")
+    if anderson > 0 and check_every != 1:
+        raise ValueError("check_every > 1 does not compose with anderson "
+                         "(the acceleration algebra is per-year)")
     if dtype is None:
         dtype = default_dtype()
     dtype = jnp.dtype(dtype)
@@ -793,12 +848,12 @@ def equilibrate(
             ))
             init_fn, chunk_fn = _mesh_loop_fns(
                 spec.name, st, cfg, dtype.name, metric, mesh, par_key,
-                anderson,
+                anderson, check_every,
             )
         else:
             init_fn, chunk_fn = _fused_loop_fns(
                 spec.name, st, cfg, dtype.name, metric, default_interpret(),
-                not ensemble, anderson,
+                not ensemble, anderson, check_every,
             )
     else:
         if ensemble:
@@ -813,7 +868,7 @@ def equilibrate(
             # (K, nx) state
             frow = frow[:, None, None] + np.asarray(F_off)[None, :, None]
         init_fn, chunk_fn = _loop_fns(spec.name, st, cfg, dtype.name, metric,
-                                      anderson)
+                                      anderson, check_every)
 
     adaptive = years_per_dispatch is None
     chunk_years = _CHUNK_START if adaptive else int(years_per_dispatch)
@@ -830,7 +885,7 @@ def equilibrate(
         from . import checkpoint as ckpt_mod
 
         extras = (f"engine={engine}", f"metric={','.join(metric)}",
-                  f"aa={anderson}")
+                  f"aa={anderson}", f"ce={check_every}")
         if mesh is not None:
             extras += (f"mesh={int(mesh.size)}",)
         ckpt_key = ckpt_mod.config_key(

@@ -1018,3 +1018,59 @@ class TestProductSweep:
         stab = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, res.state,
                              n_iter=5)
         assert np.atleast_1d(stab.growth).shape == (4,)
+
+
+class TestCheckEvery:
+    """check_every=M: M-year blocks per while-loop iteration (an inner
+    lax.scan), convergence read at block boundaries."""
+
+    ST = None
+
+    @staticmethod
+    def _cfg():
+        st = ebm.SpaceTime.sin(16, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        return st, par, ebm.zeros_init(st)
+
+    def test_fused_blocks_are_bitwise_invariant(self):
+        st, par, init = self._cfg()
+        kw = dict(tol=0.0, max_years=13, dtype="float32", engine="fused")
+        a = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init, **kw)
+        b = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                            check_every=4, **kw)
+        assert a.years == b.years == 13
+        for k in a.state:
+            assert np.array_equal(np.asarray(a.state[k]),
+                                  np.asarray(b.state[k])), k
+
+    def test_xla_blocks_agree_to_rounding(self):
+        # the XLA engine re-fuses the M-year block as one scan; FMA
+        # contraction choices differ from the per-year loop body at
+        # ~1e-13 over 13 f64 years (golden-fixture sensitivity class)
+        st, par, init = self._cfg()
+        a = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                            tol=0.0, max_years=13)
+        b = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                            tol=0.0, max_years=13, check_every=4)
+        for k in a.state:
+            assert np.allclose(np.asarray(a.state[k]),
+                               np.asarray(b.state[k]),
+                               rtol=0, atol=1e-9), k
+
+    def test_convergence_resolves_to_block_boundaries(self):
+        st, par, init = self._cfg()
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              tol=1e-3, max_years=100, check_every=5)
+        assert res.years % 5 == 1  # init year + whole blocks
+        my = np.asarray(res.member_years)
+        assert np.all((my == 0) | (my % 5 == 1)), my
+
+    def test_validation(self):
+        st, par, init = self._cfg()
+        with pytest.raises(ValueError, match="check_every"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                            check_every=0)
+        with pytest.raises(ValueError, match="anderson"):
+            ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                            check_every=4, anderson=3)
