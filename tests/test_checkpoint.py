@@ -368,6 +368,31 @@ class TestEquilibrateCheckpoint:
             np.asarray(res.seasonal.avg["E"]))).all()
         assert res.member_years is None
 
+    def test_mesh_resume_is_bit_exact(self, tmp_path):
+        # a resume must land back on the sharded loop identically: the
+        # spliced host state is resharded by the jitted chunk_fn
+        from energybalancemodel_jl_tpu.parallel.sharding import (
+            ensemble_mesh,
+        )
+
+        ck = str(tmp_path / "eq.ckpt.h5")
+        st = ebm.SpaceTime.sin(16, 100, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.linspace(0.0, 4.0, 8)
+        init = ebm.zeros_init(st)
+        kw = dict(tol=0.0, dtype="float32", mesh=ensemble_mesh(8))
+        full = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                               max_years=6, **kw)
+        ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                        max_years=3, checkpoint=ck, **kw)
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par, init,
+                              max_years=6, checkpoint=ck, resume=True,
+                              **kw)
+        assert res.years == full.years == 6
+        for k in full.state:
+            assert np.array_equal(np.asarray(res.state[k]),
+                                  np.asarray(full.state[k])), k
+
     def test_resume_needs_checkpoint_path(self):
         st, par, init = self._cfg()
         with pytest.raises(ValueError, match="checkpoint"):

@@ -88,6 +88,21 @@ class TestFold:
                        steps=6, tol=0.5, max_years=150)
         assert res.values[0] < -3.0, res
 
+    def test_vary_par_key_with_reversed_bracket(self):
+        # bisect the OLR constant A upward from a warm anchor: the branch
+        # survives at the LOW end, so hi < lo — the bisection only
+        # assumes "survives at hi" (ground truth: warm at A=193,
+        # snowball by A=210 at this config)
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        par["F"] = 10.0
+        E0 = np.full(ST.nx, 40.0)
+        init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+        res = ebm.fold("Classic", ST, par, init, lo=280.0, hi=193.0,
+                       vary="A", steps=4, tol=0.5, max_years=150)
+        assert res.vary == "A"
+        assert res.hi[0] < res.lo[0]  # reversed bracket preserved
+        assert 193.0 < res.values[0] < 230.0, res
+
     def test_default_classifier_requires_lo_probe(self):
         par, init = _init()
         with pytest.raises(ValueError, match="check_lo"):
