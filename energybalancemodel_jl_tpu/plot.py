@@ -351,6 +351,7 @@ def plot_continuation(
     members=None,
     title: Optional[str] = None,
     ylabel: Optional[str] = None,
+    stability=None,
 ):
     """Bifurcation/hysteresis diagram from an
     :func:`~energybalancemodel_jl_tpu.continuation` result: the equilibrated
@@ -362,7 +363,13 @@ def plot_continuation(
     did not converge are marked with a black 'x'.
 
     Ensemble continuations (``(K,)`` par leaves) overlay every member's
-    legs; ``members`` selects a subset of member indices. Reference analog:
+    legs; ``members`` selects a subset of member indices. ``stability``
+    takes one entry per level — a
+    :class:`~energybalancemodel_jl_tpu.StabilityResult` from
+    ``cont.stability(...)`` or a plain ``|lambda|`` float — and marks
+    non-attracting levels (leading ``|lambda| > 1.02``) with an open
+    triangle on the lead curve: folds announce themselves as markers
+    appearing along a branch. Reference analog:
     the plot_seasonal hysteresis workflow
     (/root/reference/src/plot.jl:173-225) — drawn from equilibria instead
     of ramp snapshots."""
@@ -415,6 +422,24 @@ def plot_continuation(
                     linestyle="none", marker="x", color="black",
                     markersize=7,
                     label="not converged" if j == 0 else None)
+    if stability is not None:
+        if len(stability) != len(cont.results):
+            raise ValueError(
+                f"stability needs one entry per level "
+                f"({len(cont.results)}), got {len(stability)}")
+        lead = np.asarray([
+            float(np.max(np.atleast_1d(getattr(s, "growth", s))))
+            for s in stability
+        ])
+        unstable = lead > 1.02
+        if unstable.any():
+            for j, c in enumerate(cols):
+                ax.plot(vals[unstable],
+                        y0[unstable] if c is None else y0[unstable, c],
+                        linestyle="none", marker="^", markersize=9,
+                        markerfacecolor="none", markeredgecolor="black",
+                        label=(r"non-attracting ($|\lambda| > 1$)"
+                               if j == 0 else None))
     if ax.get_legend_handles_labels()[1]:
         ax.legend()
     return fig

@@ -82,7 +82,8 @@ def main():
     for F, r in zip(cont.values, path):
         print(f"{F:+6.1f}  {r.growth:20.6f}")
     print("growth rising toward 1 along a branch signals an approaching "
-          "fold")
+          "fold; ebm.plot_continuation(cont, stability=path) marks any "
+          "non-attracting level on the hysteresis diagram")
 
 
 if __name__ == "__main__":

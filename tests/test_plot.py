@@ -234,6 +234,22 @@ class TestPlotContinuation:
         labels = [ln.get_label() for ln in fig.axes[0].lines]
         assert "not converged" in labels
 
+    def test_stability_overlay_marks_nonattracting(self, cont_result):
+        # plain floats stand in for StabilityResult entries (the overlay
+        # reads .growth when present, the value otherwise)
+        lead = [0.97] * len(cont_result.results)
+        lead[1] = 1.5  # one non-attracting level
+        fig = ebm.plot_continuation(cont_result, stability=lead)
+        labels = [ln.get_label() for ln in fig.axes[0].lines]
+        assert any("non-attracting" in lb for lb in labels)
+        # all-stable overlay draws nothing extra
+        fig2 = ebm.plot_continuation(
+            cont_result, stability=[0.9] * len(cont_result.results))
+        assert not any("non-attracting" in ln.get_label()
+                       for ln in fig2.axes[0].lines)
+        with pytest.raises(ValueError, match="one entry per level"):
+            ebm.plot_continuation(cont_result, stability=[1.0])
+
     def test_ensemble_overlay_and_members(self):
         st = ebm.SpaceTime.sin(16, 150, 1)
         par = ebm.Collection(ebm.default_parameters("MIZ"))
