@@ -63,6 +63,7 @@ from .equilibrium import (ContinuationResult, EquilibriumResult,  # noqa: E402
                           StabilityResult, continuation, equilibrate,
                           stability)
 from .fold import FoldResult, fold  # noqa: E402
+from .sensitivity import SensitivityResult, sensitivity  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
@@ -119,6 +120,8 @@ __all__ = [
     "EquilibriumResult",
     "fold",
     "FoldResult",
+    "sensitivity",
+    "SensitivityResult",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,202 @@
+"""Equilibrium parameter sensitivities: one reverse pass ranks every knob.
+
+No reference analog — the reference probes "what moves the ice edge" by
+hand-rerunning sweeps. Here the equilibrium seasonal state is a
+differentiable function of the parameters
+(:func:`~energybalancemodel_jl_tpu.equilibrium.make_equilibrium_seasonal_fn`,
+the implicit-function-theorem adjoint through the year-map fixed point),
+so the derivative of a scalar climate diagnostic with respect to EVERY
+parameter — all ~22 of them at once — costs one reverse pass, not 22
+rerun sweeps. :class:`SensitivityResult` reports raw gradients and
+ELASTICITIES (``p * dg/dp`` — the objective change per fractional
+parameter change, comparable across parameters of different units), with
+``.top()`` ranking the influential knobs.
+
+Caveats inherited from the adjoint (see ``make_equilibrium_seasonal_fn``):
+the MIZ year map carries exact neutral frozen-cell modes, so leaves whose
+true equilibrium sensitivity diverges (the constant forcing level is one)
+return their best TRUNCATED value — finite, descent-useful, and flagged
+by validating against finite differences where it matters. Float64 is
+strongly recommended (the cotangent iteration composes many reverse
+years).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .forcing import Forcing
+from .integrate import default_dtype
+from .models.base import default_step_config, get_model
+from .spacetime import SpaceTime
+from .utils.collection import Collection
+from .utils.numerics import hemispheric_mean
+
+__all__ = ["sensitivity", "SensitivityResult"]
+
+
+@dataclasses.dataclass
+class SensitivityResult:
+    """Result of :func:`sensitivity`.
+
+    ``value`` is the objective at the equilibrium; ``grads`` maps each
+    parameter name to ``dg/dp`` (and ``"F"`` to the constant-forcing
+    sensitivity, the summed forcing-row cotangent). ``elasticity(name)``
+    is ``p * dg/dp`` — the objective change per fractional parameter
+    change (zero-valued parameters fall back to the raw gradient);
+    ``top(n)`` ranks parameters by its magnitude. Caveat: elasticities
+    compare FRACTIONAL changes, which is misleading for offset-scaled
+    parameters — ``Tm`` (a melting point in Kelvin) tops every ranking
+    because "1% of 273 K" is a physically enormous perturbation; read
+    the raw gradient for such parameters.
+    """
+
+    of: str
+    value: float
+    grads: Collection
+    par: Collection
+
+    def elasticity(self, name: str) -> float:
+        g = float(self.grads[name])
+        p = float(np.asarray(self.par[name])) if name in self.par else 0.0
+        return g * p if p != 0.0 else g
+
+    def top(self, n: int = 10):
+        """The ``n`` most influential parameters as
+        ``(name, dg/dp, elasticity)``, by descending ``|elasticity|``."""
+        rows = [(k, float(self.grads[k]), self.elasticity(k))
+                for k in self.grads]
+        rows.sort(key=lambda r: -abs(r[2]))
+        return rows[:n]
+
+    def __repr__(self):
+        lead = ", ".join(f"{k}: {e:+.3g}" for k, _, e in self.top(3))
+        return (f"SensitivityResult({self.of} = {self.value:.6g}; "
+                f"top elasticities {lead})")
+
+
+def sensitivity(
+    model: str,
+    st: SpaceTime,
+    forcing: Union[Forcing, float],
+    par: Collection,
+    init: Collection,
+    of: str = "ice_area",
+    var: Optional[str] = None,
+    season: str = "avg",
+    wrt: Optional[Sequence[str]] = None,
+    tol: float = 1e-9,
+    max_years: int = 500,
+    dtype=None,
+    newton_max_iter: int = 30,
+) -> SensitivityResult:
+    """Differentiate a scalar equilibrium diagnostic w.r.t. every parameter.
+
+    ``of`` selects the objective, evaluated on the equilibrium's
+    ``season`` store:
+
+    * ``"ice_area"`` (default): ``2 pi <phi>`` — MIZ only (the classic
+      model's ice indicator ``E < 0`` has zero gradient almost
+      everywhere; ask for a smooth diagnostic there instead);
+    * ``"mean"``: hemispheric mean of ``var`` (any solution variable,
+      presentation NaNs contribute zero — both models).
+
+    ``wrt`` restricts the differentiated names (default: every ``par``
+    key plus the constant forcing level ``"F"``). The fixed point is
+    solved to ``tol`` within ``max_years`` INSIDE one jitted dispatch
+    (remote-TPU watchdog caveat in ``make_equilibrium_seasonal_fn`` —
+    keep configs calibration-sized there, or run on CPU); the gradient
+    is the IFT adjoint, never an unroll. Single-run only: sweep
+    ensembles by vmapping externally or calling per member.
+
+    Returns a :class:`SensitivityResult`; reference-free capability
+    (the reference reruns sweeps per parameter by hand).
+    """
+    spec = get_model(model)
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError("sensitivity needs constant forcing (equilibria "
+                         "do not exist under a ramp)")
+    if dtype is None:
+        dtype = default_dtype()
+    dtype = jnp.dtype(dtype)
+    if dtype != jnp.float64:
+        import warnings
+
+        warnings.warn(
+            "sensitivity at float32: the adjoint composes many reverse "
+            "years and frozen-cell lanes carry spurious f32 gain "
+            "(stability docstring) — float64 strongly recommended."
+        )
+
+    par = Collection(par)
+    for k, v in par.items():
+        if np.ndim(v) > 0:
+            raise ValueError(
+                f"par[{k!r}] is member-swept — sensitivity is single-run "
+                "(vmap externally for ensembles)")
+    F_extra = float(par.pop("F", 0.0))
+    if F_extra:
+        forcing = Forcing(float(forcing.base) + F_extra)
+
+    if of == "ice_area":
+        if "phi" not in spec.solution_vars:
+            raise ValueError(
+                "of='ice_area' needs the MIZ phi field; the classic ice "
+                "indicator (E < 0) has zero gradient a.e. — use "
+                "of='mean' with var='T' or var='E'")
+
+        def objective(coll):
+            return 2.0 * jnp.pi * hemispheric_mean(
+                jnp.nan_to_num(coll["phi"]), jnp.asarray(st.x, dtype))
+    elif of == "mean":
+        if var is None or var not in spec.solution_vars:
+            raise ValueError(
+                f"of='mean' needs var= one of {sorted(spec.solution_vars)}")
+
+        def objective(coll):
+            x = jnp.asarray(st.x, dtype)
+            return hemispheric_mean(jnp.nan_to_num(coll[var]), x) / (
+                x[-1] - x[0])
+    else:
+        raise ValueError(f"unknown objective {of!r}; 'ice_area' or 'mean'")
+
+    from .equilibrium import make_equilibrium_seasonal_fn
+
+    cfg = default_step_config(dtype.name, newton_max_iter=newton_max_iter)
+    eq_fn = make_equilibrium_seasonal_fn(
+        model, st, cfg, dtype.name, tol=float(tol),
+        max_years=int(max_years),
+    )
+    par_j = Collection({k: jnp.asarray(v, dtype) for k, v in par.items()})
+    frow = jnp.asarray(forcing.table(st)[0], dtype)
+    carry0 = spec.init_carry(init, st, dtype)
+
+    def g(p, f):
+        s = eq_fn(p, f, carry0)
+        return objective(getattr(s, season))
+
+    value, (pbar, fbar) = jax.value_and_grad(g, argnums=(0, 1))(par_j, frow)
+    grads = {k: float(np.asarray(v)) for k, v in pbar.items()}
+    # constant forcing enters every step additively, so dg/dF is the
+    # summed forcing-row cotangent (truncated where the neutral frozen
+    # modes make the true value diverge — module docstring)
+    grads["F"] = float(np.asarray(fbar).sum())
+    if wrt is not None:
+        unknown = [k for k in wrt if k not in grads]
+        if unknown:
+            raise ValueError(f"wrt names {unknown} not in {sorted(grads)}")
+        grads = {k: grads[k] for k in wrt}
+    rep_par = Collection(par)
+    rep_par["F"] = float(forcing.base)
+    return SensitivityResult(
+        of=of if of == "ice_area" else f"mean({var})",
+        value=float(np.asarray(value)),
+        grads=Collection(grads),
+        par=rep_par,
+    )

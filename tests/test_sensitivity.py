@@ -1,0 +1,116 @@
+"""ebm.sensitivity: equilibrium parameter sensitivities in one reverse
+pass (IFT adjoint through the year-map fixed point). FD-validated; no
+reference analog (the reference reruns sweeps per parameter by hand)."""
+import numpy as np
+import pytest
+
+import energybalancemodel_jl_tpu as ebm
+
+ST = ebm.SpaceTime.sin(12, 100, 1)
+KW = dict(tol=1e-9, max_years=400)
+
+
+def _cfg():
+    return (ebm.Collection(ebm.default_parameters("MIZ")),
+            ebm.zeros_init(ST))
+
+
+@pytest.fixture(scope="module")
+def result():
+    par, init = _cfg()
+    return ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init, **KW)
+
+
+class TestSensitivity:
+    def test_gradient_matches_finite_difference(self, result):
+        from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+
+        par, init = _cfg()
+
+        def area_at(A):
+            p = ebm.Collection(par)
+            p["A"] = A
+            eq = ebm.equilibrate("MIZ", ST, ebm.Forcing(0.0), p, init,
+                                 tol=1e-9, max_years=400)
+            return float(seasonal_ice_area(eq.seasonal.avg, ST))
+
+        A0, eps = float(par["A"]), 1e-4
+        fd = (area_at(A0 + eps) - area_at(A0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(result.grads["A"], fd, rtol=5e-3)
+
+    def test_every_parameter_and_forcing_reported(self, result):
+        par, _ = _cfg()
+        for k in par:
+            assert k in result.grads, k
+            assert np.isfinite(result.grads[k]), k
+        assert "F" in result.grads and np.isfinite(result.grads["F"])
+
+    def test_top_ranks_by_elasticity(self, result):
+        rows = result.top(5)
+        mags = [abs(e) for _, _, e in rows]
+        assert mags == sorted(mags, reverse=True)
+        assert "SensitivityResult" in repr(result)
+        assert np.isfinite(result.value) and result.value > 0
+
+    def test_wrt_subset(self):
+        par, init = _cfg()
+        res = ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
+                              wrt=("A", "D", "F"), **KW)
+        assert sorted(res.grads) == ["A", "D", "F"]
+
+    def test_mean_objective(self):
+        par, init = _cfg()
+        res = ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
+                              of="mean", var="E", **KW)
+        assert res.of == "mean(E)"
+        assert np.isfinite(res.value)
+        assert np.isfinite(res.grads["A"])
+        # warming forcing raises mean enthalpy: dg/dF > 0
+        assert res.grads["F"] > 0
+
+    def test_scalar_F_in_par_folds_into_forcing(self):
+        par, init = _cfg()
+        par["F"] = 1.0
+        res = ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init, **KW)
+        base = ebm.sensitivity("MIZ", ST, ebm.Forcing(1.0), _cfg()[0],
+                               init, **KW)
+        np.testing.assert_allclose(res.value, base.value, rtol=1e-10)
+
+
+class TestSensitivityValidation:
+    def test_ramp_forcing_rejected(self):
+        par, init = _cfg()
+        ramp = ebm.Forcing(0.0, 5.0, -5.0, (10, 10), (0.5, -0.5))
+        with pytest.raises(ValueError, match="constant"):
+            ebm.sensitivity("MIZ", ST, ramp, par, init)
+
+    def test_member_swept_par_rejected(self):
+        par, init = _cfg()
+        par["D"] = np.array([0.5, 0.6])
+        with pytest.raises(ValueError, match="single-run"):
+            ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init)
+
+    def test_classic_ice_area_rejected(self):
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        E0 = np.full(ST.nx, 40.0)
+        init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+        with pytest.raises(ValueError, match="zero gradient"):
+            ebm.sensitivity("Classic", ST, ebm.Forcing(2.0), par, init)
+
+    def test_mean_needs_known_var(self):
+        par, init = _cfg()
+        with pytest.raises(ValueError, match="var="):
+            ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
+                            of="mean")
+
+    def test_unknown_objective(self):
+        par, init = _cfg()
+        with pytest.raises(ValueError, match="unknown objective"):
+            ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
+                            of="nope")
+
+    def test_unknown_wrt(self):
+        par, init = _cfg()
+        with pytest.raises(ValueError, match="wrt"):
+            ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
+                            wrt=("nope",), **KW)
