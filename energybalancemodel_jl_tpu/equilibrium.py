@@ -744,11 +744,12 @@ def equilibrate(
 
     par = Collection(par)
     # batched_parameters() product grids mark their member count; honor it
-    # so sweep-style par Collections compose with the equilibrium layer
+    # so sweep-style par Collections compose with the equilibrium layer —
+    # __K__ wins over n_members, the same precedence ensemble_integrate
+    # and grid2d use
     K_hint = par.pop("__K__", None)
     par_for_key = Collection(par)  # pre-F-pop snapshot for the resume key
-    K = n_members if n_members is not None else (
-        int(K_hint) if K_hint is not None else None)
+    K = int(K_hint) if K_hint is not None else n_members
     if K is None:
         sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
         sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
@@ -1010,9 +1011,11 @@ def equilibrate(
     if ckpt_key is not None and y > last_ckpt:
         _write_ckpt(y)  # final state (resume of a finished run returns it)
     carry, seasonal, _, years, resid, myears, newton = state[:7]
-    if prog is not None and prog.current < prog.total:
-        # close the bar at the ACTUAL simulated years (early convergence
-        # must not render max_years/max_years with an inflated rate)
+    if prog is not None:
+        # close the bar at the ACTUAL simulated years: early convergence
+        # must not render max_years/max_years with an inflated rate, and
+        # a check_every overshoot (y up to M-1 past max_years) must not
+        # leave it permanently open (updates past total are dropped)
         prog.total = max(int(y), 1)
         prog.update(prog.total, feedargs=(resid_h,))
     if anderson > 0:

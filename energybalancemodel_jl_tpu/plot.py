@@ -367,9 +367,9 @@ def plot_continuation(
     takes one entry per level — a
     :class:`~energybalancemodel_jl_tpu.StabilityResult` from
     ``cont.stability(...)`` or a plain ``|lambda|`` float — and marks
-    non-attracting levels (leading ``|lambda| > 1.02``) with an open
-    triangle on the lead curve: folds announce themselves as markers
-    appearing along a branch. Reference analog:
+    non-attracting levels (leading ``|lambda| > 1.02``, or a non-finite
+    growth — a diverged level) with an open triangle on the lead curve:
+    folds announce themselves as markers appearing along a branch. Reference analog:
     the plot_seasonal hysteresis workflow
     (/root/reference/src/plot.jl:173-225) — drawn from equilibria instead
     of ramp snapshots."""
@@ -427,11 +427,13 @@ def plot_continuation(
             raise ValueError(
                 f"stability needs one entry per level "
                 f"({len(cont.results)}), got {len(stability)}")
-        lead = np.asarray([
+        lead_growth = np.asarray([
             float(np.max(np.atleast_1d(getattr(s, "growth", s))))
             for s in stability
         ])
-        unstable = lead > 1.02
+        # non-finite growth (a diverged level) is the strongest reason to
+        # flag — treat it as non-attracting, never as silently stable
+        unstable = ~np.isfinite(lead_growth) | (lead_growth > 1.02)
         if unstable.any():
             for j, c in enumerate(cols):
                 ax.plot(vals[unstable],

@@ -135,6 +135,7 @@ def sensitivity(
         )
 
     par = Collection(par)
+    par.pop("__K__", None)  # batched_parameters() marker, not a parameter
     for k, v in par.items():
         if np.ndim(v) > 0:
             raise ValueError(

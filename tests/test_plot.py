@@ -242,6 +242,13 @@ class TestPlotContinuation:
         fig = ebm.plot_continuation(cont_result, stability=lead)
         labels = [ln.get_label() for ln in fig.axes[0].lines]
         assert any("non-attracting" in lb for lb in labels)
+        # a NaN growth (diverged level) must be flagged, never read as
+        # silently stable (review r6)
+        nanlead = [0.97] * len(cont_result.results)
+        nanlead[0] = float("nan")
+        fign = ebm.plot_continuation(cont_result, stability=nanlead)
+        assert any("non-attracting" in ln.get_label()
+                   for ln in fign.axes[0].lines)
         # all-stable overlay draws nothing extra
         fig2 = ebm.plot_continuation(
             cont_result, stability=[0.9] * len(cont_result.results))
