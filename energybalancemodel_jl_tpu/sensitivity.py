@@ -56,27 +56,38 @@ class SensitivityResult:
     """
 
     of: str
-    value: float
+    value: Union[float, np.ndarray]  # scalar, or (K,) for ensembles
     grads: Collection
     par: Collection
 
-    def elasticity(self, name: str) -> float:
-        g = float(self.grads[name])
-        p = float(np.asarray(self.par[name])) if name in self.par else 0.0
-        return g * p if p != 0.0 else g
+    def elasticity(self, name: str):
+        """``p * dg/dp`` (raw gradient where p == 0); scalar for single
+        runs, ``(K,)`` for ensembles."""
+        g = np.asarray(self.grads[name], dtype=np.float64)
+        p = (np.asarray(self.par[name], dtype=np.float64)
+             if name in self.par else np.zeros(()))
+        e = np.where(p != 0.0, g * p, g)
+        return float(e) if e.ndim == 0 else e
 
     def top(self, n: int = 10):
         """The ``n`` most influential parameters as
-        ``(name, dg/dp, elasticity)``, by descending ``|elasticity|``."""
-        rows = [(k, float(self.grads[k]), self.elasticity(k))
+        ``(name, dg/dp, elasticity)``, by descending ``|elasticity|``
+        (ensembles rank by the worst member)."""
+        rows = [(k, self.grads[k], self.elasticity(k))
                 for k in self.grads]
-        rows.sort(key=lambda r: -abs(r[2]))
+        rows.sort(key=lambda r: -float(np.max(np.abs(r[2]))))
         return rows[:n]
 
     def __repr__(self):
-        lead = ", ".join(f"{k}: {e:+.3g}" for k, _, e in self.top(3))
-        return (f"SensitivityResult({self.of} = {self.value:.6g}; "
-                f"top elasticities {lead})")
+        def mag(e):
+            return float(np.max(np.abs(np.atleast_1d(e))))
+
+        lead = ", ".join(f"{k}: {mag(e):.3g}" for k, _, e in self.top(3))
+        v = np.atleast_1d(np.asarray(self.value, dtype=np.float64))
+        val = (f"{float(v[0]):.6g}" if v.size == 1
+               else f"{v.size} members, mean {float(v.mean()):.6g}")
+        return (f"SensitivityResult({self.of} = {val}; "
+                f"top |elasticities| {lead})")
 
 
 def sensitivity(
@@ -109,9 +120,17 @@ def sensitivity(
     key plus the constant forcing level ``"F"``). The fixed point is
     solved to ``tol`` within ``max_years`` INSIDE one jitted dispatch
     (remote-TPU watchdog caveat in ``make_equilibrium_seasonal_fn`` —
-    keep configs calibration-sized there, or run on CPU); the gradient
-    is the IFT adjoint, never an unroll. Single-run only: sweep
-    ensembles by vmapping externally or calling per member.
+    keep configs calibration-sized there, or run on CPU; ensemble
+    members multiply the device time of that dispatch); the gradient is
+    the IFT adjoint, never an unroll.
+
+    ``par`` leaves of shape ``(K,)`` — including the virtual forcing
+    key ``"F"`` — make the run a lockstep ENSEMBLE: the solves and
+    adjoints vmap over members, every gradient comes back ``(K,)``, and
+    ``top()`` ranks by the worst member — e.g. sweep ``"F"`` toward a
+    fold and watch the sensitivities blow up as the branch loses
+    stability. ``init`` may be shared ``(nx,)`` or per-member
+    ``(K, nx)`` (a previous ensemble equilibrate's ``.state``).
 
     Returns a :class:`SensitivityResult`; reference-free capability
     (the reference reruns sweeps per parameter by hand).
@@ -136,14 +155,15 @@ def sensitivity(
 
     par = Collection(par)
     par.pop("__K__", None)  # batched_parameters() marker, not a parameter
-    for k, v in par.items():
-        if np.ndim(v) > 0:
-            raise ValueError(
-                f"par[{k!r}] is member-swept — sensitivity is single-run "
-                "(vmap externally for ensembles)")
-    F_extra = float(par.pop("F", 0.0))
-    if F_extra:
-        forcing = Forcing(float(forcing.base) + F_extra)
+    sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
+    sizes |= {np.shape(v)[0] for v in init.values() if np.ndim(v) > 1}
+    if len(sizes) > 1:
+        raise ValueError(f"inconsistent ensemble sizes {sorted(sizes)}")
+    K = sizes.pop() if sizes else None
+    F_off = par.pop("F", None)
+    if F_off is not None and np.ndim(F_off) == 0 and K is None:
+        forcing = Forcing(float(forcing.base) + float(F_off))
+        F_off = None
 
     if of == "ice_area":
         if "phi" not in spec.solution_vars:
@@ -174,30 +194,58 @@ def sensitivity(
         model, st, cfg, dtype.name, tol=float(tol),
         max_years=int(max_years),
     )
-    par_j = Collection({k: jnp.asarray(v, dtype) for k, v in par.items()})
     frow = jnp.asarray(forcing.table(st)[0], dtype)
     carry0 = spec.init_carry(init, st, dtype)
 
-    def g(p, f):
-        s = eq_fn(p, f, carry0)
+    def g(p, f, c):
+        s = eq_fn(p, f, c)
         return objective(getattr(s, season))
 
-    value, (pbar, fbar) = jax.value_and_grad(g, argnums=(0, 1))(par_j, frow)
-    grads = {k: float(np.asarray(v)) for k, v in pbar.items()}
+    vg = jax.value_and_grad(g, argnums=(0, 1))
+    if K is None:
+        par_j = Collection({k: jnp.asarray(v, dtype)
+                            for k, v in par.items()})
+        value, (pbar, fbar) = vg(par_j, frow, carry0)
+        fgrad = np.asarray(fbar).sum()
+    else:
+        # lockstep ensemble: every par leaf broadcast to (K,), per-member
+        # forcing rows carry the virtual "F" offsets, solves and adjoints
+        # vmapped over members (carry leaves map on axis 0 only when
+        # per-member)
+        par_j = Collection({
+            k: jnp.broadcast_to(jnp.asarray(v, dtype), (int(K),))
+            for k, v in par.items()
+        })
+        frow_b = jnp.broadcast_to(frow, (int(K), st.nt))
+        if F_off is not None:
+            frow_b = frow_b + jnp.asarray(
+                np.broadcast_to(np.asarray(F_off, np.float64), (int(K),)),
+                dtype)[:, None]
+        c_axes = Collection({
+            k: (0 if jnp.ndim(v) > 1 else None) for k, v in carry0.items()
+        })
+        value, (pbar, fbar) = jax.vmap(vg, in_axes=(0, 0, c_axes))(
+            par_j, frow_b, carry0)
+        fgrad = np.asarray(fbar).sum(axis=-1)
+    grads = {k: np.asarray(v) for k, v in pbar.items()}
     # constant forcing enters every step additively, so dg/dF is the
     # summed forcing-row cotangent (truncated where the neutral frozen
     # modes make the true value diverge — module docstring)
-    grads["F"] = float(np.asarray(fbar).sum())
+    grads["F"] = fgrad
+    grads = {k: (float(v) if np.ndim(v) == 0 else v)
+             for k, v in grads.items()}
     if wrt is not None:
         unknown = [k for k in wrt if k not in grads]
         if unknown:
             raise ValueError(f"wrt names {unknown} not in {sorted(grads)}")
         grads = {k: grads[k] for k in wrt}
     rep_par = Collection(par)
-    rep_par["F"] = float(forcing.base)
+    rep_par["F"] = (float(forcing.base) if F_off is None
+                    else float(forcing.base) + np.asarray(F_off, np.float64))
+    value = np.asarray(value)
     return SensitivityResult(
         of=of if of == "ice_area" else f"mean({var})",
-        value=float(np.asarray(value)),
+        value=float(value) if value.ndim == 0 else value,
         grads=Collection(grads),
         par=rep_par,
     )

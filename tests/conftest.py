@@ -39,6 +39,20 @@ def _reset_jax_compile_state():
     jax.clear_caches()
 
 
+_TEST_COUNT = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    # third half: the suite has grown past what per-module clears keep
+    # under the crash threshold (measured: ~380-test runs segfault in a
+    # late compile where 208-test runs passed) — also clear every 30
+    # tests WITHIN a module, so no single large module accumulates to
+    # the crash point either
+    _TEST_COUNT["n"] += 1
+    if _TEST_COUNT["n"] % 30 == 0:
+        jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

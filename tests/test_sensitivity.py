@@ -68,6 +68,29 @@ class TestSensitivity:
         # warming forcing raises mean enthalpy: dg/dF > 0
         assert res.grads["F"] > 0
 
+    def test_ensemble_members_match_solo(self):
+        # lockstep vmapped members == independent solo calls: sweep the
+        # virtual forcing key and compare per-member grads
+        par, init = _cfg()
+        par["F"] = np.array([0.0, 1.0])
+        ens = ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
+                              **KW)
+        assert np.asarray(ens.value).shape == (2,)
+        assert np.asarray(ens.grads["A"]).shape == (2,)
+        for i, F in enumerate((0.0, 1.0)):
+            solo = ebm.sensitivity("MIZ", ST, ebm.Forcing(F), _cfg()[0],
+                                   init, **KW)
+            np.testing.assert_allclose(ens.value[i], solo.value,
+                                       rtol=1e-10)
+            np.testing.assert_allclose(ens.grads["A"][i], solo.grads["A"],
+                                       rtol=1e-7)
+            np.testing.assert_allclose(ens.grads["F"][i], solo.grads["F"],
+                                       rtol=1e-6)
+        # ranking and repr handle member axes
+        rows = ens.top(3)
+        assert len(rows) == 3
+        assert "members" in repr(ens)
+
     def test_scalar_F_in_par_folds_into_forcing(self):
         par, init = _cfg()
         par["F"] = 1.0
@@ -84,10 +107,11 @@ class TestSensitivityValidation:
         with pytest.raises(ValueError, match="constant"):
             ebm.sensitivity("MIZ", ST, ramp, par, init)
 
-    def test_member_swept_par_rejected(self):
+    def test_inconsistent_ensemble_sizes_rejected(self):
         par, init = _cfg()
         par["D"] = np.array([0.5, 0.6])
-        with pytest.raises(ValueError, match="single-run"):
+        par["A"] = np.array([193.0, 195.0, 197.0])
+        with pytest.raises(ValueError, match="inconsistent"):
             ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init)
 
     def test_classic_ice_area_rejected(self):
