@@ -1544,6 +1544,32 @@ class ContinuationResult:
             for r in self.results
         ])
 
+    def hysteresis_gap(self, var: Optional[str] = None,
+                       season: str = "avg"):
+        """Bistability diagnostic of a ``round_trip`` result: the
+        absolute difference between the forward and return legs' ice
+        area (or ``var``'s hemispheric mean) at every level value BOTH
+        legs visited. Returns ``(values, gap)`` — ``gap`` has shape
+        ``(L',)`` (``(L', K)`` for ensembles); entries above the
+        equilibration tolerance mark the bistable window (measured:
+        classic's window is huge, MIZ at default parameters has none —
+        gaps < 0.1; examples/bistability_map.py maps the (D, F) plane
+        with exactly this)."""
+        if not np.any(self.direction < 0):
+            raise ValueError(
+                "hysteresis_gap needs a round_trip continuation (no "
+                "return leg to compare against)")
+        field = (self.ice_area(season) if var is None
+                 else self.mean(var, season))
+        fwd = self.direction > 0
+        vals, gaps = [], []
+        for i in np.flatnonzero(fwd):
+            j = np.flatnonzero(~fwd & (self.values == self.values[i]))
+            if j.size:
+                vals.append(self.values[i])
+                gaps.append(np.abs(field[i] - field[j[0]]))
+        return np.asarray(vals), np.asarray(gaps)
+
     def stability(self, warm_start: bool = True, progress: bool = False,
                   **stability_kwargs):
         """Linear stability at every level of the path: one

@@ -121,6 +121,7 @@ def fold(
     jump_tol: float = np.pi / 2,
     season: str = "avg",
     check_lo: bool = True,
+    anchor: Optional[EquilibriumResult] = None,
     tol: float = 1e-2,
     max_years: int = 300,
     progress: bool = False,
@@ -152,6 +153,12 @@ def fold(
     too-narrow brackets before ``steps`` solves chase a fold that is not
     inside them); the default classifier requires it (that probe seeds
     its off-branch reference).
+
+    ``anchor=`` reuses a previously converged branch state (an
+    :class:`EquilibriumResult` — a prior fold's ``.anchor``, or any
+    ensemble equilibration at ``hi``) instead of re-solving it: refine a
+    bracket by calling again with the returned ``lo``/``hi`` and more
+    ``steps`` without paying the anchor again.
 
     All remaining keywords (``engine``/``mesh``/``dtype``/``anderson``/
     ...) pass through to :func:`equilibrate`; on TPU each probe runs the
@@ -200,12 +207,13 @@ def fold(
     if progress:
         from .utils.progress import Progress
 
-        total = 1 + int(bool(check_lo)) + steps
+        total = int(anchor is None) + int(bool(check_lo)) + steps
         prog = Progress(
             total, title=f"Fold ({vary})",
             infofeed=lambda msg: msg,
         )
-        prog.update(0, feedargs=("anchoring the branch at hi",))
+        prog.update(0, feedargs=("anchoring the branch at hi"
+                                 if anchor is None else "anchor reused",))
     done = [0]
 
     def tick(msg):
@@ -213,14 +221,24 @@ def fold(
             done[0] += 1
             prog.update(done[0], feedargs=(msg,))
 
-    anchor = solve(hi, init)
+    if anchor is None:
+        anchor = solve(hi, init)
+        tick_anchor = True
+    else:
+        a_shape = np.shape(next(iter(anchor.state.values())))
+        if len(a_shape) > 1 and a_shape[0] != K:
+            raise ValueError(
+                f"reused anchor carries {a_shape[0]} members, the search "
+                f"has {K}")
+        tick_anchor = False
     if not np.all(anchor.converged):
         bad = np.flatnonzero(~np.atleast_1d(anchor.converged))
         raise ValueError(
             f"anchor equilibration at hi did not converge for members "
             f"{bad.tolist()} ({anchor!r}) — the branch reference state "
             f"must be trusted; raise max_years or move hi")
-    tick("anchor converged")
+    if tick_anchor:
+        tick("anchor converged")
 
     ref_on = ref_off = None
     if default_classifier:

@@ -45,25 +45,20 @@ def main():
                             round_trip=True, tol=0.5, max_years=300)
     print(cont)
 
-    area = cont.ice_area()           # (L, K)
-    fwd = cont.direction > 0
     gap_tol = 0.5                    # ice-area split that counts as bistable
+    gvals, gap = cont.hysteresis_gap()   # (L',), (L', K): leg-vs-leg split
 
     print("\nbistable cells of the (D, F) plane "
           f"(|descending - returning| ice area > {gap_tol}):")
-    print("  D \\ F " + "".join(f"{F:+6.1f}" for F in F_path))
+    print("  D \\ F " + "".join(f"{F:+6.1f}" for F in gvals))
     for k, D in enumerate(D_vals):
-        row = []
-        for F in F_path:
-            dn = area[fwd & (cont.values == F), k]       # descending leg
-            up = area[~fwd & (cont.values == F), k]      # returning leg
-            if len(up) == 0:                             # turning point
-                row.append("     .")
-                continue
-            row.append("     B" if abs(dn[0] - up[0]) > gap_tol else "     .")
+        row = ["     B" if g > gap_tol else "     ." for g in gap[:, k]]
         print(f"  {D:5.2f} " + "".join(row))
     print("\nB = bistable (warm branch and snowball coexist), "
           ". = single attractor")
+
+    area = cont.ice_area()           # (L, K) — for the fold table below
+    fwd = cont.direction > 0
 
     # warm-branch fold per member: the last F (descending) still warm
     print(f"\n{'D':>6}  {'warm branch survives to':>24}")

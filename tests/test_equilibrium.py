@@ -475,6 +475,24 @@ class TestContinuation:
         # levels chain: the final level's state warm-starts nothing, but
         # each stored result is a full EquilibriumResult
         assert all(hasattr(r, "state") for r in cont.results)
+        # hysteresis_gap: both repeated values compared leg-to-leg; MIZ
+        # at defaults has no real bistable window (CLAUDE.md), so gaps
+        # stay small
+        vals, gap = cont.hysteresis_gap()
+        np.testing.assert_array_equal(vals, [-2.0, 2.0])
+        assert gap.shape == (2,)
+        assert np.all(gap < 0.5), gap
+        vals_E, gap_E = cont.hysteresis_gap(var="E")
+        assert gap_E.shape == (2,)
+
+    def test_hysteresis_gap_needs_round_trip(self):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.default_parameters("MIZ")
+        cont = ebm.continuation("MIZ", st, [0.0, 2.0], par,
+                                ebm.zeros_init(st), tol=1e-2,
+                                max_years=200)
+        with pytest.raises(ValueError, match="round_trip"):
+            cont.hysteresis_gap()
 
     def test_parameter_path_and_ensemble(self):
         """vary= names a par key; (K,) par leaves trace the path as a

@@ -88,6 +88,26 @@ class TestFold:
                        steps=6, tol=0.5, max_years=150)
         assert res.values[0] < -3.0, res
 
+    def test_anchor_reuse_refines_the_bracket(self, tracked):
+        # continue the bisection from the returned brackets without
+        # paying the anchor equilibration again
+        par, init = _init()
+        par["D"] = D_VALS
+        fine = ebm.fold("Classic", ST, par, init, lo=tracked.lo,
+                        hi=tracked.hi, steps=2, anchor=tracked.anchor,
+                        tol=0.5, max_years=120)
+        assert np.allclose(fine.width, tracked.width / 4)
+        assert np.all(np.minimum(tracked.lo, tracked.hi)
+                      <= fine.values)
+        assert np.all(fine.values <= np.maximum(tracked.lo, tracked.hi))
+
+    def test_anchor_member_mismatch_rejected(self, tracked):
+        par, init = _init()
+        par["D"] = np.array([0.4, 0.6, 0.8])
+        with pytest.raises(ValueError, match="members"):
+            ebm.fold("Classic", ST, par, init, lo=LO, hi=HI, steps=1,
+                     anchor=tracked.anchor, tol=0.5, max_years=120)
+
     def test_vary_par_key_with_reversed_bracket(self):
         # bisect the OLR constant A upward from a warm anchor: the branch
         # survives at the LOW end, so hi < lo — the bisection only
