@@ -111,7 +111,7 @@ def fold(
     model: str,
     st: SpaceTime,
     par: Collection,
-    init: Collection,
+    init: Optional[Collection],
     lo,
     hi,
     vary: str = "F",
@@ -156,9 +156,13 @@ def fold(
 
     ``anchor=`` reuses a previously converged branch state (an
     :class:`EquilibriumResult` — a prior fold's ``.anchor``, or any
-    ensemble equilibration at ``hi``) instead of re-solving it: refine a
-    bracket by calling again with the returned ``lo``/``hi`` and more
-    ``steps`` without paying the anchor again.
+    ensemble equilibration) instead of solving one from ``init`` (which
+    is then ignored and may be ``None``): refine a bracket by calling
+    again with the returned ``lo``/``hi`` and more ``steps``. The
+    default classifier then re-probes ``hi`` once (warm-started from the
+    anchor) to seed its on-branch reference AT the current bracket —
+    the reused anchor may sit far up the branch, and a stale reference
+    near the fold would misclassify the whole refinement.
 
     All remaining keywords (``engine``/``mesh``/``dtype``/``anderson``/
     ...) pass through to :func:`equilibrate`; on TPU each probe runs the
@@ -203,11 +207,16 @@ def fold(
         return equilibrate(model, st, forcing, p, state, tol=tol,
                            max_years=max_years, **equilibrate_kwargs)
 
+    if anchor is None and init is None:
+        raise ValueError("fold needs init= (or a reused anchor=)")
+
     prog = None
     if progress:
         from .utils.progress import Progress
 
-        total = int(anchor is None) + int(bool(check_lo)) + steps
+        total = (int(anchor is None)
+                 + int(anchor is not None and default_classifier)
+                 + int(bool(check_lo)) + steps)
         prog = Progress(
             total, title=f"Fold ({vary})",
             infofeed=lambda msg: msg,
@@ -242,7 +251,15 @@ def fold(
 
     ref_on = ref_off = None
     if default_classifier:
-        ref_on = area_of(anchor)
+        if tick_anchor:
+            ref_on = area_of(anchor)
+        else:
+            # a reused anchor may sit far up the branch (its hi differs
+            # from this bracket's): seed the on-branch reference from a
+            # probe AT the current hi, or a stale reference near the
+            # fold misclassifies every refinement probe (review r7)
+            ref_on = area_of(solve(hi, anchor.state))
+            tick("hi re-probed for the on-branch reference")
     if check_lo:
         probe = solve(lo, anchor.state)
         if default_classifier:

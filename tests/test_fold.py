@@ -90,10 +90,12 @@ class TestFold:
 
     def test_anchor_reuse_refines_the_bracket(self, tracked):
         # continue the bisection from the returned brackets without
-        # paying the anchor equilibration again
-        par, init = _init()
+        # paying the anchor equilibration again (init unused: None); the
+        # default classifier re-probes hi so its on-branch reference sits
+        # at the refined bracket, not at the stale original anchor
+        par, _ = _init()
         par["D"] = D_VALS
-        fine = ebm.fold("Classic", ST, par, init, lo=tracked.lo,
+        fine = ebm.fold("Classic", ST, par, None, lo=tracked.lo,
                         hi=tracked.hi, steps=2, anchor=tracked.anchor,
                         tol=0.5, max_years=120)
         assert np.allclose(fine.width, tracked.width / 4)
@@ -203,6 +205,11 @@ class TestFoldValidation:
         par, init = _init()
         with pytest.raises(ValueError, match="steps"):
             ebm.fold("Classic", ST, par, init, lo=0.0, hi=1.0, steps=0)
+
+    def test_init_required_without_anchor(self):
+        par, _ = _init()
+        with pytest.raises(ValueError, match="init"):
+            ebm.fold("Classic", ST, par, None, lo=LO, hi=HI, steps=1)
 
     def test_ramp_forcing_rejected(self):
         par, init = _init()
