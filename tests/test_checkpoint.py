@@ -504,3 +504,39 @@ class TestResumeFuzz:
         for k in full.state:
             assert np.array_equal(np.asarray(res.state[k]),
                                   np.asarray(full.state[k])), (seed, k)
+
+
+class TestContinuationResumeFuzz:
+    """Random paths, random interruption points: a resumed continuation
+    must reproduce the uninterrupted run level-for-level (warm-start
+    chaining makes the remaining levels deterministic functions of the
+    last completed state)."""
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    def test_random_path_resume_matches(self, seed, tmp_path):
+        from energybalancemodel_jl_tpu import checkpoint as ckpt
+
+        rng = np.random.default_rng(100 + seed)
+        st = ebm.SpaceTime.sin(int(rng.integers(8, 20)),
+                               int(rng.integers(80, 200)), 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = float(rng.uniform(190, 200))
+        init = ebm.zeros_init(st)
+        vals = np.round(rng.uniform(-2.0, 4.0, size=4), 3).tolist()
+        rt = bool(rng.integers(0, 2))
+        kw = dict(vary="F", round_trip=rt, tol=0.0,
+                  max_years=int(rng.integers(4, 10)))
+        full = ebm.continuation("MIZ", st, vals, par, init, **kw)
+        ck = str(tmp_path / "cont.h5")
+        ebm.continuation("MIZ", st, vals, par, init, checkpoint=ck, **kw)
+        results, key = ckpt.read_cont_checkpoint(ck)
+        cut = int(rng.integers(1, len(results)))
+        ckpt.write_cont_checkpoint(ck, results[:cut], key)
+        res = ebm.continuation("MIZ", st, vals, par, init, checkpoint=ck,
+                               resume=True, **kw)
+        assert np.array_equal(res.years, full.years), (seed, cut)
+        for i, (rf, rb) in enumerate(zip(full.results, res.results)):
+            for k in rf.state:
+                assert np.array_equal(np.asarray(rf.state[k]),
+                                      np.asarray(rb.state[k])), \
+                    (seed, cut, i, k)
