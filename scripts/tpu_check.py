@@ -208,6 +208,25 @@ def s_fold():
     print(f"      {res!r}", flush=True)
 
 
+@stage("sensitivity adjoint runs on-chip (f32 smoke: finite only)")
+def s_sensitivity():
+    # f32 gradients through the frozen-cell lanes are noisy by design
+    # (stability docstring) — the on-chip claim is only that the IFT
+    # adjoint dispatch completes and returns finite numbers; trustworthy
+    # values come from the f64 CPU path (test_sensitivity.py)
+    import warnings
+    st = ebm.SpaceTime.sin(16, 150, 1)
+    par = ebm.Collection(ebm.default_parameters("MIZ"))
+    init = ebm.zeros_init(st)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = ebm.sensitivity("MIZ", st, ebm.Forcing(0.0), par, init,
+                              of="mean", var="E", tol=1e-4, max_years=200)
+    assert np.isfinite(res.value)
+    assert all(np.isfinite(v) for v in res.grads.values()), res.grads
+    print(f"      {res!r}", flush=True)
+
+
 @stage("fused integrate chunks (bench-shaped scan) stay finite")
 def s_integrate_chunks():
     st16 = ebm.SpaceTime.sin(16, 1000, 16)
@@ -223,10 +242,10 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     for fn in [s_claim, s_fused, s_batched, s_anderson, s_continuation,
                s_path_stability, s_projected, s_io, s_calibrate,
-               s_fold, s_integrate_chunks]:
+               s_fold, s_sensitivity, s_integrate_chunks]:
         fn()
-    n = 11 - len(FAILURES)
-    print(f"\n{n}/11 stages passed" + (
+    n = 12 - len(FAILURES)
+    print(f"\n{n}/12 stages passed" + (
         f"; FAILED: {FAILURES}" if FAILURES else " — on-chip validation OK"),
         flush=True)
     sys.exit(1 if FAILURES else 0)
