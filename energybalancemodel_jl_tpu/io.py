@@ -238,6 +238,50 @@ def _read_fold(f: h5py.Group):
     )
 
 
+def _write_stability(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "StabilityResult"
+    f.attrs.update(rtol=float(res.rtol), n_modes=int(res.n_modes))
+    f.create_dataset("growth", data=np.asarray(res.growth))
+    f.create_dataset("history", data=np.asarray(res.history))
+    f.create_dataset("converged", data=np.asarray(res.converged))
+    _write_collection(f.create_group("mode"), res.mode)
+
+
+def _read_stability(f: h5py.Group):
+    from .equilibrium import StabilityResult
+
+    growth = np.asarray(f["growth"])
+    conv = np.asarray(f["converged"])
+    return StabilityResult(
+        growth=float(growth) if growth.ndim == 0 else growth,
+        history=np.asarray(f["history"]),
+        converged=bool(conv) if conv.ndim == 0 else conv,
+        mode=_read_collection(f["mode"]),
+        rtol=float(f.attrs["rtol"]),
+        n_modes=int(f.attrs["n_modes"]),
+    )
+
+
+def _write_sensitivity(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "SensitivityResult"
+    f.attrs["of"] = str(res.of)
+    f.create_dataset("value", data=np.asarray(res.value))
+    _write_collection(f.create_group("grads"), res.grads)
+    _write_collection(f.create_group("par"), res.par)
+
+
+def _read_sensitivity(f: h5py.Group):
+    from .sensitivity import SensitivityResult
+
+    value = np.asarray(f["value"])
+    return SensitivityResult(
+        of=str(f.attrs["of"]),
+        value=float(value) if value.ndim == 0 else value,
+        grads=_read_collection(f["grads"]),
+        par=_read_collection(f["par"]),
+    )
+
+
 def _read_solutions(f: h5py.Group) -> Solutions:
     st = _read_spacetime(f)
     forcing = _read_forcing(f)
@@ -274,9 +318,11 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             return path
     except ImportError:  # pragma: no cover
         pass
-    from .equilibrium import ContinuationResult, EquilibriumResult
+    from .equilibrium import (ContinuationResult, EquilibriumResult,
+                              StabilityResult)
     from .fold import FoldResult
     from .parallel.ensemble import EnsembleSolutions
+    from .sensitivity import SensitivityResult
 
     with h5py.File(path, "w") as f:
         if isinstance(obj, Solutions):
@@ -289,6 +335,10 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_continuation(f, obj)
         elif isinstance(obj, FoldResult):
             _write_fold(f, obj)
+        elif isinstance(obj, StabilityResult):
+            _write_stability(f, obj)
+        elif isinstance(obj, SensitivityResult):
+            _write_sensitivity(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -336,6 +386,10 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_continuation(f)
         if tag == "FoldResult":
             return _read_fold(f)
+        if tag == "StabilityResult":
+            return _read_stability(f)
+        if tag == "SensitivityResult":
+            return _read_sensitivity(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

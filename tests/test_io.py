@@ -184,3 +184,49 @@ class TestEquilibriumRoundTrip:
         assert len(loaded.results) == 3
         np.testing.assert_allclose(loaded.ice_area(), cont.ice_area())
         assert repr(loaded) == repr(cont)
+
+
+class TestAnalysisResultRoundTrip:
+    """StabilityResult / SensitivityResult persistence — every analysis
+    object the package returns survives ebm.save/load."""
+
+    def test_stability_roundtrip(self, tmp_path):
+        st = ebm.SpaceTime.sin(10, 100, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=0.0, max_years=3)
+        stab = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                             n_iter=5, n_modes=2)
+        path = str(tmp_path / "stab.h5")
+        ebm.save(stab, path)
+        back = ebm.load(path)
+        assert isinstance(back, ebm.StabilityResult)
+        np.testing.assert_array_equal(np.asarray(back.growth),
+                                      np.asarray(stab.growth))
+        np.testing.assert_array_equal(back.history, stab.history)
+        np.testing.assert_array_equal(np.asarray(back.converged),
+                                      np.asarray(stab.converged))
+        assert back.n_modes == stab.n_modes and back.rtol == stab.rtol
+        for k in stab.mode:
+            np.testing.assert_array_equal(np.asarray(back.mode[k]),
+                                          np.asarray(stab.mode[k]))
+        assert repr(back) == repr(stab)
+
+    def test_sensitivity_roundtrip(self, tmp_path):
+        st = ebm.SpaceTime.sin(16, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        res = ebm.sensitivity("MIZ", st, ebm.Forcing(0.0), par,
+                              ebm.zeros_init(st), tol=1e-6, max_years=200)
+        path = str(tmp_path / "sens.h5")
+        ebm.save(res, path)
+        back = ebm.load(path)
+        assert isinstance(back, ebm.SensitivityResult)
+        assert back.of == res.of
+        np.testing.assert_allclose(np.asarray(back.value),
+                                   np.asarray(res.value))
+        for k in res.grads:
+            np.testing.assert_allclose(back.grads[k], res.grads[k],
+                                       err_msg=k)
+        assert back.top(3)[0][0] == res.top(3)[0][0]
+        assert repr(back) == repr(res)
