@@ -1083,6 +1083,22 @@ class StabilityResult:
     ``rtol``; ``mode`` is the final unit ADJOINT mode (left singular
     direction), a Collection shaped like the carry — inspecting which
     leaves/cells carry its mass identifies the slow/unstable direction.
+
+    ``eigenvalues`` are SIGNED eigenvalue estimates (Rayleigh–Ritz values
+    of the final subspace): for ``n_modes=1`` the real Rayleigh quotient
+    ``<v, J^T v>`` (scalar, or ``(K,)``); for ``n_modes=m`` the complex
+    eigenvalues of the projected ``m x m`` operator, sorted by descending
+    modulus (``(m,)``, or ``(K, m)``). Where ``growth`` only reports
+    ``|lambda|``, these distinguish HOW a mode acts: a negative real
+    eigenvalue flips the mode each year (period-doubling character), a
+    complex pair rotates it (oscillatory/Neimark–Sacker character), a
+    positive real one grows or decays monotonically (the fold-type
+    direction). They inherit ``project``'s operator and are only as
+    converged as the subspace itself (trust them where ``converged`` is
+    True; with ``n_modes=1`` a complex DOMINANT pair cannot be
+    represented — ``history`` then oscillates and the Rayleigh value sits
+    below ``growth``; rerun with ``n_modes>=2``). ``None`` on results
+    loaded from files written before they were stored.
     """
 
     growth: Union[float, np.ndarray]
@@ -1091,6 +1107,7 @@ class StabilityResult:
     mode: Collection
     rtol: float
     n_modes: int = 1
+    eigenvalues: Optional[Union[float, complex, np.ndarray]] = None
 
     def __repr__(self):
         if np.ndim(self.growth) == 0:
@@ -1191,7 +1208,20 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             v, lam = fit(proj(apply(v), frozen))
             return v, lam
 
-        return lax.scan(it, v, None, length=int(k))
+        v, lams = lax.scan(it, v, None, length=int(k))
+        # Rayleigh–Ritz: project J^T onto the final orthonormal block.
+        # eig(H) are SIGNED/complex eigenvalue estimates (J and J^T share
+        # their spectrum, and |diag R| only ever reports moduli) at the
+        # cost of one extra reverse year per dispatch.
+        w = proj(apply(v), frozen)
+        xv = jnp.concatenate([v[key] for key in keys_order], axis=-1)
+        xw = jnp.concatenate([w[key] for key in keys_order], axis=-1)
+        if m == 1:
+            h = jnp.sum(xv * xw, axis=-1)  # () solo, (K,) ensemble
+        else:
+            # H[..., i, j] = <v_i, J^T v_j>; (m, m) solo, (K, m, m)
+            h = jnp.einsum("i...n,j...n->...ij", xv, xw)
+        return v, lams, h
 
     return run, prep
 
@@ -1256,6 +1286,15 @@ def stability(
     for well-separated (in modulus) eigenvalues; a complex pair shows up
     as a 2-cycle oscillation in ``history`` — average the last two
     iterations there.
+
+    The result also carries SIGNED eigenvalue estimates
+    (``.eigenvalues``): one extra reverse year projects ``J^T`` onto the
+    final subspace (Rayleigh–Ritz) and the small eigenproblem is solved
+    on host — for ``n_modes=1`` the real Rayleigh quotient, for
+    ``n_modes=m`` the m complex Ritz values sorted by modulus. Use them
+    to tell a monotone (positive real — fold-type) mode from a flipping
+    (negative real) or rotating (complex pair, oscillatory) one; a
+    dominant complex pair needs ``n_modes>=2`` to be captured at all.
 
     ``par`` leaves of shape ``(K,)`` make the run an ensemble exactly as in
     :func:`equilibrate` (the Jacobian is block-diagonal over members, so
@@ -1441,15 +1480,22 @@ def stability(
 
     chunk = int(n_iter) if iters_per_dispatch is None \
         else max(1, int(iters_per_dispatch))
-    v, hist = v0, []
+    v, hist, h = v0, [], None
     done = 0
     while done < int(n_iter):
         k = min(chunk, int(n_iter) - done)
-        v, lams = run(v, carry, par_j, frow_j, frozen, k)
+        v, lams, h = run(v, carry, par_j, frow_j, frozen, k)
         hist.append(lams)
         done += k
-    v, history = jax.device_get((v, jnp.concatenate(hist, axis=0)))
+    v, history, H = jax.device_get((v, jnp.concatenate(hist, axis=0), h))
     history = np.asarray(history, dtype=np.float64)
+    H = np.asarray(H, dtype=np.float64)
+    if m == 1:
+        eig = H  # signed Rayleigh quotient, () or (K,)
+    else:
+        eig = np.linalg.eigvals(H)  # complex, (m,) or (K, m)
+        order = np.argsort(-np.abs(eig), axis=-1)
+        eig = np.take_along_axis(eig, order, axis=-1)
     growth = history[-1]
     with np.errstate(invalid="ignore", divide="ignore"):
         converged = (
@@ -1462,11 +1508,11 @@ def stability(
         return StabilityResult(
             growth=np.asarray(growth), history=history,
             converged=np.asarray(converged), mode=mode, rtol=float(rtol),
-            n_modes=m,
+            n_modes=m, eigenvalues=np.asarray(eig),
         )
     return StabilityResult(
         growth=float(growth), history=history, converged=bool(converged),
-        mode=mode, rtol=float(rtol),
+        mode=mode, rtol=float(rtol), eigenvalues=float(eig),
     )
 
 

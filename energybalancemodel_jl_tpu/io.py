@@ -244,6 +244,8 @@ def _write_stability(f: h5py.Group, res) -> None:
     f.create_dataset("growth", data=np.asarray(res.growth))
     f.create_dataset("history", data=np.asarray(res.history))
     f.create_dataset("converged", data=np.asarray(res.converged))
+    if res.eigenvalues is not None:  # real (n_modes=1) or complex Ritz
+        f.create_dataset("eigenvalues", data=np.asarray(res.eigenvalues))
     _write_collection(f.create_group("mode"), res.mode)
 
 
@@ -252,6 +254,9 @@ def _read_stability(f: h5py.Group):
 
     growth = np.asarray(f["growth"])
     conv = np.asarray(f["converged"])
+    eig = np.asarray(f["eigenvalues"]) if "eigenvalues" in f else None
+    if eig is not None and eig.ndim == 0:
+        eig = eig.item()  # float (n_modes=1) or complex scalar
     return StabilityResult(
         growth=float(growth) if growth.ndim == 0 else growth,
         history=np.asarray(f["history"]),
@@ -259,6 +264,7 @@ def _read_stability(f: h5py.Group):
         mode=_read_collection(f["mode"]),
         rtol=float(f.attrs["rtol"]),
         n_modes=int(f.attrs["n_modes"]),
+        eigenvalues=eig,
     )
 
 

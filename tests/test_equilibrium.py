@@ -622,6 +622,37 @@ class TestStabilityDenseOracle:
         res2 = ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
                              n_iter=120, n_modes=3, iters_per_dispatch=13)
         np.testing.assert_array_equal(res.history, res2.history)
+        np.testing.assert_array_equal(res.eigenvalues, res2.eigenvalues)
+
+    def test_ritz_eigenvalues_match_dense(self):
+        """.eigenvalues (Rayleigh–Ritz on the final subspace) reproduce
+        the SIGNED dense eigenvalues — growth only ever sees moduli."""
+        st, base, init = classic_setup()
+        eq = ebm.equilibrate("Classic", st, ebm.Forcing(6.0), base, init,
+                             tol=0.5, max_years=300)
+        J, _, _ = self._dense_jac("Classic", st, ebm.Forcing(6.0), base,
+                                  eq.state)
+        dense = np.linalg.eigvals(J)
+        dense = dense[np.argsort(-np.abs(dense))]
+        assert abs(dense[0].imag) < 1e-12  # classic lead mode is real
+
+        solo = ebm.stability("Classic", st, ebm.Forcing(6.0), base,
+                             eq.state, n_iter=80)
+        assert isinstance(solo.eigenvalues, float)  # signed Rayleigh
+        np.testing.assert_allclose(solo.eigenvalues, dense[0].real,
+                                   rtol=2e-3)
+
+        res = ebm.stability("Classic", st, ebm.Forcing(6.0), base,
+                            eq.state, n_iter=120, n_modes=3)
+        assert res.eigenvalues.shape == (3,)
+        # sorted by descending modulus
+        mags = np.abs(res.eigenvalues)
+        assert (mags[:-1] >= mags[1:] - 1e-12).all()
+        # the leading Ritz value is tight; the near-degenerate 2-3 pair
+        # converges as a SET (same caveat as growth)
+        np.testing.assert_allclose(res.eigenvalues[0], dense[0], rtol=2e-3)
+        np.testing.assert_allclose(np.sort(mags),
+                                   np.sort(np.abs(dense[:3])), rtol=1e-2)
 
     def test_block_modes_ensemble_shapes_and_validation(self):
         st = ebm.SpaceTime.sin(8, 150, 1)
@@ -634,6 +665,10 @@ class TestStabilityDenseOracle:
         assert res.growth.shape == (2, 3)
         assert res.history.shape == (30, 2, 3)
         assert np.isfinite(res.growth).all()
+        assert res.eigenvalues.shape == (2, 3)
+        mags = np.abs(res.eigenvalues)
+        assert np.isfinite(mags).all()
+        assert (mags[:, :-1] >= mags[:, 1:] - 1e-12).all()  # sorted
         # modes within a member are orthonormal
         v = np.concatenate([np.asarray(res.mode[k]) for k in
                             sorted(res.mode.keys())], axis=-1)  # (3, 2, n)

@@ -208,6 +208,11 @@ class TestAnalysisResultRoundTrip:
         np.testing.assert_array_equal(np.asarray(back.converged),
                                       np.asarray(stab.converged))
         assert back.n_modes == stab.n_modes and back.rtol == stab.rtol
+        assert back.eigenvalues is not None
+        np.testing.assert_array_equal(np.asarray(back.eigenvalues),
+                                      np.asarray(stab.eigenvalues))
+        assert np.asarray(back.eigenvalues).dtype == \
+            np.asarray(stab.eigenvalues).dtype  # complex survives HDF5
         for k in stab.mode:
             np.testing.assert_array_equal(np.asarray(back.mode[k]),
                                           np.asarray(stab.mode[k]))
