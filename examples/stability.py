@@ -70,6 +70,13 @@ def main():
                         n_iter=80, n_modes=4)
     print(f"classic leading modes: {np.round(blk.growth, 4)} "
           f"(per-year contraction of the 4 slowest directions)")
+    # .eigenvalues carries the SIGN/phase the QR moduli discard:
+    # positive real = monotone (fold-type), negative real = year-over-year
+    # flip, a complex pair = oscillatory (Neimark-Sacker-type) mode
+    for lam in blk.eigenvalues:
+        kind = ("oscillatory" if abs(lam.imag) > 1e-8 * abs(lam)
+                else "monotone" if lam.real >= 0 else "flipping")
+        print(f"  lambda = {lam:.6g}  ({kind})")
 
     # -- stability along a continuation path ------------------------------
     # one call classifies every level of a bifurcation branch, each

@@ -131,3 +131,49 @@ def test_equilibrate_engine_parity_random_config(seed):
             zero_nans(np.asarray(b.seasonal.avg[v])),
             atol=0.5, err_msg=f"{v} seed={seed} nx={nx} nt={nt} K={K}",
         )
+
+
+@pytest.mark.parametrize("seed", [7, 19, 31])
+def test_stability_random_config_matches_dense(seed):
+    """Power/subspace-iteration stability vs a dense jacrev
+    eigendecomposition of the SAME year map at random configurations
+    (resolution, forcing, parameter perturbations, linearization state):
+    the fixed-config oracle (test_equilibrium.TestStabilityDenseOracle)
+    pins two hand-picked setups; this broadens it. Ritz values are
+    matched NEAREST-dense-eigenvalue — at random states the top of the
+    spectrum may be degenerate (frozen-cell neutral families) or closely
+    spaced, where individual |diag R| growth entries converge only as a
+    set."""
+    import energybalancemodel_jl_tpu as ebm
+
+    rng = np.random.default_rng(seed)
+    nx = int(rng.choice([8, 10, 12]))
+    nt = int(rng.choice([120, 180]))
+    f = float(rng.uniform(-0.5, 1.5))
+    par = Collection(default_parameters("MIZ"))
+    for name in ("D", "A"):
+        par[name] = float(par[name] * rng.uniform(0.97, 1.03))
+    st = SpaceTime.sin(nx, nt, 1)
+    # any state is a valid linearization point — no need to converge
+    years = int(rng.integers(10, 40))
+    eq = ebm.equilibrate("MIZ", st, Forcing(f), par, zeros_init(st),
+                         tol=0.0, max_years=years)
+
+    from test_equilibrium import TestStabilityDenseOracle
+
+    J, _, _ = TestStabilityDenseOracle._dense_jac(
+        "MIZ", st, Forcing(f), par, eq.state)
+    dense = np.linalg.eigvals(J)
+    radius = float(np.max(np.abs(dense)))
+
+    res = ebm.stability("MIZ", st, Forcing(f), par, eq.state,
+                        n_iter=200, n_modes=4)
+    msg = f"seed={seed} nx={nx} nt={nt} f={f:.3f} years={years}"
+    # the two leading Ritz values each sit next to a true eigenvalue
+    for ritz in res.eigenvalues[:2]:
+        gap = np.min(np.abs(dense - ritz))
+        assert gap <= 1e-2 * radius, (
+            f"Ritz {ritz} is {gap:.3g} from the dense spectrum ({msg})")
+    # and the leading modulus reproduces the spectral radius
+    np.testing.assert_allclose(np.abs(res.eigenvalues[0]), radius,
+                               rtol=1e-2, err_msg=msg)
