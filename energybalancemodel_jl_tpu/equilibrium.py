@@ -1170,11 +1170,13 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             i += w
         return Collection(out)
 
+    def to_mat(t):  # carry-like Collection -> (..., n); from_mat's inverse
+        return jnp.concatenate([t[k] for k in keys_order], axis=-1)
+
     def ortho(t):
         """Per-member QR orthonormalization of the m-mode block; the
         |diag(R)| entries are the per-iteration growth of each mode."""
-        x = jnp.concatenate([t[k] for k in keys_order], axis=-1)
-        a = jnp.moveaxis(x, 0, -1)  # (n, m) solo, (K, n, m) ensemble
+        a = jnp.moveaxis(to_mat(t), 0, -1)  # (n, m) solo, (K, n, m)
         q, r = jnp.linalg.qr(a)
         lam = jnp.abs(jnp.diagonal(r, axis1=-2, axis2=-1))
         return from_mat(jnp.moveaxis(q, -1, 0)), lam
@@ -1197,8 +1199,8 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             )
         return fit(vp)
 
-    @functools.partial(jax.jit, static_argnums=(5,))
-    def run(v, carry, par_j, frow_j, frozen, k):
+    @functools.partial(jax.jit, static_argnums=(5, 6))
+    def run(v, carry, par_j, frow_j, frozen, k, want_h):
         # linearize once per dispatch; J^T applications ride the residuals
         _, pb = jax.vjp(lambda c: year(c, par_j, frow_j)[0], carry)
         apply = ((lambda u: pb(u)[0]) if m == 1
@@ -1209,13 +1211,17 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             return v, lam
 
         v, lams = lax.scan(it, v, None, length=int(k))
+        if not want_h:
+            # intermediate chunk of a watchdog-split loop: only the FINAL
+            # subspace feeds the Ritz values, so skip the extra reverse
+            # year here (it is a jit output — XLA could not DCE it)
+            return v, lams, None
         # Rayleigh–Ritz: project J^T onto the final orthonormal block.
         # eig(H) are SIGNED/complex eigenvalue estimates (J and J^T share
         # their spectrum, and |diag R| only ever reports moduli) at the
-        # cost of one extra reverse year per dispatch.
-        w = proj(apply(v), frozen)
-        xv = jnp.concatenate([v[key] for key in keys_order], axis=-1)
-        xw = jnp.concatenate([w[key] for key in keys_order], axis=-1)
+        # cost of one extra reverse year.
+        xv = to_mat(v)
+        xw = to_mat(proj(apply(v), frozen))
         if m == 1:
             h = jnp.sum(xv * xw, axis=-1)  # () solo, (K,) ensemble
         else:
@@ -1484,7 +1490,8 @@ def stability(
     done = 0
     while done < int(n_iter):
         k = min(chunk, int(n_iter) - done)
-        v, lams, h = run(v, carry, par_j, frow_j, frozen, k)
+        want_h = done + k >= int(n_iter)  # Ritz block: final chunk only
+        v, lams, h = run(v, carry, par_j, frow_j, frozen, k, want_h)
         hist.append(lams)
         done += k
     v, history, H = jax.device_get((v, jnp.concatenate(hist, axis=0), h))
@@ -1493,9 +1500,20 @@ def stability(
     if m == 1:
         eig = H  # signed Rayleigh quotient, () or (K,)
     else:
-        eig = np.linalg.eigvals(H)  # complex, (m,) or (K, m)
-        order = np.argsort(-np.abs(eig), axis=-1)
-        eig = np.take_along_axis(eig, order, axis=-1)
+        # a divergent linearization state (NaN/inf carry — e.g. one level
+        # of a path that never converged, or the classic step-instability
+        # regime overflowing) leaves H non-finite; np.linalg.eigvals
+        # REFUSES those, and one bad member must not kill the whole
+        # batched eigenproblem — emit NaN eigenvalues for bad blocks and
+        # let `converged` report the failure, as the m=1 path always has
+        blocks = H.reshape((-1, m, m))  # (1|K, m, m)
+        flat = np.full((blocks.shape[0], m), np.nan + 0j, np.complex128)
+        ok = np.isfinite(blocks).all(axis=(-2, -1))
+        if ok.any():
+            good = np.linalg.eigvals(blocks[ok])
+            order = np.argsort(-np.abs(good), axis=-1)
+            flat[ok] = np.take_along_axis(good, order, axis=-1)
+        eig = flat.reshape(H.shape[:-1])  # complex, (m,) or (K, m)
     growth = history[-1]
     with np.errstate(invalid="ignore", divide="ignore"):
         converged = (

@@ -654,6 +654,29 @@ class TestStabilityDenseOracle:
         np.testing.assert_allclose(np.sort(mags),
                                    np.sort(np.abs(dense[:3])), rtol=1e-2)
 
+    def test_nonfinite_state_reports_not_converged(self):
+        """A divergent (NaN) linearization state — e.g. one level of a
+        path that never converged — must come back as converged=False
+        with NaN eigenvalues, never raise; and one bad ensemble member
+        must not poison the others' Ritz values (np.linalg.eigvals
+        refuses non-finite blocks outright)."""
+        st = ebm.SpaceTime.sin(8, 150, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["A"] = np.array([193.0, 196.0])
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=0.0, max_years=5)
+        state = ebm.Collection({k: np.array(v, copy=True)
+                                for k, v in eq.state.items()})
+        for k in state:
+            state[k][1] = np.nan  # member 1 diverged
+        res = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, state,
+                            n_iter=20, n_modes=2)
+        assert np.isfinite(np.abs(res.eigenvalues[0])).all()
+        assert np.isnan(res.eigenvalues[1]).all()
+        assert not np.asarray(res.converged)[1].any()
+        # the healthy member still reports a finite leading modulus
+        assert np.isfinite(np.asarray(res.growth)[0]).all()
+
     def test_block_modes_ensemble_shapes_and_validation(self):
         st = ebm.SpaceTime.sin(8, 150, 1)
         par = ebm.Collection(ebm.default_parameters("MIZ"))

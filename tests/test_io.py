@@ -219,10 +219,19 @@ class TestAnalysisResultRoundTrip:
         assert repr(back) == repr(stab)
 
     def test_sensitivity_roundtrip(self, tmp_path):
-        st = ebm.SpaceTime.sin(16, 150, 1)
+        # SensitivityResult is a plain dataclass and the writer never
+        # touches the solver — a synthetic instance exercises the
+        # identical IO path in milliseconds where a real adjoint solve
+        # costs minutes (the solve itself is covered by
+        # test_sensitivity.py); shapes mirror a real ensemble result
         par = ebm.Collection(ebm.default_parameters("MIZ"))
-        res = ebm.sensitivity("MIZ", st, ebm.Forcing(0.0), par,
-                              ebm.zeros_init(st), tol=1e-6, max_years=200)
+        rng = np.random.default_rng(0)
+        grads = ebm.Collection(
+            {k: rng.standard_normal(2) for k in list(par)[:5]})
+        grads["F"] = rng.standard_normal(2)
+        res = ebm.SensitivityResult(
+            of="ice_area", value=np.asarray([2.5, 2.7]), grads=grads,
+            par=ebm.Collection({k: par[k] for k in list(par)[:5]}))
         path = str(tmp_path / "sens.h5")
         ebm.save(res, path)
         back = ebm.load(path)
