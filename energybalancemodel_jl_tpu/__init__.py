@@ -72,6 +72,7 @@ from .plot import (  # noqa: E402
     plot_bifurcation,
     plot_continuation,
     plot_fold,
+    plot_sensitivity,
     plot_raw,
     plot_seasonal,
 )
@@ -107,6 +108,7 @@ __all__ = [
     "plot_bifurcation",
     "plot_continuation",
     "plot_fold",
+    "plot_sensitivity",
     "Progress",
     "update",
     "zeros_init",

@@ -36,6 +36,7 @@ __all__ = [
     "plot_bifurcation",
     "plot_continuation",
     "plot_fold",
+    "plot_sensitivity",
     "miz_layout",
     "classic_layout",
     "unsafesave",
@@ -493,6 +494,55 @@ def plot_fold(
     ax.set_title(title or f"Fold location {res.vary}*")
     if ax.get_legend_handles_labels()[1]:
         ax.legend()
+    return fig
+
+
+def plot_sensitivity(
+    res,
+    n: int = 10,
+    raw: bool = False,
+    bcknd: Optional[str] = None,
+    title: Optional[str] = None,
+):
+    """Tornado chart of a
+    :func:`~energybalancemodel_jl_tpu.sensitivity` result: the ``n``
+    most influential parameters as signed horizontal bars — elasticities
+    ``p * dg/dp`` by default (the :meth:`SensitivityResult.top` ranking),
+    raw gradients ``dg/dp`` with ``raw=True`` (use it when offset-scaled
+    parameters like the Kelvin melting point ``Tm`` dominate the
+    fractional ranking for no physical reason — the documented
+    elasticity caveat). Ensemble results draw the bar at the worst
+    (largest-magnitude) member with one dot per member on top, so the
+    member spread is visible. No reference analog (the reference has no
+    sensitivity machinery)."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    if not res.grads:
+        raise ValueError("the sensitivity result carries no gradients")
+    key = ((lambda k: res.grads[k]) if raw else res.elasticity)
+    rows = [(k, np.atleast_1d(np.asarray(key(k), dtype=np.float64)))
+            for k in res.grads]
+    rows.sort(key=lambda r: -float(np.max(np.abs(r[1]))))
+    rows = rows[:max(1, int(n))]
+    names = [k for k, _ in rows]
+    # bar at the member top() ranked by: the largest-|.| one
+    bar = np.asarray([v[int(np.argmax(np.abs(v)))] for _, v in rows])
+    y = np.arange(len(rows), dtype=np.float64)[::-1]  # strongest on top
+    fig, ax = plt.subplots(
+        figsize=(6.0, 0.45 * len(rows) + 1.5), constrained_layout=True)
+    ax.barh(y, bar, color=["tab:red" if b >= 0 else "tab:blue"
+                           for b in bar], alpha=0.75)
+    for yi, (_, v) in zip(y, rows):
+        if v.size > 1:  # ensemble: per-member spread
+            ax.plot(v, np.full(v.size, yi), linestyle="none", marker=".",
+                    color="black", markersize=5)
+    ax.axvline(0.0, color="black", linewidth=0.8)
+    ax.set_yticks(y)
+    ax.set_yticklabels(names)
+    ax.set_xlabel("dg/dp" if raw else "elasticity  p · dg/dp")
+    ax.set_title(title or f"Sensitivity of {res.of}")
     return fig
 
 

@@ -62,6 +62,13 @@ def main():
           f"{mean_E.grads['F']:+.3e} (>0: forcing warms), dg/dA = "
           f"{mean_E.grads['A']:+.3e} (<0: stronger OLR cools)")
 
+    # tornado chart of the ranking (raw=True to sidestep the Tm
+    # offset-scale caveat)
+    fig = ebm.plot_sensitivity(res, n=8)
+    out = os.path.join(os.path.dirname(__file__), "sensitivity.png")
+    fig.savefig(out, dpi=120)
+    print(f"\ntornado chart -> {out}")
+
 
 if __name__ == "__main__":
     main()

@@ -145,3 +145,60 @@ class TestSensitivityValidation:
         with pytest.raises(ValueError, match="wrt"):
             ebm.sensitivity("MIZ", ST, ebm.Forcing(0.0), par, init,
                             wrt=("nope",), **KW)
+
+
+class TestPlotSensitivity:
+    """plot_sensitivity renders tornado charts from synthetic results
+    (matplotlib Agg; the solve itself is covered above)."""
+
+    @staticmethod
+    def _synthetic(K=1):
+        rng = np.random.default_rng(3)
+        shape = () if K == 1 else (K,)
+        grads = ebm.Collection({
+            "A": rng.standard_normal(shape) - 2.0,
+            "D": rng.standard_normal(shape) + 5.0,
+            "Tm": rng.standard_normal(shape) * 0.01,
+            "F": rng.standard_normal(shape),
+        })
+        par = ebm.Collection(A=193.0, D=0.5, Tm=273.15)
+        value = 2.5 if K == 1 else np.full((K,), 2.5)
+        return ebm.SensitivityResult(of="ice_area", value=value,
+                                     grads=grads, par=par)
+
+    def test_solo_bars_and_ranking(self):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        res = self._synthetic()
+        fig = ebm.plot_sensitivity(res, n=3)
+        ax = fig.axes[0]
+        labels = [t.get_text() for t in ax.get_yticklabels()]
+        assert len(labels) == 3
+        assert labels[0] == res.top(1)[0][0]  # ranking agrees with top()
+        assert "elasticity" in ax.get_xlabel()
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+
+    def test_raw_mode_and_ensemble_dots(self):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+
+        res = self._synthetic(K=4)
+        fig = ebm.plot_sensitivity(res, raw=True)
+        ax = fig.axes[0]
+        assert "dg/dp" in ax.get_xlabel()
+        # one dot-line per parameter row (ensemble spread)
+        dot_lines = [ln for ln in ax.lines if ln.get_marker() == "."]
+        assert len(dot_lines) == len(res.grads)
+        # raw=True ranks by |gradient|: D's ~5 beats Tm's elasticity win
+        labels = [t.get_text() for t in ax.get_yticklabels()]
+        assert labels[0] == "D"
+        plt.close(fig)
+
+    def test_empty_grads_rejected(self):
+        res = ebm.SensitivityResult(of="ice_area", value=0.0,
+                                    grads=ebm.Collection(),
+                                    par=ebm.Collection())
+        with pytest.raises(ValueError, match="no gradients"):
+            ebm.plot_sensitivity(res)
