@@ -1080,9 +1080,11 @@ class StabilityResult:
     trace is ``history[:, k]``) and a trailing mode axis under
     ``n_modes``.
     ``converged`` marks members whose last two estimates agree to
-    ``rtol``; ``mode`` is the final unit ADJOINT mode (left singular
-    direction), a Collection shaped like the carry — inspecting which
-    leaves/cells carry its mass identifies the slow/unstable direction.
+    ``rtol``; ``mode`` is the final unit mode, a Collection shaped like
+    the carry — the ADJOINT (left) mode by default (which perturbations
+    the slow dynamics respond to), the RIGHT/physical growth pattern
+    under ``side="right"`` — inspecting which leaves/cells carry its
+    mass identifies the slow/unstable direction.
 
     ``eigenvalues`` are SIGNED eigenvalue estimates (Rayleigh–Ritz values
     of the final subspace): for ``n_modes=1`` the real Rayleigh quotient
@@ -1108,6 +1110,10 @@ class StabilityResult:
     rtol: float
     n_modes: int = 1
     eigenvalues: Optional[Union[float, complex, np.ndarray]] = None
+    # which operator was iterated: "adjoint" (J^T — mode is the left/
+    # sensitivity direction) or "right" (J — mode is the physical
+    # growth pattern); the spectrum estimates are side-invariant
+    side: str = "adjoint"
 
     def __repr__(self):
         if np.ndim(self.growth) == 0:
@@ -1134,7 +1140,8 @@ class StabilityResult:
 @functools.lru_cache(maxsize=32)
 def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                        m: int, keys_order: Tuple[str, ...],
-                       widths: Tuple[int, ...], project_keys: frozenset):
+                       widths: Tuple[int, ...], project_keys: frozenset,
+                       side: str = "adjoint"):
     """Jitted power/subspace-iteration chunk for :func:`stability`. The
     linearization point (carry), parameters, forcing row, and frozen mask
     enter as ARGUMENTS, not closure constants, so ONE compilation serves
@@ -1203,8 +1210,24 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
     def run(v, carry, par_j, frow_j, frozen, k, want_h):
         # linearize once per dispatch; J^T applications ride the residuals
         _, pb = jax.vjp(lambda c: year(c, par_j, frow_j)[0], carry)
-        apply = ((lambda u: pb(u)[0]) if m == 1
-                 else jax.vmap(lambda u: pb(u)[0]))
+
+        def pbl(u):
+            return pb(u)[0]
+
+        if side == "right":
+            # J v by TRANSPOSING the (linear) pullback — exact forward
+            # application of the year-map Jacobian without forward-mode,
+            # which the Newton solve's custom_vjp cannot provide
+            # (machine-precision vs dense jacrev, same cost class as a
+            # reverse year); iterates then converge to RIGHT (physical)
+            # eigenvectors instead of adjoint ones
+            lt = jax.linear_transpose(pbl, carry)
+
+            def base(u):
+                return lt(u)[0]
+        else:
+            base = pbl
+        apply = base if m == 1 else jax.vmap(base)
 
         def it(v, _):
             v, lam = fit(proj(apply(v), frozen))
@@ -1248,6 +1271,7 @@ def stability(
     newton_max_iter: int = 30,
     iters_per_dispatch: Optional[int] = None,
     mesh=None,
+    side: str = "adjoint",
 ) -> StabilityResult:
     """Linear stability of the YEAR map at a state: dominant ``|lambda|``
     of its Jacobian by reverse-mode power iteration.
@@ -1301,6 +1325,17 @@ def stability(
     to tell a monotone (positive real — fold-type) mode from a flipping
     (negative real) or rotating (complex pair, oscillatory) one; a
     dominant complex pair needs ``n_modes>=2`` to be captured at all.
+
+    ``side="right"`` iterates ``J`` itself instead of ``J^T`` — the
+    pullback is linear, so ``jax.linear_transpose`` recovers exact
+    ``J v`` products (machine precision vs dense ``jacrev``) even though
+    forward-mode cannot cross the Newton solve's ``custom_vjp``. The
+    spectrum estimates are identical either way; what changes is
+    ``mode``: the adjoint (default) mode is the left/SENSITIVITY
+    direction (which perturbations the slow dynamics respond to), the
+    right mode is the PHYSICAL growth pattern (what a trajectory's
+    deviation actually looks like as it grows or decays) — plot it over
+    the grid to see the instability's spatial structure.
 
     ``par`` leaves of shape ``(K,)`` make the run an ensemble exactly as in
     :func:`equilibrate` (the Jacobian is block-diagonal over members, so
@@ -1404,6 +1439,8 @@ def stability(
     m = int(n_modes)
     if m < 1:
         raise ValueError("n_modes must be >= 1")
+    if side not in ("adjoint", "right"):
+        raise ValueError(f"side must be 'adjoint' or 'right', got {side!r}")
     keys_order = tuple(sorted(carry.keys()))
     widths = tuple(int(carry[k].shape[-1]) for k in keys_order)
     if m > sum(widths):
@@ -1411,7 +1448,7 @@ def stability(
             f"n_modes={m} exceeds the state dimension {sum(widths)}"
         )
     run, prep = _stability_loop_fn(model, st, cfg, dtype.name, m,
-                                   keys_order, widths, project)
+                                   keys_order, widths, project, side)
 
     rng = np.random.default_rng(seed)
     rand = Collection({
@@ -1526,11 +1563,11 @@ def stability(
         return StabilityResult(
             growth=np.asarray(growth), history=history,
             converged=np.asarray(converged), mode=mode, rtol=float(rtol),
-            n_modes=m, eigenvalues=np.asarray(eig),
+            n_modes=m, eigenvalues=np.asarray(eig), side=side,
         )
     return StabilityResult(
         growth=float(growth), history=history, converged=bool(converged),
-        mode=mode, rtol=float(rtol), eigenvalues=float(eig),
+        mode=mode, rtol=float(rtol), eigenvalues=float(eig), side=side,
     )
 
 

@@ -240,7 +240,8 @@ def _read_fold(f: h5py.Group):
 
 def _write_stability(f: h5py.Group, res) -> None:
     f.attrs["__ebm_type__"] = "StabilityResult"
-    f.attrs.update(rtol=float(res.rtol), n_modes=int(res.n_modes))
+    f.attrs.update(rtol=float(res.rtol), n_modes=int(res.n_modes),
+                   side=str(res.side))
     f.create_dataset("growth", data=np.asarray(res.growth))
     f.create_dataset("history", data=np.asarray(res.history))
     f.create_dataset("converged", data=np.asarray(res.converged))
@@ -265,6 +266,7 @@ def _read_stability(f: h5py.Group):
         rtol=float(f.attrs["rtol"]),
         n_modes=int(f.attrs["n_modes"]),
         eigenvalues=eig,
+        side=str(f.attrs.get("side", "adjoint")),  # pre-side files
     )
 
 

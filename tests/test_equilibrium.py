@@ -654,6 +654,36 @@ class TestStabilityDenseOracle:
         np.testing.assert_allclose(np.sort(mags),
                                    np.sort(np.abs(dense[:3])), rtol=1e-2)
 
+    def test_right_side_matches_dense_and_gives_physical_mode(self):
+        """side='right' iterates J itself (jax.linear_transpose of the
+        linear pullback): the spectrum matches the adjoint side, and the
+        converged mode is a genuine RIGHT eigenvector — J v ~ lambda v
+        against the dense Jacobian, which the adjoint mode is NOT."""
+        st, base, init = classic_setup()
+        eq = ebm.equilibrate("Classic", st, ebm.Forcing(6.0), base, init,
+                             tol=0.5, max_years=300)
+        J, _, _ = self._dense_jac("Classic", st, ebm.Forcing(6.0), base,
+                                  eq.state)
+        lam = float(np.max(np.abs(np.linalg.eigvals(J))))
+        res = ebm.stability("Classic", st, ebm.Forcing(6.0), base,
+                            eq.state, n_iter=150, side="right")
+        assert res.side == "right"
+        np.testing.assert_allclose(res.growth, lam, rtol=2e-3)
+        v = np.concatenate([np.asarray(res.mode[k]).ravel()
+                            for k in sorted(res.mode.keys())])
+        resid = float(np.linalg.norm(J @ v - res.eigenvalues * v))
+        assert resid <= 2e-2 * lam, resid
+        # the adjoint mode is a LEFT eigenvector: J^T u ~ lambda u
+        adj = ebm.stability("Classic", st, ebm.Forcing(6.0), base,
+                            eq.state, n_iter=150)
+        u = np.concatenate([np.asarray(adj.mode[k]).ravel()
+                            for k in sorted(adj.mode.keys())])
+        resid_t = float(np.linalg.norm(J.T @ u - adj.eigenvalues * u))
+        assert resid_t <= 2e-2 * lam, resid_t
+        with pytest.raises(ValueError, match="side"):
+            ebm.stability("Classic", st, ebm.Forcing(6.0), base, eq.state,
+                          side="left")
+
     def test_nonfinite_state_reports_not_converged(self):
         """A divergent (NaN) linearization state — e.g. one level of a
         path that never converged — must come back as converged=False
@@ -692,6 +722,13 @@ class TestStabilityDenseOracle:
         mags = np.abs(res.eigenvalues)
         assert np.isfinite(mags).all()
         assert (mags[:, :-1] >= mags[:, 1:] - 1e-12).all()  # sorted
+        # right-side block iteration composes with ensembles (vmapped
+        # linear_transpose applications)
+        res_r = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                              n_iter=10, n_modes=2, side="right")
+        assert res_r.side == "right"
+        assert res_r.growth.shape == (2, 2)
+        assert np.isfinite(res_r.growth).all()
         # modes within a member are orthonormal
         v = np.concatenate([np.asarray(res.mode[k]) for k in
                             sorted(res.mode.keys())], axis=-1)  # (3, 2, n)

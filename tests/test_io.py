@@ -208,6 +208,7 @@ class TestAnalysisResultRoundTrip:
         np.testing.assert_array_equal(np.asarray(back.converged),
                                       np.asarray(stab.converged))
         assert back.n_modes == stab.n_modes and back.rtol == stab.rtol
+        assert back.side == stab.side
         assert back.eigenvalues is not None
         np.testing.assert_array_equal(np.asarray(back.eigenvalues),
                                       np.asarray(stab.eigenvalues))
