@@ -78,6 +78,16 @@ def main():
                 else "monotone" if lam.real >= 0 else "flipping")
         print(f"  lambda = {lam:.6g}  ({kind})")
 
+    # the PHYSICAL shape of the slowest mode: side="right" iterates J
+    # itself (linear_transpose of the pullback), so the mode is the
+    # spatial pattern a deviation actually takes as it decays
+    right = ebm.stability("Classic", stc, ebm.Forcing(6.0), base,
+                          eqc.state, n_iter=40, side="right")
+    E = np.asarray(right.mode["E"])
+    print(f"right (physical) mode: |E|-component peaks at grid cell "
+          f"{int(np.argmax(np.abs(E)))} of {stc.nx} "
+          f"(x = {stc.x[int(np.argmax(np.abs(E)))]:.2f})")
+
     # -- stability along a continuation path ------------------------------
     # one call classifies every level of a bifurcation branch, each
     # warm-started from the previous level's eigenvector

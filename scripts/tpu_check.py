@@ -227,6 +227,22 @@ def s_sensitivity():
     print(f"      {res!r}", flush=True)
 
 
+@stage("right-side (physical) stability modes on-chip")
+def s_right_side():
+    res = STATE["picard"]
+    r = ebm.stability("MIZ", ST, ebm.Forcing(0.0), PAR, res.state,
+                      n_iter=15, side="right", project=("Ew", "phi"))
+    assert r.side == "right"
+    g = np.atleast_1d(r.growth)
+    assert np.isfinite(g).all()
+    # the mode is a unit physical pattern per member
+    nrm = np.sqrt(sum((np.asarray(v) ** 2).sum(axis=-1)
+                      for v in r.mode.values()))
+    assert np.allclose(nrm, 1.0, atol=1e-3), nrm
+    print(f"      projected right-side growth: "
+          f"{np.array2string(g, precision=4)}", flush=True)
+
+
 @stage("fused integrate chunks (bench-shaped scan) stay finite")
 def s_integrate_chunks():
     st16 = ebm.SpaceTime.sin(16, 1000, 16)
@@ -242,10 +258,10 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     for fn in [s_claim, s_fused, s_batched, s_anderson, s_continuation,
                s_path_stability, s_projected, s_io, s_calibrate,
-               s_fold, s_sensitivity, s_integrate_chunks]:
+               s_fold, s_sensitivity, s_right_side, s_integrate_chunks]:
         fn()
-    n = 12 - len(FAILURES)
-    print(f"\n{n}/12 stages passed" + (
+    n = 13 - len(FAILURES)
+    print(f"\n{n}/13 stages passed" + (
         f"; FAILED: {FAILURES}" if FAILURES else " — on-chip validation OK"),
         flush=True)
     sys.exit(1 if FAILURES else 0)

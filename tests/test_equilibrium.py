@@ -1069,6 +1069,13 @@ class TestStabilityMesh:
         assert c.growth.shape == (8, 2)
         assert np.isfinite(c.growth).all()
 
+        # side="right" (linear_transpose applications) partitions too
+        d = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                          n_iter=15, mesh=ensemble_mesh(8), side="right")
+        e = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
+                          n_iter=15, side="right")
+        np.testing.assert_allclose(d.history, e.history, rtol=1e-9)
+
         with pytest.raises(ValueError, match="mesh= needs an ensemble"):
             ebm.stability("MIZ", st, ebm.Forcing(0.0),
                           ebm.default_parameters("MIZ"),

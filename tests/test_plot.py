@@ -11,6 +11,16 @@ import energybalancemodel_jl_tpu as ebm
 from energybalancemodel_jl_tpu.plot import Layout, classic_layout, miz_layout
 
 
+@pytest.fixture(autouse=True)
+def _close_figures():
+    """pyplot retains every figure until closed; 40+ tests each rendering
+    one tripped matplotlib's 20-figure memory warning."""
+    yield
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
 @pytest.fixture(scope="module")
 def miz_sols():
     st = ebm.SpaceTime.sin(12, 400, 3)
