@@ -1239,16 +1239,17 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             # subspace feeds the Ritz values, so skip the extra reverse
             # year here (it is a jit output — XLA could not DCE it)
             return v, lams, None
-        # Rayleigh–Ritz: project J^T onto the final orthonormal block.
-        # eig(H) are SIGNED/complex eigenvalue estimates (J and J^T share
-        # their spectrum, and |diag R| only ever reports moduli) at the
-        # cost of one extra reverse year.
+        # Rayleigh–Ritz: project the iterated operator (J^T, or J under
+        # side="right") onto the final orthonormal block. eig(H) are
+        # SIGNED/complex eigenvalue estimates (J and J^T share their
+        # spectrum, and |diag R| only ever reports moduli) at the cost
+        # of one extra reverse year.
         xv = to_mat(v)
         xw = to_mat(proj(apply(v), frozen))
         if m == 1:
             h = jnp.sum(xv * xw, axis=-1)  # () solo, (K,) ensemble
         else:
-            # H[..., i, j] = <v_i, J^T v_j>; (m, m) solo, (K, m, m)
+            # H[..., i, j] = <v_i, apply(v_j)>; (m, m) solo, (K, m, m)
             h = jnp.einsum("i...n,j...n->...ij", xv, xw)
         return v, lams, h
 

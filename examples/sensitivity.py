@@ -64,7 +64,7 @@ def main():
 
     # tornado chart of the ranking (raw=True to sidestep the Tm
     # offset-scale caveat)
-    fig = ebm.plot_sensitivity(res, n=8)
+    fig = ebm.plot_sensitivity(res, n=8, raw=True)
     out = os.path.join(os.path.dirname(__file__), "sensitivity.png")
     fig.savefig(out, dpi=120)
     print(f"\ntornado chart -> {out}")

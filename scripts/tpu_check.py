@@ -256,12 +256,13 @@ def s_integrate_chunks():
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    for fn in [s_claim, s_fused, s_batched, s_anderson, s_continuation,
-               s_path_stability, s_projected, s_io, s_calibrate,
-               s_fold, s_sensitivity, s_right_side, s_integrate_chunks]:
+    stages = [s_claim, s_fused, s_batched, s_anderson, s_continuation,
+              s_path_stability, s_projected, s_io, s_calibrate,
+              s_fold, s_sensitivity, s_right_side, s_integrate_chunks]
+    for fn in stages:
         fn()
-    n = 13 - len(FAILURES)
-    print(f"\n{n}/13 stages passed" + (
+    n = len(stages) - len(FAILURES)
+    print(f"\n{n}/{len(stages)} stages passed" + (
         f"; FAILED: {FAILURES}" if FAILURES else " — on-chip validation OK"),
         flush=True)
     sys.exit(1 if FAILURES else 0)
