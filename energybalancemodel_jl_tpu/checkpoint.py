@@ -37,6 +37,7 @@ __all__ = [
     "config_key", "resume_state", "year_writer",
     "write_eq_checkpoint", "read_eq_checkpoint",
     "write_cont_checkpoint", "read_cont_checkpoint",
+    "write_fold_checkpoint", "read_fold_checkpoint",
 ]
 
 _FORMAT = 1
@@ -195,6 +196,61 @@ def read_cont_checkpoint(path: str):
                 else [f"{i:08d}" for i in range(int(n))])
         results = [_read_equilibrium(g[k]) for k in keys]
         return results, str(f.attrs["config_key"])
+
+
+def write_fold_checkpoint(path, config_key, anchor, lo, hi, history,
+                          survived, conv, ref_on, ref_off) -> str:
+    """Checkpoint of a :func:`~energybalancemodel_jl_tpu.fold` search:
+    the converged anchor (io.py equilibrium schema), the current
+    per-member brackets, the per-step histories, and — under the default
+    classifier — the two evolving ice-area references. Everything a
+    probe's outcome depends on is in the file, so a resume replays the
+    remaining bisection steps bit-exactly. The state is a few KB;
+    each write is a whole-file tmp+rename (atomic against interruption)."""
+    from .io import _write_equilibrium
+
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.attrs["__ebm_type__"] = "FoldCheckpoint"
+        f.attrs["format"] = _FORMAT
+        f.attrs["config_key"] = config_key
+        f.attrs["n_done"] = int(np.shape(history)[0])
+        f.create_dataset("lo", data=np.asarray(lo, dtype=np.float64))
+        f.create_dataset("hi", data=np.asarray(hi, dtype=np.float64))
+        f.create_dataset("history", data=np.asarray(history))
+        f.create_dataset("survived", data=np.asarray(survived))
+        f.create_dataset("probe_converged", data=np.asarray(conv))
+        if ref_on is not None:
+            f.create_dataset("ref_on",
+                             data=np.asarray(ref_on, dtype=np.float64))
+            f.create_dataset("ref_off",
+                             data=np.asarray(ref_off, dtype=np.float64))
+        _write_equilibrium(f.create_group("anchor"), anchor)
+    os.replace(tmp, path)
+    return path
+
+
+def read_fold_checkpoint(path: str):
+    """Read a fold checkpoint; returns ``(state_dict, config_key)``. The
+    ``n_done`` attribute gates how many bisection steps the histories
+    hold (the writer is atomic, so no orphan handling is needed)."""
+    from .io import _read_equilibrium
+
+    with h5py.File(path, "r") as f:
+        if f.attrs.get("__ebm_type__") != "FoldCheckpoint":
+            raise ValueError(f"{path} is not a fold checkpoint")
+        n = int(f.attrs["n_done"])
+        out = dict(
+            lo=np.asarray(f["lo"]),
+            hi=np.asarray(f["hi"]),
+            history=np.asarray(f["history"])[:n],
+            survived=np.asarray(f["survived"], dtype=bool)[:n],
+            conv=np.asarray(f["probe_converged"], dtype=bool)[:n],
+            ref_on=np.asarray(f["ref_on"]) if "ref_on" in f else None,
+            ref_off=np.asarray(f["ref_off"]) if "ref_off" in f else None,
+            anchor=_read_equilibrium(f["anchor"]),
+        )
+        return out, str(f.attrs["config_key"])
 
 
 def config_key(prefix, model, st, forcing, par, dtype_name, solver,

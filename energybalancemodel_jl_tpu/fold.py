@@ -125,6 +125,8 @@ def fold(
     tol: float = 1e-2,
     max_years: int = 300,
     progress: bool = False,
+    checkpoint: Optional[str] = None,
+    resume: bool = False,
     **equilibrate_kwargs,
 ) -> FoldResult:
     """Locate the fold where a solution branch ends, per ensemble member.
@@ -163,6 +165,20 @@ def fold(
     anchor) to seed its on-branch reference AT the current bracket —
     the reused anchor may sit far up the branch, and a stale reference
     near the fold would misclassify the whole refinement.
+
+    ``checkpoint=`` names a file that records the search state after the
+    anchoring/bracket-verification stage and again after every completed
+    bisection step (brackets, per-step histories, the classifier's
+    evolving references, and the anchor itself — atomic whole-file
+    writes, the state is KBs); ``resume=True`` reloads it and replays
+    only the remaining steps, bit-exactly identical to an uninterrupted
+    run. ``steps`` is deliberately EXCLUDED from the config fingerprint,
+    so a resume may extend the refinement (more steps than the original
+    call); everything that changes a probe's outcome (model, grid,
+    parameters, forcing, brackets, tolerances, classifier kind,
+    equilibrate options) is covered, and a mismatch warns and restarts.
+    A custom ``predicate`` cannot be fingerprinted — pass the same one
+    when resuming.
 
     All remaining keywords (``engine``/``mesh``/``dtype``/``anderson``/
     ...) pass through to :func:`equilibrate`; on TPU each probe runs the
@@ -210,19 +226,89 @@ def fold(
     if anchor is None and init is None:
         raise ValueError("fold needs init= (or a reused anchor=)")
 
+    ckpt_key = None
+    if checkpoint is not None or resume:
+        if checkpoint is None:
+            raise ValueError("resume=True needs checkpoint=<path>")
+        import hashlib
+
+        from . import checkpoint as ckpt_mod
+
+        def _dig(a):
+            b = np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+            return hashlib.sha1(b.tobytes()).hexdigest()[:16]
+
+        kw = ",".join(f"{k}={equilibrate_kwargs[k]!r}"
+                      for k in sorted(equilibrate_kwargs))
+        # steps deliberately excluded: a resume may EXTEND the refinement
+        ckpt_key = ckpt_mod.config_key(
+            "fold", model, st, forcing, par,
+            str(equilibrate_kwargs.get("dtype", "auto")), "",
+            int(equilibrate_kwargs.get("newton_max_iter", 30)),
+            extras=(f"vary={vary}", f"lo#{_dig(lo)}", f"hi#{_dig(hi)}",
+                    f"jt={float(jump_tol)}", f"season={season}",
+                    f"cl={'default' if default_classifier else 'custom'}",
+                    f"chk={bool(check_lo)}", f"tol={float(tol)}",
+                    f"maxy={int(max_years)}",
+                    f"kw={hashlib.sha1(kw.encode()).hexdigest()[:16]}"),
+        )
+
+    resumed = None
+    if resume:
+        import os
+        import warnings
+
+        from . import checkpoint as ckpt_mod
+
+        try:
+            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
+                                           kind="FoldCheckpoint"):
+                resumed = ckpt_mod.read_fold_checkpoint(checkpoint)[0]
+        except (OSError, ValueError):  # torn/corrupt file: start fresh
+            resumed = None
+        if resumed is None and os.path.exists(checkpoint):
+            warnings.warn(
+                f"Checkpoint {checkpoint} does not match this fold "
+                "search's configuration; starting fresh."
+            )
+        if resumed is not None and default_classifier \
+                and resumed["ref_on"] is None:
+            resumed = None  # refs missing: unusable for this classifier
+
+    s_done = 0
+    if resumed is not None:
+        # the file holds everything a probe depends on: skip the anchor
+        # solve, the hi re-probe, and the lo check entirely
+        anchor = resumed["anchor"]
+        lo = np.asarray(resumed["lo"], dtype=np.float64)
+        hi = np.asarray(resumed["hi"], dtype=np.float64)
+        s_done = int(resumed["history"].shape[0])
+        if s_done >= steps:  # already refined this far: report the slice
+            h = resumed["history"][:steps]
+            return FoldResult(
+                lo=h[-1, 0], hi=h[-1, 1], history=h,
+                survived=resumed["survived"][:steps],
+                probe_converged=resumed["conv"][:steps],
+                vary=vary, anchor=anchor, spacetime=st, par=par)
+
     prog = None
     if progress:
         from .utils.progress import Progress
 
-        total = (int(anchor is None)
-                 + int(anchor is not None and default_classifier)
-                 + int(bool(check_lo)) + steps)
+        if resumed is not None:
+            total = steps - s_done
+            first = f"resumed after step {s_done}"
+        else:
+            total = (int(anchor is None)
+                     + int(anchor is not None and default_classifier)
+                     + int(bool(check_lo)) + steps)
+            first = ("anchoring the branch at hi"
+                     if anchor is None else "anchor reused")
         prog = Progress(
             total, title=f"Fold ({vary})",
             infofeed=lambda msg: msg,
         )
-        prog.update(0, feedargs=("anchoring the branch at hi"
-                                 if anchor is None else "anchor reused",))
+        prog.update(0, feedargs=(first,))
     done = [0]
 
     def tick(msg):
@@ -230,54 +316,59 @@ def fold(
             done[0] += 1
             prog.update(done[0], feedargs=(msg,))
 
-    if anchor is None:
-        anchor = solve(hi, init)
-        tick_anchor = True
-    else:
-        a_shape = np.shape(next(iter(anchor.state.values())))
-        if len(a_shape) > 1 and a_shape[0] != K:
-            raise ValueError(
-                f"reused anchor carries {a_shape[0]} members, the search "
-                f"has {K}")
-        tick_anchor = False
-    if not np.all(anchor.converged):
-        bad = np.flatnonzero(~np.atleast_1d(anchor.converged))
-        raise ValueError(
-            f"anchor equilibration at hi did not converge for members "
-            f"{bad.tolist()} ({anchor!r}) — the branch reference state "
-            f"must be trusted; raise max_years or move hi")
-    if tick_anchor:
-        tick("anchor converged")
-
     ref_on = ref_off = None
-    if default_classifier:
+    if resumed is not None:
+        ref_on, ref_off = resumed["ref_on"], resumed["ref_off"]
+    else:
+        if anchor is None:
+            anchor = solve(hi, init)
+            tick_anchor = True
+        else:
+            a_shape = np.shape(next(iter(anchor.state.values())))
+            if len(a_shape) > 1 and a_shape[0] != K:
+                raise ValueError(
+                    f"reused anchor carries {a_shape[0]} members, the "
+                    f"search has {K}")
+            tick_anchor = False
+        if not np.all(anchor.converged):
+            bad = np.flatnonzero(~np.atleast_1d(anchor.converged))
+            raise ValueError(
+                f"anchor equilibration at hi did not converge for members "
+                f"{bad.tolist()} ({anchor!r}) — the branch reference state "
+                f"must be trusted; raise max_years or move hi")
         if tick_anchor:
-            ref_on = area_of(anchor)
-        else:
-            # a reused anchor may sit far up the branch (its hi differs
-            # from this bracket's): seed the on-branch reference from a
-            # probe AT the current hi, or a stale reference near the
-            # fold misclassifies every refinement probe (review r7)
-            ref_on = area_of(solve(hi, anchor.state))
-            tick("hi re-probed for the on-branch reference")
-    if check_lo:
-        probe = solve(lo, anchor.state)
+            tick("anchor converged")
+
         if default_classifier:
-            ref_off = area_of(probe)
-            still = np.flatnonzero(np.abs(ref_off - ref_on) < jump_tol)
-            msg = (f"ice-area separation between the hi and lo states is "
-                   f"below jump_tol={jump_tol:g} for members "
-                   "{m} — either the branch still survives at lo, or the "
-                   "two attractors are indistinguishable in ice area "
-                   "(pass predicate= for a different diagnostic)")
-        else:
-            still = np.flatnonzero(np.atleast_1d(predicate(probe, anchor)))
-            msg = ("the branch still survives at lo for members {m} — "
-                   "the fold is not inside [lo, hi]; widen the bracket "
-                   "(or the branch has no fold there)")
-        if still.size:
-            raise ValueError(msg.format(m=still.tolist()))
-        tick("lo verified off-branch")
+            if tick_anchor:
+                ref_on = area_of(anchor)
+            else:
+                # a reused anchor may sit far up the branch (its hi
+                # differs from this bracket's): seed the on-branch
+                # reference from a probe AT the current hi, or a stale
+                # reference near the fold misclassifies every refinement
+                # probe (review r7)
+                ref_on = area_of(solve(hi, anchor.state))
+                tick("hi re-probed for the on-branch reference")
+        if check_lo:
+            probe = solve(lo, anchor.state)
+            if default_classifier:
+                ref_off = area_of(probe)
+                still = np.flatnonzero(np.abs(ref_off - ref_on) < jump_tol)
+                msg = (f"ice-area separation between the hi and lo states "
+                       f"is below jump_tol={jump_tol:g} for members "
+                       "{m} — either the branch still survives at lo, or "
+                       "the two attractors are indistinguishable in ice "
+                       "area (pass predicate= for a different diagnostic)")
+            else:
+                still = np.flatnonzero(
+                    np.atleast_1d(predicate(probe, anchor)))
+                msg = ("the branch still survives at lo for members {m} — "
+                       "the fold is not inside [lo, hi]; widen the "
+                       "bracket (or the branch has no fold there)")
+            if still.size:
+                raise ValueError(msg.format(m=still.tolist()))
+            tick("lo verified off-branch")
 
     def classify(probe):
         nonlocal ref_on, ref_off
@@ -298,7 +389,26 @@ def fold(
     history = np.empty((steps, 2, K))
     survived_hist = np.empty((steps, K), dtype=bool)
     conv_hist = np.empty((steps, K), dtype=bool)
-    for s in range(steps):
+    if s_done:
+        history[:s_done] = resumed["history"]
+        survived_hist[:s_done] = resumed["survived"]
+        conv_hist[:s_done] = resumed["conv"]
+
+    def write_ckpt(n):
+        if ckpt_key is None:
+            return
+        from . import checkpoint as ckpt_mod
+
+        ckpt_mod.write_fold_checkpoint(
+            checkpoint, ckpt_key, anchor, lo, hi, history[:n],
+            survived_hist[:n], conv_hist[:n], ref_on, ref_off)
+
+    if resumed is None:
+        # record the anchoring/verification stage so an interruption in
+        # step 1 does not repeat those solves on resume
+        write_ckpt(0)
+
+    for s in range(s_done, steps):
         mid = 0.5 * (lo + hi)
         probe = solve(mid, anchor.state)
         survived = classify(probe)
@@ -308,6 +418,7 @@ def fold(
         survived_hist[s] = survived
         conv_hist[s] = np.broadcast_to(
             np.atleast_1d(probe.converged), (K,))
+        write_ckpt(s + 1)
         tick(f"step {s + 1}/{steps}: max width "
              f"{float(np.abs(hi - lo).max()):.4g}")
 

@@ -230,3 +230,61 @@ class TestFoldValidation:
         with pytest.raises(ValueError, match="survives at lo"):
             ebm.fold("Classic", ST, par, init, lo=19.0, hi=HI, steps=1,
                      tol=0.5, max_years=120)
+
+
+class TestFoldCheckpoint:
+    """fold(checkpoint=, resume=): the remaining bisection steps of a
+    resumed search are bit-exact vs an uninterrupted run; extending the
+    refinement (more steps) and key mismatches behave as documented."""
+
+    KW = dict(tol=0.5, max_years=120)
+
+    def _run(self, **kw):
+        par, init = _init()
+        par["D"] = D_VALS
+        return ebm.fold("Classic", ST, par, init, lo=LO, hi=HI, **kw)
+
+    def test_resume_is_bit_exact_and_extends(self, tmp_path):
+        ckpt = str(tmp_path / "fold.ckpt.h5")
+        full = self._run(steps=STEPS, **self.KW)
+        short = self._run(steps=2, checkpoint=ckpt, **self.KW)
+        # resume continues AND extends (steps excluded from the key)
+        res = self._run(steps=STEPS, checkpoint=ckpt, resume=True,
+                        **self.KW)
+        np.testing.assert_array_equal(res.history, full.history)
+        np.testing.assert_array_equal(res.survived, full.survived)
+        np.testing.assert_array_equal(res.lo, full.lo)
+        np.testing.assert_array_equal(res.hi, full.hi)
+        np.testing.assert_array_equal(short.history,
+                                      full.history[:2])
+        # anchor state round-tripped through the file bit-exactly
+        for k in full.anchor.state:
+            np.testing.assert_array_equal(
+                np.asarray(res.anchor.state[k]),
+                np.asarray(full.anchor.state[k]))
+
+    def test_resume_of_finished_run_truncates(self, tmp_path):
+        ckpt = str(tmp_path / "fold.ckpt.h5")
+        full = self._run(steps=STEPS, checkpoint=ckpt, **self.KW)
+        # fewer steps than recorded: the slice is returned, no solves
+        res = self._run(steps=2, checkpoint=ckpt, resume=True, **self.KW)
+        np.testing.assert_array_equal(res.history, full.history[:2])
+        np.testing.assert_array_equal(res.lo, full.history[1, 0])
+        np.testing.assert_array_equal(res.hi, full.history[1, 1])
+
+    def test_key_mismatch_warns_and_restarts(self, tmp_path):
+        ckpt = str(tmp_path / "fold.ckpt.h5")
+        self._run(steps=2, checkpoint=ckpt, **self.KW)
+        par, init = _init()
+        par["D"] = D_VALS
+        with pytest.warns(UserWarning, match="does not match"):
+            res = ebm.fold("Classic", ST, par, init, lo=LO - 2.0, hi=HI,
+                           steps=2, checkpoint=ckpt, resume=True,
+                           **self.KW)
+        assert res.history.shape[0] == 2
+
+    def test_resume_needs_checkpoint_path(self):
+        par, init = _init()
+        with pytest.raises(ValueError, match="needs checkpoint"):
+            ebm.fold("Classic", ST, par, init, lo=LO, hi=HI, steps=2,
+                     resume=True, **self.KW)
