@@ -63,14 +63,18 @@ from .equilibrium import (ContinuationResult, EquilibriumResult,  # noqa: E402
                           StabilityResult, continuation, equilibrate,
                           stability)
 from .fold import FoldResult, fold  # noqa: E402
+from .basins import (BasinResult, EdgeResult, basins, blend_states,  # noqa: E402
+                     edge, stack_states)
 from .sensitivity import SensitivityResult, sensitivity  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
     backend,
     plot_avg,
+    plot_basins,
     plot_bifurcation,
     plot_continuation,
+    plot_edge,
     plot_fold,
     plot_sensitivity,
     plot_raw,
@@ -108,6 +112,8 @@ __all__ = [
     "plot_bifurcation",
     "plot_continuation",
     "plot_fold",
+    "plot_edge",
+    "plot_basins",
     "plot_sensitivity",
     "Progress",
     "update",
@@ -122,6 +128,12 @@ __all__ = [
     "EquilibriumResult",
     "fold",
     "FoldResult",
+    "basins",
+    "BasinResult",
+    "edge",
+    "EdgeResult",
+    "blend_states",
+    "stack_states",
     "sensitivity",
     "SensitivityResult",
 ]

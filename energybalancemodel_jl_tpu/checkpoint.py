@@ -38,6 +38,7 @@ __all__ = [
     "write_eq_checkpoint", "read_eq_checkpoint",
     "write_cont_checkpoint", "read_cont_checkpoint",
     "write_fold_checkpoint", "read_fold_checkpoint",
+    "write_edge_checkpoint", "read_edge_checkpoint",
 ]
 
 _FORMAT = 1
@@ -249,6 +250,57 @@ def read_fold_checkpoint(path: str):
             ref_on=np.asarray(f["ref_on"]) if "ref_on" in f else None,
             ref_off=np.asarray(f["ref_off"]) if "ref_off" in f else None,
             anchor=_read_equilibrium(f["anchor"]),
+        )
+        return out, str(f.attrs["config_key"])
+
+
+def write_edge_checkpoint(path, config_key, result_a, result_b, area_a,
+                          area_b, wa, wb, history, in_a, conv) -> str:
+    """Checkpoint of an :func:`~energybalancemodel_jl_tpu.basins.edge`
+    search: the two converged endpoint attractors (io.py equilibrium
+    schema), their classification reference areas, the current
+    per-member weight brackets, and the per-step histories. Everything a
+    probe's outcome depends on is in the file, so a resume replays the
+    remaining bisection steps bit-exactly and never re-pays the endpoint
+    solves. Atomic whole-file tmp+rename writes, like the fold writer."""
+    from .io import _write_equilibrium
+
+    tmp = path + ".tmp"
+    with h5py.File(tmp, "w") as f:
+        f.attrs["__ebm_type__"] = "EdgeCheckpoint"
+        f.attrs["format"] = _FORMAT
+        f.attrs["config_key"] = config_key
+        f.attrs["n_done"] = int(np.shape(history)[0])
+        for name, arr in (("wa", wa), ("wb", wb),
+                          ("area_a", area_a), ("area_b", area_b)):
+            f.create_dataset(name, data=np.asarray(arr, dtype=np.float64))
+        f.create_dataset("history", data=np.asarray(history))
+        f.create_dataset("in_a", data=np.asarray(in_a))
+        f.create_dataset("probe_converged", data=np.asarray(conv))
+        _write_equilibrium(f.create_group("result_a"), result_a)
+        _write_equilibrium(f.create_group("result_b"), result_b)
+    os.replace(tmp, path)
+    return path
+
+
+def read_edge_checkpoint(path: str):
+    """Read an edge checkpoint; returns ``(state_dict, config_key)``."""
+    from .io import _read_equilibrium
+
+    with h5py.File(path, "r") as f:
+        if f.attrs.get("__ebm_type__") != "EdgeCheckpoint":
+            raise ValueError(f"{path} is not an edge checkpoint")
+        n = int(f.attrs["n_done"])
+        out = dict(
+            wa=np.asarray(f["wa"]),
+            wb=np.asarray(f["wb"]),
+            area_a=np.asarray(f["area_a"]),
+            area_b=np.asarray(f["area_b"]),
+            history=np.asarray(f["history"])[:n],
+            in_a=np.asarray(f["in_a"], dtype=bool)[:n],
+            conv=np.asarray(f["probe_converged"], dtype=bool)[:n],
+            result_a=_read_equilibrium(f["result_a"]),
+            result_b=_read_equilibrium(f["result_b"]),
         )
         return out, str(f.attrs["config_key"])
 

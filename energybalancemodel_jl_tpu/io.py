@@ -238,6 +238,71 @@ def _read_fold(f: h5py.Group):
     )
 
 
+def _write_basins(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "BasinResult"
+    f.attrs.update(season=str(res.season), gap=float(res.gap))
+    f.create_dataset("labels", data=np.asarray(res.labels))
+    f.create_dataset("areas", data=np.asarray(res.areas))
+    f.create_dataset("centroids", data=np.asarray(res.centroids))
+    f.create_dataset("counts", data=np.asarray(res.counts))
+    _write_spacetime(f, res.spacetime)
+    _write_equilibrium(f.create_group("result"), res.result)
+    if res.par is not None:
+        _write_collection(f.create_group("par"), res.par)
+
+
+def _read_basins(f: h5py.Group):
+    from .basins import BasinResult
+
+    return BasinResult(
+        labels=np.asarray(f["labels"]),
+        areas=np.asarray(f["areas"]),
+        centroids=np.asarray(f["centroids"]),
+        counts=np.asarray(f["counts"]),
+        season=str(f.attrs["season"]),
+        gap=float(f.attrs["gap"]),
+        result=_read_equilibrium(f["result"]),
+        spacetime=_read_spacetime(f),
+        par=_read_collection(f["par"]) if "par" in f else None,
+    )
+
+
+def _write_edge(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "EdgeResult"
+    f.attrs["season"] = str(res.season)
+    for name in ("wa", "wb", "history", "in_a", "probe_converged",
+                 "area_a", "area_b"):
+        f.create_dataset(name, data=np.asarray(getattr(res, name)))
+    _write_spacetime(f, res.spacetime)
+    _write_collection(f.create_group("a"), res.a)
+    _write_collection(f.create_group("b"), res.b)
+    _write_equilibrium(f.create_group("result_a"), res.result_a)
+    _write_equilibrium(f.create_group("result_b"), res.result_b)
+    if res.par is not None:
+        _write_collection(f.create_group("par"), res.par)
+
+
+def _read_edge(f: h5py.Group):
+    from .basins import EdgeResult
+
+    return EdgeResult(
+        wa=np.asarray(f["wa"]),
+        wb=np.asarray(f["wb"]),
+        history=np.asarray(f["history"]),
+        in_a=np.asarray(f["in_a"]),
+        probe_converged=np.asarray(f["probe_converged"]),
+        area_a=np.asarray(f["area_a"]),
+        area_b=np.asarray(f["area_b"]),
+        a=_read_collection(f["a"]),
+        b=_read_collection(f["b"]),
+        result_a=_read_equilibrium(f["result_a"]),
+        result_b=_read_equilibrium(f["result_b"]),
+        spacetime=_read_spacetime(f),
+        season=str(f.attrs["season"]),
+        par=_read_collection(f["par"]) if "par" in f else None,
+    )
+
+
 def _write_stability(f: h5py.Group, res) -> None:
     f.attrs["__ebm_type__"] = "StabilityResult"
     f.attrs.update(rtol=float(res.rtol), n_modes=int(res.n_modes),
@@ -326,6 +391,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             return path
     except ImportError:  # pragma: no cover
         pass
+    from .basins import BasinResult, EdgeResult
     from .equilibrium import (ContinuationResult, EquilibriumResult,
                               StabilityResult)
     from .fold import FoldResult
@@ -343,6 +409,10 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_continuation(f, obj)
         elif isinstance(obj, FoldResult):
             _write_fold(f, obj)
+        elif isinstance(obj, BasinResult):
+            _write_basins(f, obj)
+        elif isinstance(obj, EdgeResult):
+            _write_edge(f, obj)
         elif isinstance(obj, StabilityResult):
             _write_stability(f, obj)
         elif isinstance(obj, SensitivityResult):
@@ -394,6 +464,10 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_continuation(f)
         if tag == "FoldResult":
             return _read_fold(f)
+        if tag == "BasinResult":
+            return _read_basins(f)
+        if tag == "EdgeResult":
+            return _read_edge(f)
         if tag == "StabilityResult":
             return _read_stability(f)
         if tag == "SensitivityResult":

@@ -36,6 +36,8 @@ __all__ = [
     "plot_bifurcation",
     "plot_continuation",
     "plot_fold",
+    "plot_edge",
+    "plot_basins",
     "plot_sensitivity",
     "miz_layout",
     "classic_layout",
@@ -492,6 +494,101 @@ def plot_fold(
     ax.set_xlabel(xlabel or xl)
     ax.set_ylabel(f"{res.vary}*")
     ax.set_title(title or f"Fold location {res.vary}*")
+    if ax.get_legend_handles_labels()[1]:
+        ax.legend()
+    return fig
+
+
+def plot_edge(
+    res,
+    against: Optional[str] = None,
+    bcknd: Optional[str] = None,
+    title: Optional[str] = None,
+    xlabel: Optional[str] = None,
+):
+    """Basin-boundary curve from an
+    :func:`~energybalancemodel_jl_tpu.basins.edge` result: each member's
+    boundary-crossing weight ``w*`` along the ``a -> b`` line with its
+    final bracket as the error bar, against the second parameter —
+    ``against`` names a key of the parameter Collection stored on the
+    result (e.g. ``"F"`` for the boundary's motion with forcing) — or
+    the member index when omitted. Members with an unconverged probe
+    (``~res.ok``) are marked with a black 'x'."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    v = np.asarray(res.values, dtype=np.float64)
+    K = len(v)
+    if against is not None:
+        if res.par is None or against not in res.par:
+            raise ValueError(
+                f"against {against!r} is not a key of the result's stored "
+                f"parameters ({sorted(res.par) if res.par is not None else 'none stored'})")
+        x = np.broadcast_to(
+            np.asarray(res.par[against], dtype=np.float64), (K,))
+        xl = against
+    else:
+        x = np.arange(K, dtype=np.float64)
+        xl = "member"
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    ax.errorbar(x, v, yerr=np.vstack([v - res.wa, res.wb - v]), fmt="o-",
+                color="tab:purple", capsize=3, markersize=4,
+                label="w* (bracket)")
+    bad = ~np.asarray(res.ok)
+    if bad.any():
+        ax.plot(x[bad], v[bad], linestyle="none", marker="x",
+                color="black", markersize=9, label="unconverged probe")
+    ax.set_ylim(-0.02, 1.02)
+    ax.set_xlabel(xlabel or xl)
+    ax.set_ylabel("boundary weight w*  (0 = a,  1 = b)")
+    ax.set_title(title or "Basin boundary along the a → b line")
+    if ax.get_legend_handles_labels()[1]:
+        ax.legend()
+    return fig
+
+
+def plot_basins(
+    res,
+    x=None,
+    bcknd: Optional[str] = None,
+    title: Optional[str] = None,
+    xlabel: Optional[str] = None,
+):
+    """Basin map from a :func:`~energybalancemodel_jl_tpu.basins.basins`
+    result: each member's equilibrium ice area against ``x`` (any
+    per-member coordinate, e.g. the blend weights the initial family was
+    built from; member index when omitted), colored by attractor label,
+    with dashed lines at the attractor centroids. Unconverged members
+    (label ``-1``) are marked with a black 'x' at their final area."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    areas = np.asarray(res.areas, dtype=np.float64)
+    K = len(areas)
+    if x is None:
+        x = np.arange(K, dtype=np.float64)
+        xl = "member"
+    else:
+        x = np.broadcast_to(np.asarray(x, dtype=np.float64), (K,))
+        xl = "initial condition"
+    fig, ax = plt.subplots(figsize=(6.0, 4.5), constrained_layout=True)
+    cmap = plt.get_cmap("tab10")
+    for lab in range(res.n_basins):
+        sel = np.asarray(res.labels) == lab
+        ax.plot(x[sel], areas[sel], linestyle="none", marker="o",
+                color=cmap(lab % 10), markersize=5,
+                label=f"attractor {lab} (area {res.centroids[lab]:.2f})")
+        ax.axhline(res.centroids[lab], color=cmap(lab % 10),
+                   linestyle="--", linewidth=0.8, alpha=0.6)
+    bad = np.asarray(res.labels) < 0
+    if bad.any():
+        ax.plot(x[bad], areas[bad], linestyle="none", marker="x",
+                color="black", markersize=9, label="unconverged")
+    ax.set_xlabel(xlabel or xl)
+    ax.set_ylabel(f"ice area ({res.season})")
+    ax.set_title(title or "Basins of attraction")
     if ax.get_legend_handles_labels()[1]:
         ax.legend()
     return fig

@@ -208,6 +208,24 @@ def s_fold():
     print(f"      {res!r}", flush=True)
 
 
+@stage("basin-boundary bisection composes with the fused engine")
+def s_edge():
+    st = ebm.SpaceTime.sin(16, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    par["F"] = np.array([8.0, 12.0])
+    cw = float(par["cw"])
+    warm = ebm.Collection(E=np.full(st.nx, 40.0),
+                          Tg=np.full(st.nx, 40.0 / cw))
+    cold = ebm.Collection(E=np.full(st.nx, -300.0),
+                          Tg=np.full(st.nx, -300.0 / cw))
+    res = ebm.edge("Classic", st, par, warm, cold, forcing=0.0, steps=4,
+                   tol=0.5, max_years=200)
+    assert res.ok.all(), res
+    assert np.allclose(res.width, 2.0 ** -4), res.width
+    assert np.all((0.0 < res.values) & (res.values < 1.0)), res
+    print(f"      {res!r}", flush=True)
+
+
 @stage("sensitivity adjoint runs on-chip (f32 smoke: finite only)")
 def s_sensitivity():
     # f32 gradients through the frozen-cell lanes are noisy by design
@@ -258,7 +276,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     stages = [s_claim, s_fused, s_batched, s_anderson, s_continuation,
               s_path_stability, s_projected, s_io, s_calibrate,
-              s_fold, s_sensitivity, s_right_side, s_integrate_chunks]
+              s_fold, s_edge, s_sensitivity, s_right_side,
+              s_integrate_chunks]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)

@@ -1,0 +1,334 @@
+"""Basin mapping / edge tracking: lockstep initial-condition probes.
+
+The classic model is bistable in the mid-forcing window (warm branch vs
+snowball — the hysteresis the reference reads off ramp trajectories,
+/root/reference/src/plot.jl:173-225); `ebm.basins` classifies which
+attractor each initial state falls to and `ebm.edge` bisects the basin
+boundary along a line in state space. These tests pin the blend/stack
+helpers, the gap clustering, the bisection invariants, persistence, and
+the validation errors.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import energybalancemodel_jl_tpu as ebm  # noqa: E402
+
+ST = ebm.SpaceTime.sin(8, 1000, 1)
+F = 10.0  # inside the classic bistable window at default parameters
+STEPS = 4
+
+
+def _par():
+    return ebm.Collection(ebm.default_parameters("Classic"))
+
+
+def _state(E0):
+    par = _par()
+    E = np.full(ST.nx, float(E0))
+    return ebm.Collection(E=E, Tg=E / float(par["cw"]))
+
+
+WARM, COLD = _state(40.0), _state(-300.0)
+
+
+@pytest.fixture(scope="module")
+def mapped():
+    w = np.linspace(0.0, 1.0, 6)
+    return ebm.basins("Classic", ST, _par(),
+                      ebm.blend_states(WARM, COLD, w),
+                      forcing=F, tol=0.5, max_years=200)
+
+
+@pytest.fixture(scope="module")
+def tracked():
+    return ebm.edge("Classic", ST, _par(), WARM, COLD, forcing=F,
+                    steps=STEPS, tol=0.5, max_years=200)
+
+
+class TestHelpers:
+    def test_blend_endpoints(self):
+        mid = ebm.blend_states(WARM, COLD, 0.5)
+        assert np.allclose(mid["E"], 0.5 * (WARM["E"] + COLD["E"]))
+        a = ebm.blend_states(WARM, COLD, 0.0)
+        b = ebm.blend_states(WARM, COLD, 1.0)
+        assert np.array_equal(a["E"], WARM["E"])
+        assert np.array_equal(b["E"], COLD["E"])
+
+    def test_blend_member_axis(self):
+        w = np.array([0.0, 0.25, 1.0])
+        out = ebm.blend_states(WARM, COLD, w)
+        assert out["E"].shape == (3, ST.nx)
+        assert np.array_equal(out["E"][0], WARM["E"])
+        assert np.array_equal(out["E"][2], COLD["E"])
+
+    def test_blend_batched_endpoints(self):
+        # (K, nx) endpoints blend along their own member axis
+        K = 3
+        a = ebm.Collection(E=np.tile(WARM["E"], (K, 1)),
+                           Tg=np.tile(WARM["Tg"], (K, 1)))
+        b = ebm.Collection(E=np.tile(COLD["E"], (K, 1)),
+                           Tg=np.tile(COLD["Tg"], (K, 1)))
+        out = ebm.blend_states(a, b, np.array([0.0, 0.5, 1.0]))
+        assert out["E"].shape == (K, ST.nx)
+        assert np.array_equal(out["E"][0], WARM["E"])
+        assert np.array_equal(out["E"][2], COLD["E"])
+
+    def test_stack_states(self):
+        st = ebm.stack_states([WARM, COLD])
+        assert st["E"].shape == (2, ST.nx)
+        assert np.array_equal(st["E"][1], COLD["E"])
+
+    def test_stack_key_mismatch(self):
+        with pytest.raises(ValueError, match="different variables"):
+            ebm.stack_states([WARM, ebm.Collection(E=WARM["E"])])
+
+
+class TestBasins:
+    def test_two_attractors(self, mapped):
+        assert mapped.n_basins == 2
+        assert (mapped.labels >= 0).all()  # all converged
+        assert int(mapped.counts.sum()) == 6
+        # centroids ascend; warm (small area) vs snowball (large)
+        assert mapped.centroids[0] < np.pi < mapped.centroids[1]
+
+    def test_labels_monotone_along_the_line(self, mapped):
+        # one boundary crossing on the warm->cold line: labels sorted
+        assert (np.diff(mapped.labels) >= 0).all()
+        assert mapped.labels[0] == 0 and mapped.labels[-1] == 1
+
+    def test_fractions_and_members(self, mapped):
+        assert np.isclose(mapped.fractions.sum(), 1.0)
+        m0 = mapped.members(0)
+        assert np.array_equal(
+            np.sort(np.concatenate([m0, mapped.members(1)])), np.arange(6))
+
+    def test_sequence_inits_and_repr(self):
+        res = ebm.basins("Classic", ST, _par(), [WARM, COLD], forcing=F,
+                         tol=0.5, max_years=200)
+        assert res.n_basins == 2
+        assert "2 attractors" in repr(res)
+
+    def test_single_attractor(self):
+        # two starts inside the same (warm) basin: one cluster, no split
+        near = ebm.blend_states(WARM, COLD, 0.02)
+        res = ebm.basins("Classic", ST, _par(), [WARM, near], forcing=F,
+                         tol=0.5, max_years=200)
+        assert res.n_basins == 1
+        assert np.array_equal(res.labels, [0, 0])
+        assert res.centroids[0] < np.pi  # the warm attractor
+
+    def test_gap_merges_everything(self, mapped):
+        # a gap larger than the warm/snowball separation: one cluster
+        from energybalancemodel_jl_tpu.basins import _cluster_1d
+        labels, cent, counts = _cluster_1d(mapped.areas, gap=10.0)
+        assert len(cent) == 1 and counts[0] == 6
+
+
+class TestEdge:
+    def test_bracket_invariants(self, tracked):
+        assert tracked.ok.all()
+        assert np.allclose(tracked.width, 2.0 ** -STEPS)
+        assert np.all(0.0 < tracked.values) and np.all(tracked.values < 1.0)
+        # the a endpoint is warm, b is snowball, separated in area
+        assert np.all(np.abs(tracked.area_a - tracked.area_b) > np.pi / 2)
+
+    def test_history_is_the_bisection(self, tracked):
+        wa = np.zeros(len(tracked.wa))
+        wb = np.ones(len(tracked.wb))
+        for s in range(STEPS):
+            mid = 0.5 * (wa + wb)
+            wa = np.where(tracked.in_a[s], mid, wa)
+            wb = np.where(tracked.in_a[s], wb, mid)
+            assert np.array_equal(tracked.history[s, 0], wa)
+            assert np.array_equal(tracked.history[s, 1], wb)
+        assert np.array_equal(tracked.wa, wa)
+        assert np.array_equal(tracked.wb, wb)
+
+    def test_edge_states_split(self, tracked):
+        # the returned boundary blends straddle the boundary: nudging to
+        # either bracket end falls to that end's attractor
+        from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+        for w, ref in ((tracked.wa, tracked.area_a),
+                       (tracked.wb, tracked.area_b)):
+            res = ebm.equilibrate(
+                "Classic", ST, F, _par(),
+                ebm.blend_states(tracked.a, tracked.b, w),
+                tol=0.5, max_years=200)
+            area = np.atleast_1d(
+                seasonal_ice_area(res.seasonal.avg, ST))
+            assert np.all(np.abs(area - ref) < np.pi / 2)
+
+    def test_consistent_with_basins(self, mapped, tracked):
+        # the basin map's label flip brackets the edge estimate
+        w = np.linspace(0.0, 1.0, 6)
+        flip = int(np.flatnonzero(np.diff(mapped.labels))[0])
+        assert w[flip] <= float(tracked.values[0]) <= w[flip + 1]
+
+    def test_member_sweep_moves_the_edge(self):
+        par = _par()
+        par["F"] = np.array([5.0, 15.0])
+        # 8 steps: the F=5 vs F=15 boundary shift is ~0.05 in w, below
+        # the 4-step bracket resolution of 1/16 (measured 0.053 vs 0.107)
+        res = ebm.edge("Classic", ST, par, WARM, COLD, forcing=0.0,
+                       steps=8, tol=0.5, max_years=200)
+        assert res.ok.all()
+        assert res.values.shape == (2,)
+        # stronger forcing favors the warm attractor: the boundary moves
+        # toward the cold endpoint
+        assert res.values[0] < res.values[1]
+
+    def test_states_shape_and_repr(self, tracked):
+        st = tracked.states()
+        assert st["E"].shape == (1, ST.nx)
+        assert "w* =" in repr(tracked)
+
+
+class TestValidation:
+    def test_same_basin_raises(self):
+        nudged = ebm.blend_states(WARM, WARM, 0.5)
+        with pytest.raises(ValueError, match="same basin|jump_tol"):
+            ebm.edge("Classic", ST, _par(), WARM, nudged, forcing=F,
+                     steps=2, tol=0.5, max_years=200)
+
+    def test_key_mismatch(self):
+        with pytest.raises(ValueError, match="different variables"):
+            ebm.edge("Classic", ST, _par(), WARM,
+                     ebm.Collection(E=COLD["E"]), forcing=F)
+
+    def test_ramp_forcing_rejected(self):
+        ramp = ebm.Forcing(0.0, 5.0, -5.0, (10, 10), (0.5, -0.5))
+        with pytest.raises(ValueError, match="constant"):
+            ebm.edge("Classic", ST, _par(), WARM, COLD, forcing=ramp)
+
+    def test_nonpositive_steps(self):
+        with pytest.raises(ValueError, match="steps"):
+            ebm.edge("Classic", ST, _par(), WARM, COLD, forcing=F,
+                     steps=0)
+
+    def test_blend_key_mismatch(self):
+        with pytest.raises(ValueError, match="different variables"):
+            ebm.blend_states(WARM, ebm.Collection(E=COLD["E"]), 0.5)
+
+
+class TestPlots:
+    def test_plot_basins(self, mapped):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        w = np.linspace(0.0, 1.0, 6)
+        fig = ebm.plot_basins(mapped, x=w)
+        ax = fig.axes[0]
+        # one scatter per attractor + one centroid line each
+        labels = [ln.get_label() for ln in ax.lines]
+        assert sum("attractor" in lb for lb in labels) == 2
+        pts = np.concatenate([ln.get_xdata() for ln in ax.lines
+                              if "attractor" in ln.get_label()])
+        assert np.allclose(np.sort(pts), w)
+        plt.close(fig)
+
+    def test_plot_basins_marks_unconverged(self, mapped):
+        import dataclasses
+
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        labels = mapped.labels.copy()
+        labels[3] = -1
+        shaky = dataclasses.replace(mapped, labels=labels)
+        fig = ebm.plot_basins(shaky)
+        names = [ln.get_label() for ln in fig.axes[0].lines]
+        assert any("unconverged" in lb for lb in names)
+        plt.close(fig)
+
+    def test_plot_edge(self):
+        import matplotlib
+        matplotlib.use("Agg", force=True)
+        import matplotlib.pyplot as plt
+        par = _par()
+        par["F"] = np.array([8.0, 12.0])
+        res = ebm.edge("Classic", ST, par, WARM, COLD, forcing=0.0,
+                       steps=2, tol=0.5, max_years=200)
+        fig = ebm.plot_edge(res, against="F")
+        line = fig.axes[0].lines[0]
+        assert np.allclose(line.get_xdata(), [8.0, 12.0])
+        assert np.allclose(line.get_ydata(), res.values)
+        plt.close(fig)
+        fig2 = ebm.plot_edge(res)  # member-index axis
+        assert np.allclose(fig2.axes[0].lines[0].get_xdata(), [0, 1])
+        plt.close(fig2)
+        with pytest.raises(ValueError, match="against"):
+            ebm.plot_edge(res, against="nope")
+
+
+class TestEdgeCheckpoint:
+    KW = dict(forcing=F, tol=0.5, max_years=200)
+
+    def test_resume_is_bit_exact_and_extends(self, tmp_path):
+        ck = str(tmp_path / "edge.ck")
+        full = ebm.edge("Classic", ST, _par(), WARM, COLD, steps=STEPS,
+                        **self.KW)
+        part = ebm.edge("Classic", ST, _par(), WARM, COLD, steps=2,
+                        checkpoint=ck, **self.KW)
+        res = ebm.edge("Classic", ST, _par(), WARM, COLD, steps=STEPS,
+                       checkpoint=ck, resume=True, **self.KW)
+        assert np.array_equal(res.history[:2], part.history)
+        assert np.array_equal(res.wa, full.wa)
+        assert np.array_equal(res.wb, full.wb)
+        assert np.array_equal(res.in_a, full.in_a)
+        assert np.allclose(res.area_a, full.area_a)
+
+    def test_resume_of_finished_run_truncates(self, tmp_path):
+        ck = str(tmp_path / "edge.ck")
+        full = ebm.edge("Classic", ST, _par(), WARM, COLD, steps=STEPS,
+                        checkpoint=ck, **self.KW)
+        # no solves happen here: a shorter resume reports the slice
+        res = ebm.edge("Classic", ST, _par(), WARM, COLD, steps=2,
+                       checkpoint=ck, resume=True, **self.KW)
+        assert np.array_equal(res.history, full.history[:2])
+        assert np.array_equal(res.wa, full.history[1, 0])
+        assert np.array_equal(res.wb, full.history[1, 1])
+
+    def test_key_mismatch_warns_and_restarts(self, tmp_path):
+        ck = str(tmp_path / "edge.ck")
+        ebm.edge("Classic", ST, _par(), WARM, COLD, steps=1,
+                 checkpoint=ck, **self.KW)
+        with pytest.warns(UserWarning, match="does not match"):
+            res = ebm.edge("Classic", ST, _par(), WARM, COLD, steps=1,
+                           checkpoint=ck, resume=True, jump_tol=1.0,
+                           **self.KW)
+        assert res.width[0] == 0.5
+
+    def test_resume_needs_checkpoint_path(self):
+        with pytest.raises(ValueError, match="checkpoint"):
+            ebm.edge("Classic", ST, _par(), WARM, COLD, resume=True,
+                     **self.KW)
+
+
+class TestPersistence:
+    def test_basins_roundtrip(self, mapped, tmp_path):
+        path = str(tmp_path / "basins.h5")
+        ebm.save(mapped, path)
+        back = ebm.load(path)
+        assert isinstance(back, ebm.BasinResult)
+        assert np.array_equal(back.labels, mapped.labels)
+        assert np.allclose(back.areas, mapped.areas)
+        assert np.allclose(back.centroids, mapped.centroids)
+        assert back.season == mapped.season and back.gap == mapped.gap
+        assert np.allclose(back.result.state["E"],
+                           np.asarray(mapped.result.state["E"]))
+
+    def test_edge_roundtrip(self, tracked, tmp_path):
+        path = str(tmp_path / "edge.h5")
+        ebm.save(tracked, path)
+        back = ebm.load(path)
+        assert isinstance(back, ebm.EdgeResult)
+        assert np.array_equal(back.wa, tracked.wa)
+        assert np.array_equal(back.wb, tracked.wb)
+        assert np.array_equal(back.in_a, tracked.in_a)
+        assert np.allclose(back.area_a, tracked.area_a)
+        assert np.array_equal(back.a["E"], np.asarray(tracked.a["E"]))
+        assert np.allclose(back.states()["E"], tracked.states()["E"])
