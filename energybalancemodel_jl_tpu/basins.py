@@ -23,7 +23,9 @@ NEAR the basin boundary linger on the boundary's saddle (the "edge
 state") before falling to either attractor, so tight brackets need
 larger ``max_years`` — exactly the fold caveat, in state space. A probe
 that has not settled is classified by its final state anyway and flagged
-in ``probe_converged``.
+in ``probe_converged``; a probe whose state goes NON-FINITE keeps its
+bracket that step instead (its masked ice area would read 0 — an
+artifact, not a diagnostic) and is likewise flagged.
 """
 from __future__ import annotations
 
@@ -157,6 +159,25 @@ def _cluster_1d(values: np.ndarray, gap: float):
     return labels, centroids, counts
 
 
+_SEASONS = ("winter", "summer", "avg")
+
+
+def _finite_members(res, K: int) -> np.ndarray:
+    """Per-member all-finite flags of an equilibration's state. The ice-
+    area diagnostic maps a diverged (NaN) state to area 0 (classic's
+    ``E < 0`` indicator compares False, MIZ's ``nan_to_num`` zeroes
+    ``phi``), so a NaN probe must never be CLASSIFIED off its area —
+    it would deterministically read as the low-area attractor."""
+    ok = np.ones(K, dtype=bool)
+    for v in res.state.values():
+        arr = np.asarray(v)
+        if arr.ndim >= 2 and arr.shape[0] == K:
+            ok &= np.isfinite(arr.reshape(K, -1)).all(axis=1)
+        else:
+            ok &= bool(np.isfinite(arr).all())
+    return ok
+
+
 def basins(
     model: str,
     st: SpaceTime,
@@ -189,6 +210,9 @@ def basins(
     fixes ``par`` and varies only the initial states. Remaining keywords
     pass to ``equilibrate``. Returns a :class:`BasinResult`.
     """
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {_SEASONS}, "
+                         f"got {season!r}")
     if isinstance(inits, (list, tuple)):
         inits = stack_states(inits)
     par = Collection(par)
@@ -198,7 +222,10 @@ def basins(
         seasonal_ice_area(getattr(result.seasonal, season), st),
         dtype=np.float64))
     K = areas.shape[0]
-    conv = np.broadcast_to(np.atleast_1d(result.converged), (K,))
+    # a non-finite state's area is a masking artifact, not a diagnostic:
+    # exclude such members from the clustering like unconverged ones
+    conv = (np.broadcast_to(np.atleast_1d(result.converged), (K,))
+            & _finite_members(result, K))
 
     labels = np.full(K, -1, dtype=np.int64)
     if conv.any():
@@ -220,8 +247,10 @@ class EdgeResult:
     falls to ``a``'s attractor at ``wa``, to ``b``'s at ``wb``);
     ``values`` their midpoints — the basin-boundary crossing along the
     ``a → b`` line. ``history`` stacks ``(wa, wb)`` after each step,
-    shape ``(steps, 2, K)``; ``in_a`` the per-step classifications.
-    ``ok`` flags members whose every probe (endpoints included)
+    shape ``(steps, 2, K)``; ``in_a`` the per-step classifications
+    (meaningless where the matching ``probe_converged`` entry is False
+    because the probe state went non-finite — those steps left the
+    bracket unchanged). ``ok`` flags members whose every probe
     converged. ``result_a``/``result_b`` are the converged endpoint
     attractors, ``area_a``/``area_b`` their diagnostics.
     """
@@ -330,6 +359,9 @@ def edge(
         raise ValueError("edge needs a constant base forcing")
     if steps < 1:
         raise ValueError("steps must be >= 1")
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {_SEASONS}, "
+                         f"got {season!r}")
     par = Collection(par)
     a, b = Collection(a), Collection(b)
     if set(a.keys()) != set(b.keys()):
@@ -356,49 +388,24 @@ def edge(
     if checkpoint is not None or resume:
         if checkpoint is None:
             raise ValueError("resume=True needs checkpoint=<path>")
-        import hashlib
-
         from . import checkpoint as ckpt_mod
 
-        def _dig(c):
-            h = hashlib.sha1()
-            for k in sorted(c.keys()):
-                h.update(k.encode())
-                h.update(np.ascontiguousarray(
-                    np.asarray(c[k], dtype=np.float64)).tobytes())
-            return h.hexdigest()[:16]
-
-        kw = ",".join(f"{k}={equilibrate_kwargs[k]!r}"
-                      for k in sorted(equilibrate_kwargs))
         # steps deliberately excluded: a resume may EXTEND the refinement
-        ckpt_key = ckpt_mod.config_key(
-            "edge", model, st, forcing, par,
-            str(equilibrate_kwargs.get("dtype", "auto")), "",
-            int(equilibrate_kwargs.get("newton_max_iter", 30)),
-            extras=(f"a#{_dig(a)}", f"b#{_dig(b)}",
+        ckpt_key = ckpt_mod.search_key(
+            "edge", model, st, forcing, par, equilibrate_kwargs,
+            extras=(f"a#{ckpt_mod.digest_collection(a)}",
+                    f"b#{ckpt_mod.digest_collection(b)}",
                     f"jt={float(jump_tol)}", f"season={season}",
-                    f"tol={float(tol)}", f"maxy={int(max_years)}",
-                    f"kw={hashlib.sha1(kw.encode()).hexdigest()[:16]}"),
+                    f"tol={float(tol)}", f"maxy={int(max_years)}"),
         )
 
     resumed = None
     if resume:
-        import os
-        import warnings
-
         from . import checkpoint as ckpt_mod
 
-        try:
-            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
-                                           kind="EdgeCheckpoint"):
-                resumed = ckpt_mod.read_edge_checkpoint(checkpoint)[0]
-        except (OSError, ValueError):  # torn/corrupt file: start fresh
-            resumed = None
-        if resumed is None and os.path.exists(checkpoint):
-            warnings.warn(
-                f"Checkpoint {checkpoint} does not match this edge "
-                "search's configuration; starting fresh."
-            )
+        resumed = ckpt_mod.try_resume_search(
+            checkpoint, ckpt_key, "EdgeCheckpoint",
+            ckpt_mod.read_edge_checkpoint)
 
     s_done = 0
     if resumed is not None:
@@ -490,13 +497,18 @@ def edge(
         mid = 0.5 * (wa + wb)
         probe = solve(blend_states(a, b, mid))
         area = area_of(probe)
+        # a diverged (non-finite) probe carries no basin information —
+        # its area reads 0 through the NaN masking and would always
+        # classify as the low-area attractor; such members keep their
+        # bracket this step and are flagged unconverged
+        finite = _finite_members(probe, K)
         in_a = np.abs(area - ref_a) <= np.abs(area - ref_b)
-        wa = np.where(in_a, mid, wa)
-        wb = np.where(in_a, wb, mid)
+        wa = np.where(in_a & finite, mid, wa)
+        wb = np.where(~in_a & finite, mid, wb)
         history[s, 0], history[s, 1] = wa, wb
         in_a_hist[s] = in_a
-        conv_hist[s] = np.broadcast_to(
-            np.atleast_1d(probe.converged), (K,))
+        conv_hist[s] = (np.broadcast_to(
+            np.atleast_1d(probe.converged), (K,)) & finite)
         write_ckpt(s + 1)
         tick(f"step {s + 1}/{steps}: max width "
              f"{float(np.abs(wb - wa).max()):.4g}")

@@ -39,6 +39,8 @@ __all__ = [
     "write_cont_checkpoint", "read_cont_checkpoint",
     "write_fold_checkpoint", "read_fold_checkpoint",
     "write_edge_checkpoint", "read_edge_checkpoint",
+    "digest_array", "digest_collection", "search_key",
+    "try_resume_search",
 ]
 
 _FORMAT = 1
@@ -303,6 +305,62 @@ def read_edge_checkpoint(path: str):
             result_b=_read_equilibrium(f["result_b"]),
         )
         return out, str(f.attrs["config_key"])
+
+
+def digest_array(a) -> str:
+    """16-hex-char digest of an array's float64 bytes (bracket ends,
+    sweep leaves — anything a search fingerprint must pin exactly)."""
+    b = np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+    return hashlib.sha1(b.tobytes()).hexdigest()[:16]
+
+
+def digest_collection(c) -> str:
+    """16-hex-char digest of a state Collection (key-sorted leaves)."""
+    h = hashlib.sha1()
+    for k in sorted(c.keys()):
+        h.update(str(k).encode())
+        h.update(np.ascontiguousarray(
+            np.asarray(c[k], dtype=np.float64)).tobytes())
+    return h.hexdigest()[:16]
+
+
+def search_key(prefix, model, st, forcing, par, equilibrate_kwargs,
+               extras=()) -> str:
+    """Config fingerprint shared by the bisection searches
+    (:func:`~energybalancemodel_jl_tpu.fold.fold`,
+    :func:`~energybalancemodel_jl_tpu.basins.edge`): the common driver
+    key plus a digest of the pass-through equilibrate options. Both
+    callers deliberately EXCLUDE ``steps`` so a resume may extend a
+    refinement; everything that changes a probe's outcome must ride in
+    ``extras``."""
+    kw = ",".join(f"{k}={equilibrate_kwargs[k]!r}"
+                  for k in sorted(equilibrate_kwargs))
+    return config_key(
+        prefix, model, st, forcing, par,
+        str(equilibrate_kwargs.get("dtype", "auto")), "",
+        int(equilibrate_kwargs.get("newton_max_iter", 30)),
+        extras=(*extras,
+                f"kw={hashlib.sha1(kw.encode()).hexdigest()[:16]}"),
+    )
+
+
+def try_resume_search(checkpoint, key, kind, reader):
+    """The bisection searches' shared resume block: validate the file's
+    kind and config key, then load its state dict; a present-but-
+    mismatched (or torn/corrupt) file warns and returns ``None`` (start
+    fresh)."""
+    resumed = None
+    try:
+        if checkpoint_matches(checkpoint, key, kind=kind):
+            resumed = reader(checkpoint)[0]
+    except (OSError, ValueError):  # torn/corrupt file: start fresh
+        resumed = None
+    if resumed is None and os.path.exists(checkpoint):
+        warnings.warn(
+            f"Checkpoint {checkpoint} does not match this search's "
+            "configuration; starting fresh."
+        )
+    return resumed
 
 
 def config_key(prefix, model, st, forcing, par, dtype_name, solver,

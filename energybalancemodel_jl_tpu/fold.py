@@ -230,47 +230,26 @@ def fold(
     if checkpoint is not None or resume:
         if checkpoint is None:
             raise ValueError("resume=True needs checkpoint=<path>")
-        import hashlib
-
         from . import checkpoint as ckpt_mod
 
-        def _dig(a):
-            b = np.ascontiguousarray(np.asarray(a, dtype=np.float64))
-            return hashlib.sha1(b.tobytes()).hexdigest()[:16]
-
-        kw = ",".join(f"{k}={equilibrate_kwargs[k]!r}"
-                      for k in sorted(equilibrate_kwargs))
         # steps deliberately excluded: a resume may EXTEND the refinement
-        ckpt_key = ckpt_mod.config_key(
-            "fold", model, st, forcing, par,
-            str(equilibrate_kwargs.get("dtype", "auto")), "",
-            int(equilibrate_kwargs.get("newton_max_iter", 30)),
-            extras=(f"vary={vary}", f"lo#{_dig(lo)}", f"hi#{_dig(hi)}",
+        ckpt_key = ckpt_mod.search_key(
+            "fold", model, st, forcing, par, equilibrate_kwargs,
+            extras=(f"vary={vary}", f"lo#{ckpt_mod.digest_array(lo)}",
+                    f"hi#{ckpt_mod.digest_array(hi)}",
                     f"jt={float(jump_tol)}", f"season={season}",
                     f"cl={'default' if default_classifier else 'custom'}",
                     f"chk={bool(check_lo)}", f"tol={float(tol)}",
-                    f"maxy={int(max_years)}",
-                    f"kw={hashlib.sha1(kw.encode()).hexdigest()[:16]}"),
+                    f"maxy={int(max_years)}"),
         )
 
     resumed = None
     if resume:
-        import os
-        import warnings
-
         from . import checkpoint as ckpt_mod
 
-        try:
-            if ckpt_mod.checkpoint_matches(checkpoint, ckpt_key,
-                                           kind="FoldCheckpoint"):
-                resumed = ckpt_mod.read_fold_checkpoint(checkpoint)[0]
-        except (OSError, ValueError):  # torn/corrupt file: start fresh
-            resumed = None
-        if resumed is None and os.path.exists(checkpoint):
-            warnings.warn(
-                f"Checkpoint {checkpoint} does not match this fold "
-                "search's configuration; starting fresh."
-            )
+        resumed = ckpt_mod.try_resume_search(
+            checkpoint, ckpt_key, "FoldCheckpoint",
+            ckpt_mod.read_fold_checkpoint)
         if resumed is not None and default_classifier \
                 and resumed["ref_on"] is None:
             resumed = None  # refs missing: unusable for this classifier

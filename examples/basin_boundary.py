@@ -43,7 +43,12 @@ def main():
                         forcing=10.0, tol=0.5, max_years=300)
     print(mapped)
     for wi, lab, area in zip(w, mapped.labels, mapped.areas):
-        name = ["warm", "snowball"][lab] if lab >= 0 else "unconverged"
+        # labels are centroid-ordered indices, not identities: name each
+        # attractor by its mean ice area (warm = less than a hemisphere)
+        if lab < 0:
+            name = "unconverged"
+        else:
+            name = "warm" if mapped.centroids[lab] < np.pi else "snowball"
         print(f"  w={wi:4.2f}  ice area {area:5.2f}  -> {name}")
 
     # 2. bisect the boundary per forcing level, in lockstep

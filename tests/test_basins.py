@@ -213,6 +213,34 @@ class TestValidation:
         with pytest.raises(ValueError, match="different variables"):
             ebm.blend_states(WARM, ebm.Collection(E=COLD["E"]), 0.5)
 
+    def test_bad_season_fails_before_any_solve(self):
+        # both entry points validate season up front (a typo must not
+        # cost the endpoint/ensemble solves before raising)
+        with pytest.raises(ValueError, match="season"):
+            ebm.edge("Classic", ST, _par(), WARM, COLD, forcing=F,
+                     season="sumer")
+        with pytest.raises(ValueError, match="season"):
+            ebm.basins("Classic", ST, _par(), [WARM, COLD], forcing=F,
+                       season="sumer")
+
+    def test_finite_members_flags_nan_states(self):
+        # the NaN guard: a diverged member's masked ice area reads 0 (an
+        # artifact), so classification must skip it — _finite_members is
+        # the per-member predicate both drivers use
+        from types import SimpleNamespace
+
+        from energybalancemodel_jl_tpu.basins import _finite_members
+        good = np.ones((3, ST.nx))
+        bad = good.copy()
+        bad[1, 2] = np.nan
+        res = SimpleNamespace(state={"E": bad, "Tg": good})
+        assert np.array_equal(_finite_members(res, 3),
+                              [True, False, True])
+        # a shared (unbatched) non-finite leaf poisons every member
+        res2 = SimpleNamespace(state={"E": good,
+                                      "Tg": np.full(ST.nx, np.nan)})
+        assert not _finite_members(res2, 3).any()
+
 
 class TestPlots:
     def test_plot_basins(self, mapped):
