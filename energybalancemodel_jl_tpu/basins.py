@@ -25,7 +25,9 @@ larger ``max_years`` — exactly the fold caveat, in state space. A probe
 that has not settled is classified by its final state anyway and flagged
 in ``probe_converged``; a probe whose state goes NON-FINITE keeps its
 bracket that step instead (its masked ice area would read 0 — an
-artifact, not a diagnostic) and is likewise flagged.
+artifact, not a diagnostic), is flagged in ``probe_finite``, and later
+probes for that member step off-center so the deterministic divergence
+at the held midpoint is not replayed verbatim.
 """
 from __future__ import annotations
 
@@ -167,13 +169,25 @@ def _finite_members(res, K: int) -> np.ndarray:
     area diagnostic maps a diverged (NaN) state to area 0 (classic's
     ``E < 0`` indicator compares False, MIZ's ``nan_to_num`` zeroes
     ``phi``), so a NaN probe must never be CLASSIFIED off its area —
-    it would deterministically read as the low-area attractor."""
+    it would deterministically read as the low-area attractor.
+
+    Batchedness comes from the result itself (``member_years`` is set
+    exactly for ensemble solves, and ensemble state leaves are fully
+    K-batched), NOT from a shape heuristic — an unbatched leaf whose
+    leading dim coincidentally equals K must not be misread per-member
+    (review r2/r3; cf. the eval_shape-based exact detection in the
+    statics specs)."""
+    if getattr(res, "member_years", None) is None:
+        # solo solve: one whole-state flag
+        ok = all(bool(np.isfinite(np.asarray(v)).all())
+                 for v in res.state.values())
+        return np.full(K, ok)
     ok = np.ones(K, dtype=bool)
     for v in res.state.values():
         arr = np.asarray(v)
-        if arr.ndim >= 2 and arr.shape[0] == K:
+        if arr.ndim >= 1 and arr.shape[0] == K:
             ok &= np.isfinite(arr.reshape(K, -1)).all(axis=1)
-        else:
+        else:  # defensively: a shared leaf poisons every member
             ok &= bool(np.isfinite(arr).all())
     return ok
 
@@ -247,12 +261,24 @@ class EdgeResult:
     falls to ``a``'s attractor at ``wa``, to ``b``'s at ``wb``);
     ``values`` their midpoints — the basin-boundary crossing along the
     ``a → b`` line. ``history`` stacks ``(wa, wb)`` after each step,
-    shape ``(steps, 2, K)``; ``in_a`` the per-step classifications
-    (meaningless where the matching ``probe_converged`` entry is False
-    because the probe state went non-finite — those steps left the
-    bracket unchanged). ``ok`` flags members whose every probe
-    converged. ``result_a``/``result_b`` are the converged endpoint
-    attractors, ``area_a``/``area_b`` their diagnostics.
+    shape ``(steps, 2, K)``.
+
+    A probe can fail two distinct ways, told apart by two per-step
+    ``(steps, K)`` masks (review r2):
+
+    - ``probe_finite`` False — the probe state went NON-FINITE. Its
+      masked ice area is an artifact, so that step HELD the bracket
+      (``in_a`` is meaningless there) and the next step re-probes at a
+      nudged off-center weight to escape the diverging blend.
+    - ``probe_converged`` False with ``probe_finite`` True — the probe
+      ran out of ``max_years`` but its final state was finite; it WAS
+      classified by ``in_a`` and the bracket MOVED. Near the boundary
+      (critical slowing down, module docstring) this classification can
+      be wrong — re-run/resume with a larger ``max_years``.
+
+    ``ok`` flags members whose every probe converged. ``result_a``/
+    ``result_b`` are the converged endpoint attractors, ``area_a``/
+    ``area_b`` their diagnostics.
     """
 
     wa: np.ndarray
@@ -260,6 +286,7 @@ class EdgeResult:
     history: np.ndarray
     in_a: np.ndarray
     probe_converged: np.ndarray
+    probe_finite: np.ndarray
     area_a: np.ndarray
     area_b: np.ndarray
     a: Collection
@@ -420,6 +447,7 @@ def edge(
                 wa=h[-1, 0], wb=h[-1, 1], history=h,
                 in_a=resumed["in_a"][:steps],
                 probe_converged=resumed["conv"][:steps],
+                probe_finite=resumed["finite"][:steps],
                 area_a=ref_a, area_b=ref_b, a=a, b=b,
                 result_a=result_a, result_b=result_b,
                 spacetime=st, season=season, par=par)
@@ -474,10 +502,25 @@ def edge(
     history = np.empty((steps, 2, K))
     in_a_hist = np.empty((steps, K), dtype=bool)
     conv_hist = np.empty((steps, K), dtype=bool)
+    finite_hist = np.empty((steps, K), dtype=bool)
     if s_done:
         history[:s_done] = resumed["history"]
         in_a_hist[:s_done] = resumed["in_a"]
         conv_hist[:s_done] = resumed["conv"]
+        finite_hist[:s_done] = resumed["finite"]
+
+    # trailing count of consecutive non-finite probes per member — drives
+    # the off-center nudge below; recomputed from the finite history so a
+    # resume replays the remaining steps bit-exactly (no extra file state)
+    nonfin_streak = np.zeros(K, dtype=np.int64)
+    for s in range(s_done):
+        nonfin_streak = np.where(finite_hist[s], 0, nonfin_streak + 1)
+
+    # probe weights as a bracket FRACTION: 0.5 normally; after a non-
+    # finite probe the same midpoint would diverge identically forever
+    # (deterministic solver), so the member's next probes step away from
+    # center — any fraction in (0, 1) still shrinks its bracket
+    _NUDGE = np.array([0.5, 0.45, 0.55, 0.4, 0.6, 0.35, 0.65, 0.3, 0.7])
 
     def write_ckpt(n):
         if ckpt_key is None:
@@ -486,7 +529,8 @@ def edge(
 
         ckpt_mod.write_edge_checkpoint(
             checkpoint, ckpt_key, result_a, result_b, ref_a, ref_b,
-            wa, wb, history[:n], in_a_hist[:n], conv_hist[:n])
+            wa, wb, history[:n], in_a_hist[:n], conv_hist[:n],
+            finite_hist[:n])
 
     if resumed is None:
         # record the endpoint stage so an interruption in step 1 does
@@ -494,7 +538,8 @@ def edge(
         write_ckpt(0)
 
     for s in range(s_done, steps):
-        mid = 0.5 * (wa + wb)
+        frac = _NUDGE[np.minimum(nonfin_streak, len(_NUDGE) - 1)]
+        mid = wa + frac * (wb - wa)
         probe = solve(blend_states(a, b, mid))
         area = area_of(probe)
         # a diverged (non-finite) probe carries no basin information —
@@ -502,11 +547,13 @@ def edge(
         # classify as the low-area attractor; such members keep their
         # bracket this step and are flagged unconverged
         finite = _finite_members(probe, K)
+        nonfin_streak = np.where(finite, 0, nonfin_streak + 1)
         in_a = np.abs(area - ref_a) <= np.abs(area - ref_b)
         wa = np.where(in_a & finite, mid, wa)
         wb = np.where(~in_a & finite, mid, wb)
         history[s, 0], history[s, 1] = wa, wb
         in_a_hist[s] = in_a
+        finite_hist[s] = finite
         conv_hist[s] = (np.broadcast_to(
             np.atleast_1d(probe.converged), (K,)) & finite)
         write_ckpt(s + 1)
@@ -514,7 +561,7 @@ def edge(
              f"{float(np.abs(wb - wa).max()):.4g}")
 
     return EdgeResult(wa=wa, wb=wb, history=history, in_a=in_a_hist,
-                      probe_converged=conv_hist, area_a=ref_a,
-                      area_b=ref_b, a=a, b=b, result_a=result_a,
-                      result_b=result_b, spacetime=st, season=season,
-                      par=par)
+                      probe_converged=conv_hist, probe_finite=finite_hist,
+                      area_a=ref_a, area_b=ref_b, a=a, b=b,
+                      result_a=result_a, result_b=result_b, spacetime=st,
+                      season=season, par=par)

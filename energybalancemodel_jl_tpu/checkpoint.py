@@ -257,7 +257,8 @@ def read_fold_checkpoint(path: str):
 
 
 def write_edge_checkpoint(path, config_key, result_a, result_b, area_a,
-                          area_b, wa, wb, history, in_a, conv) -> str:
+                          area_b, wa, wb, history, in_a, conv,
+                          finite) -> str:
     """Checkpoint of an :func:`~energybalancemodel_jl_tpu.basins.edge`
     search: the two converged endpoint attractors (io.py equilibrium
     schema), their classification reference areas, the current
@@ -279,6 +280,7 @@ def write_edge_checkpoint(path, config_key, result_a, result_b, area_a,
         f.create_dataset("history", data=np.asarray(history))
         f.create_dataset("in_a", data=np.asarray(in_a))
         f.create_dataset("probe_converged", data=np.asarray(conv))
+        f.create_dataset("probe_finite", data=np.asarray(finite))
         _write_equilibrium(f.create_group("result_a"), result_a)
         _write_equilibrium(f.create_group("result_b"), result_b)
     os.replace(tmp, path)
@@ -292,6 +294,8 @@ def read_edge_checkpoint(path: str):
     with h5py.File(path, "r") as f:
         if f.attrs.get("__ebm_type__") != "EdgeCheckpoint":
             raise ValueError(f"{path} is not an edge checkpoint")
+        if "probe_finite" not in f:  # pre-r3 file: resume restarts fresh
+            raise ValueError(f"{path} predates the probe_finite record")
         n = int(f.attrs["n_done"])
         out = dict(
             wa=np.asarray(f["wa"]),
@@ -301,6 +305,7 @@ def read_edge_checkpoint(path: str):
             history=np.asarray(f["history"])[:n],
             in_a=np.asarray(f["in_a"], dtype=bool)[:n],
             conv=np.asarray(f["probe_converged"], dtype=bool)[:n],
+            finite=np.asarray(f["probe_finite"], dtype=bool)[:n],
             result_a=_read_equilibrium(f["result_a"]),
             result_b=_read_equilibrium(f["result_b"]),
         )
@@ -332,8 +337,21 @@ def search_key(prefix, model, st, forcing, par, equilibrate_kwargs,
     key plus a digest of the pass-through equilibrate options. Both
     callers deliberately EXCLUDE ``steps`` so a resume may extend a
     refinement; everything that changes a probe's outcome must ride in
-    ``extras``."""
-    kw = ",".join(f"{k}={equilibrate_kwargs[k]!r}"
+    ``extras``.
+
+    Array-valued kwargs go through :func:`digest_array`, never ``repr``:
+    numpy reprs elide large arrays with ``...``, so two different arrays
+    could hash identically and a resume would silently reuse a checkpoint
+    from a different configuration (review r2)."""
+    def _rep(v):
+        if isinstance(v, np.ndarray) or type(v).__module__.startswith(
+                ("jax", "jaxlib")) and hasattr(v, "__array__"):
+            a = np.asarray(v)
+            if a.dtype != object:
+                return f"array{a.shape}#{digest_array(a)}"
+        return repr(v)
+
+    kw = ",".join(f"{k}={_rep(equilibrate_kwargs[k])}"
                   for k in sorted(equilibrate_kwargs))
     return config_key(
         prefix, model, st, forcing, par,

@@ -271,7 +271,7 @@ def _write_edge(f: h5py.Group, res) -> None:
     f.attrs["__ebm_type__"] = "EdgeResult"
     f.attrs["season"] = str(res.season)
     for name in ("wa", "wb", "history", "in_a", "probe_converged",
-                 "area_a", "area_b"):
+                 "probe_finite", "area_a", "area_b"):
         f.create_dataset(name, data=np.asarray(getattr(res, name)))
     _write_spacetime(f, res.spacetime)
     _write_collection(f.create_group("a"), res.a)
@@ -291,6 +291,10 @@ def _read_edge(f: h5py.Group):
         history=np.asarray(f["history"]),
         in_a=np.asarray(f["in_a"]),
         probe_converged=np.asarray(f["probe_converged"]),
+        # pre-r3 files lack the finite mask; converged implies finite, so
+        # the conservative reconstruction marks only converged steps
+        probe_finite=(np.asarray(f["probe_finite"]) if "probe_finite" in f
+                      else np.asarray(f["probe_converged"])),
         area_a=np.asarray(f["area_a"]),
         area_b=np.asarray(f["area_b"]),
         a=_read_collection(f["a"]),
@@ -355,6 +359,36 @@ def _read_sensitivity(f: h5py.Group):
     )
 
 
+def _write_calibration(f: h5py.Group, res) -> None:
+    """A fitted parameter set is exactly the artifact a user archives (the
+    reference persists any value via JLD2, /root/reference/src/io.jl:37-52);
+    schema mirrors the other result writers — tagged groups of Collections."""
+    f.attrs["__ebm_type__"] = "CalibrationResult"
+    f.create_dataset("losses", data=np.asarray(res.losses))
+    _write_collection(f.create_group("params"), res.params)
+    _write_collection(f.create_group("par"), res.par)
+    _write_collection(f.create_group("grads"), res.grads)
+    if res.best is not None:  # multi-start extras travel together
+        f.attrs["best"] = int(res.best)
+        _write_collection(f.create_group("start_params"), res.start_params)
+        f.create_dataset("start_losses", data=np.asarray(res.start_losses))
+
+
+def _read_calibration(f: h5py.Group):
+    from .calibrate import CalibrationResult
+
+    multi = "best" in f.attrs
+    return CalibrationResult(
+        params=_read_collection(f["params"]),
+        par=_read_collection(f["par"]),
+        losses=np.asarray(f["losses"]),
+        grads=_read_collection(f["grads"]),
+        best=int(f.attrs["best"]) if multi else None,
+        start_params=_read_collection(f["start_params"]) if multi else None,
+        start_losses=np.asarray(f["start_losses"]) if multi else None,
+    )
+
+
 def _read_solutions(f: h5py.Group) -> Solutions:
     st = _read_spacetime(f)
     forcing = _read_forcing(f)
@@ -392,6 +426,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
     except ImportError:  # pragma: no cover
         pass
     from .basins import BasinResult, EdgeResult
+    from .calibrate import CalibrationResult
     from .equilibrium import (ContinuationResult, EquilibriumResult,
                               StabilityResult)
     from .fold import FoldResult
@@ -417,6 +452,8 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_stability(f, obj)
         elif isinstance(obj, SensitivityResult):
             _write_sensitivity(f, obj)
+        elif isinstance(obj, CalibrationResult):
+            _write_calibration(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -472,6 +509,8 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_stability(f)
         if tag == "SensitivityResult":
             return _read_sensitivity(f)
+        if tag == "CalibrationResult":
+            return _read_calibration(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

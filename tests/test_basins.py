@@ -233,13 +233,25 @@ class TestValidation:
         good = np.ones((3, ST.nx))
         bad = good.copy()
         bad[1, 2] = np.nan
-        res = SimpleNamespace(state={"E": bad, "Tg": good})
+        # member_years marks the result as an ensemble solve — the exact
+        # batched/solo signal (review r3), replacing the shape heuristic
+        myears = np.zeros(3)
+        res = SimpleNamespace(state={"E": bad, "Tg": good},
+                              member_years=myears)
         assert np.array_equal(_finite_members(res, 3),
                               [True, False, True])
         # a shared (unbatched) non-finite leaf poisons every member
         res2 = SimpleNamespace(state={"E": good,
-                                      "Tg": np.full(ST.nx, np.nan)})
+                                      "Tg": np.full(ST.nx, np.nan)},
+                               member_years=myears)
         assert not _finite_members(res2, 3).any()
+        # a solo result (member_years=None) flags the whole state at once
+        solo = SimpleNamespace(state={"E": np.ones(ST.nx)},
+                               member_years=None)
+        assert _finite_members(solo, 1).all()
+        solo_bad = SimpleNamespace(state={"E": np.full(ST.nx, np.nan)},
+                                   member_years=None)
+        assert not _finite_members(solo_bad, 1).any()
 
 
 class TestPlots:

@@ -245,3 +245,132 @@ class TestAnalysisResultRoundTrip:
                                        err_msg=k)
         assert back.top(3)[0][0] == res.top(3)[0][0]
         assert repr(back) == repr(res)
+
+
+class TestResultCompleteness:
+    """Every public ``*Result`` type must survive ``ebm.save``/``ebm.load``
+    (review r2: ``CalibrationResult`` shipped unpersistable and crashed on
+    save). The factory registry below builds a small synthetic instance of
+    each; a ``*Result`` name appearing in ``__all__`` without a factory
+    FAILS the registry test, so the next result type cannot ship without a
+    round-trip."""
+
+    @staticmethod
+    def _seasonal(rng, K=None):
+        from energybalancemodel_jl_tpu.solutions import Seasonal
+        shape = (3,) if K is None else (K, 3)
+        mk = lambda: ebm.Collection(
+            {v: rng.standard_normal(shape) for v in ("E", "T", "phi")})
+        return Seasonal(winter=mk(), summer=mk(), avg=mk())
+
+    @classmethod
+    def _equilibrium(cls, rng, K=None):
+        state = ebm.Collection(
+            {v: rng.standard_normal((3,) if K is None else (K, 3))
+             for v in ("E", "Tg")})
+        return ebm.EquilibriumResult(
+            state=state, seasonal=cls._seasonal(rng, K), years=7,
+            resid=1e-4 if K is None else rng.random(K),
+            converged=True if K is None else np.ones(K, dtype=bool),
+            member_years=None if K is None else np.full(K, 7.0),
+            newton_ok=True, tol=1e-3)
+
+    @classmethod
+    def factories(cls):
+        st = ebm.SpaceTime.sin(3, 10, 1)
+        par = ebm.Collection({"D": 0.5, "A": 193.0})
+        rng = np.random.default_rng(7)
+        state = lambda K=None: ebm.Collection(
+            {v: rng.standard_normal((3,) if K is None else (K, 3))
+             for v in ("E", "Tg")})
+        return {
+            "EquilibriumResult": lambda: cls._equilibrium(rng),
+            "ContinuationResult": lambda: ebm.ContinuationResult(
+                values=np.array([0.0, 1.0]),
+                direction=np.array([1.0, 1.0]),
+                results=[cls._equilibrium(rng) for _ in range(2)],
+                vary="F", spacetime=st, model="MIZ", par=par,
+                forcing=ebm.Forcing(0.0)),
+            "StabilityResult": lambda: ebm.StabilityResult(
+                growth=0.97, history=rng.random(5), converged=True,
+                mode=state(), rtol=1e-6, n_modes=2,
+                eigenvalues=np.array([0.97 + 0.01j, 0.9 - 0.01j]),
+                side="right"),
+            "SensitivityResult": lambda: ebm.SensitivityResult(
+                of="ice_area", value=2.5,
+                grads=ebm.Collection({"D": 0.1, "A": -0.2}), par=par),
+            "CalibrationResult": lambda: ebm.CalibrationResult(
+                params=ebm.Collection({"D": 0.55}), par=par,
+                losses=rng.random(4),
+                grads=ebm.Collection({"D": 1e-5}), best=1,
+                start_params=ebm.Collection({"D": rng.random(3)}),
+                start_losses=rng.random(3)),
+            "FoldResult": lambda: ebm.FoldResult(
+                lo=rng.random(2), hi=1.0 + rng.random(2),
+                history=rng.random((4, 2, 2)),
+                survived=np.ones((4, 2), dtype=bool),
+                probe_converged=np.ones((4, 2), dtype=bool),
+                vary="F", anchor=cls._equilibrium(rng, K=2),
+                spacetime=st, par=par),
+            "BasinResult": lambda: ebm.BasinResult(
+                labels=np.array([0, 1, 0, -1]), areas=rng.random(4),
+                centroids=np.array([0.1, 2.9]), counts=np.array([2, 1]),
+                season="avg", gap=0.5,
+                result=cls._equilibrium(rng, K=4), spacetime=st, par=par),
+            "EdgeResult": lambda: ebm.EdgeResult(
+                wa=rng.random(2), wb=1.0 + rng.random(2),
+                history=rng.random((4, 2, 2)),
+                in_a=np.ones((4, 2), dtype=bool),
+                probe_converged=np.ones((4, 2), dtype=bool),
+                probe_finite=np.ones((4, 2), dtype=bool),
+                area_a=rng.random(2), area_b=2.0 + rng.random(2),
+                a=state(), b=state(),
+                result_a=cls._equilibrium(rng, K=2),
+                result_b=cls._equilibrium(rng, K=2),
+                spacetime=st, season="avg", par=par),
+        }
+
+    def test_registry_covers_all_public_result_types(self):
+        public = sorted(n for n in ebm.__all__ if n.endswith("Result"))
+        missing = [n for n in public if n not in self.factories()]
+        assert not missing, (
+            f"public result types {missing} have no persistence-test "
+            f"factory — add one here AND a writer/reader pair in io.py")
+
+    @pytest.mark.parametrize(
+        "name", sorted(n for n in dir(ebm) if n.endswith("Result")
+                       and isinstance(getattr(ebm, n), type)))
+    def test_round_trip(self, name, tmp_path):
+        import dataclasses
+        import warnings as _warnings
+
+        obj = self.factories()[name]()
+        path = str(tmp_path / f"{name}.h5")
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")  # generic-array fallthrough warns
+            ebm.save(obj, path)
+        back = ebm.load(path)
+        assert type(back).__name__ == name
+
+        def check(a, b, key=""):
+            if dataclasses.is_dataclass(a):
+                for f in dataclasses.fields(a):
+                    check(getattr(a, f.name), getattr(b, f.name),
+                          f"{key}.{f.name}")
+            elif isinstance(a, dict):
+                assert set(a) == set(b), key
+                for k in a:
+                    check(a[k], b[k], f"{key}[{k}]")
+            elif isinstance(a, (list, tuple)):
+                assert len(a) == len(b), key
+                for i, (x, y) in enumerate(zip(a, b)):
+                    check(x, y, f"{key}[{i}]")
+            elif a is None or isinstance(a, (str, ebm.SpaceTime)):
+                assert a == b, key
+            elif isinstance(a, ebm.Forcing):
+                assert repr(a) == repr(b), key
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b), err_msg=key)
+
+        check(obj, back)
