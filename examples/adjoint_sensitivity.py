@@ -32,8 +32,11 @@ from energybalancemodel_jl_tpu.integrate import make_year_fn  # noqa: E402
 from energybalancemodel_jl_tpu.models.base import StepConfig, get_model  # noqa: E402
 
 
-def main():
-    st = ebm.SpaceTime.sin(32, 200, 1)
+def main(fast=False):
+    # fast=True: CI-sized — smaller grid, two parameters, one diagnostic;
+    # the active ice edge needs nx >= 16/nt >= 150 (CLAUDE.md: coarser
+    # zeros-init configs are gradient-DEAD — fully frozen, locally flat)
+    st = ebm.SpaceTime.sin(16, 150, 1) if fast else ebm.SpaceTime.sin(32, 200, 1)
     spec = get_model("MIZ")
     cfg = StepConfig(newton_abstol=1e-11, newton_reltol=1e-9)
     year = make_year_fn("MIZ", st, cfg, "float64", False)
@@ -49,7 +52,7 @@ def main():
         hemi = lambda v: jnp.sum((v[:-1] + v[1:]) * (x[1:] - x[:-1]) / 2.0)
         return dict(mean_T=hemi(T), ice_area=2.0 * jnp.pi * hemi(phi))
 
-    names = ("D", "A", "B", "Fb")
+    names = ("D", "A") if fast else ("D", "A", "B", "Fb")
 
     def scalar_fn(diag):
         def f(values):
@@ -61,7 +64,7 @@ def main():
 
     values = jnp.asarray([base[n] for n in names], dtype=jnp.float64)
     print(f"{'diagnostic':>10} {'param':>6} {'adjoint dJ/dp':>16} {'finite diff':>16}")
-    for diag in ("mean_T", "ice_area"):
+    for diag in (("mean_T",) if fast else ("mean_T", "ice_area")):
         f = scalar_fn(diag)
         grads = jax.jit(jax.grad(f))(values)
         for i, n in enumerate(names):

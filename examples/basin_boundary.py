@@ -25,8 +25,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import energybalancemodel_jl_tpu as ebm  # noqa: E402
 
 
-def main():
-    st = ebm.SpaceTime.sin(24, 1000, 1)
+def main(fast=False):
+    # fast=True: CI-sized (nx=8 keeps the classic bistable window at
+    # F in ~[5, 15] — CLAUDE.md measured; nt stays 1000 for step stability)
+    st = ebm.SpaceTime.sin(8 if fast else 24, 1000, 1)
     par = ebm.Collection(ebm.default_parameters("Classic"))
     cw = float(par["cw"])
 
@@ -36,11 +38,12 @@ def main():
 
     warm, cold = state(40.0), state(-300.0)
 
-    # 1. which attractor does each of 8 blended starts reach at F=10?
-    w = np.linspace(0.0, 1.0, 8)
+    # 1. which attractor does each of the blended starts reach at F=10?
+    w = np.linspace(0.0, 1.0, 4 if fast else 8)
     mapped = ebm.basins("Classic", st, par,
                         ebm.blend_states(warm, cold, w),
-                        forcing=10.0, tol=0.5, max_years=300)
+                        forcing=10.0, tol=0.5,
+                        max_years=200 if fast else 300)
     print(mapped)
     for wi, lab, area in zip(w, mapped.labels, mapped.areas):
         # labels are centroid-ordered indices, not identities: name each
@@ -55,10 +58,11 @@ def main():
     # the classic bistable window at nx=24 defaults: the warm branch
     # exists from F ~ 6 (below it the warm endpoint falls to the
     # snowball and edge rejects the pair as same-basin)
-    F_vals = np.linspace(6.0, 15.0, 4)
+    F_vals = np.linspace(6.0, 15.0, 2 if fast else 4)
     par["F"] = F_vals
     res = ebm.edge("Classic", st, par, warm, cold, forcing=0.0,
-                   steps=10, tol=0.5, max_years=300, progress=True)
+                   steps=4 if fast else 10, tol=0.5,
+                   max_years=200 if fast else 300, progress=True)
     print(res)
 
     print(f"\n{'F':>6}  {'boundary w* (warm side ends)':>30}  {'bracket':>20}")

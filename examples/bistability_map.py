@@ -27,12 +27,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import energybalancemodel_jl_tpu as ebm  # noqa: E402
 
 
-def main():
+def main(fast=False):
     # classic model: nt >= 1000 (explicit-step stability) and a
-    # Tg = E/cw-consistent warm init (CLAUDE.md invariants)
-    st = ebm.SpaceTime.sin(24, 1000, 1)
+    # Tg = E/cw-consistent warm init (CLAUDE.md invariants);
+    # fast=True: CI-sized grid/path, same workflow
+    st = ebm.SpaceTime.sin(8 if fast else 24, 1000, 1)
     par = ebm.Collection(ebm.default_parameters("Classic"))
-    D_vals = np.linspace(0.3, 0.9, 4)
+    D_vals = np.linspace(0.3, 0.9, 2 if fast else 4)
     par["D"] = D_vals  # (K,) leaf -> lockstep ensemble continuation
 
     E0 = np.full(st.nx, 40.0)
@@ -40,9 +41,10 @@ def main():
 
     # descend from warm into the snowball, then return: start warm so the
     # forward leg rides the warm branch to its fold
-    F_path = np.linspace(20.0, -10.0, 13)
+    F_path = np.linspace(20.0, -10.0, 5 if fast else 13)
     cont = ebm.continuation("Classic", st, F_path, par, init,
-                            round_trip=True, tol=0.5, max_years=300)
+                            round_trip=True, tol=0.5,
+                            max_years=150 if fast else 300)
     print(cont)
 
     gap_tol = 0.5                    # ice-area split that counts as bistable

@@ -31,8 +31,9 @@ import energybalancemodel_jl_tpu as ebm  # noqa: E402
 from energybalancemodel_jl_tpu.parallel import sweep  # noqa: E402
 
 
-def main():
-    st = ebm.SpaceTime.sin(30, 1000, 1)
+def main(fast=False):
+    # fast=True: CI-sized — smaller grid/coarser sweep/fewer steps
+    st = ebm.SpaceTime.sin(8 if fast else 30, 1000, 1)
     base = ebm.default_parameters("Classic")
     E0 = np.full(st.nx, 40.0)
     init = ebm.Collection(E=E0, Tg=E0 / float(base["cw"]))
@@ -47,7 +48,7 @@ def main():
     E_obs = np.asarray(obs.seasonal.avg["E"][-1])
 
     # stage 1: coarse sweep across the plausible range
-    grid = np.linspace(185.0, 205.0, 21)
+    grid = np.linspace(185.0, 205.0, 5 if fast else 21)
     ens = sweep("Classic", st, forcing, base, {"A": grid}, init,
                 progress=False)
     misfit = np.mean(
@@ -62,7 +63,7 @@ def main():
     par0["A"] = A0
     res = ebm.calibrate("Classic", st, forcing, par0, init,
                         target={"E": E_obs}, vary=("A",),
-                        steps=80, learning_rate=0.05)
+                        steps=15 if fast else 80, learning_rate=0.05)
     print(res)
     print(f"fitted A = {float(res.params['A']):.4f} (true {A_true}); "
           f"|grad| at stop = {abs(float(res.grads['A'])):.2e}")
@@ -70,12 +71,13 @@ def main():
     # one-call alternative: multi-start calibration — S vmapped
     # optimizations in ONE compiled program (the sweep-then-polish recipe
     # fused on chip); the best final loss wins, every start is reported
+    n_st = 4 if fast else 8
     res_ms = ebm.calibrate("Classic", st, forcing, base, init,
                            target={"E": E_obs}, vary=("A",),
-                           steps=80, learning_rate=0.3,
-                           n_starts=8, start_spread=0.03)
+                           steps=15 if fast else 80, learning_rate=0.3,
+                           n_starts=n_st, start_spread=0.03)
     print(res_ms)
-    print(f"multi-start: best start #{res_ms.best} of 8, "
+    print(f"multi-start: best start #{res_ms.best} of {n_st}, "
           f"per-start A = {np.round(np.asarray(res_ms.start_params['A']), 3)}")
 
 

@@ -24,9 +24,11 @@ def ice_edge(E, x):
     return float(x[icy[0]]) if len(icy) else 1.0
 
 
-def main(outdir="."):
-    dur = int(os.environ.get("EBM_EXAMPLE_YEARS", "100"))
-    st = ebm.SpaceTime.identity(100, 1000, dur)
+def main(outdir=".", fast=False):
+    # fast=True: CI-sized — 5 years on a 40-cell grid (nt stays 1000 for
+    # explicit-step stability); the spin-up diagnostic still prints
+    dur = 5 if fast else int(os.environ.get("EBM_EXAMPLE_YEARS", "100"))
+    st = ebm.SpaceTime.identity(40 if fast else 100, 1000, dur)
     par = ebm.default_parameters("Classic")
     E0 = np.full(st.nx, 30.0)
     init = ebm.Collection(E=E0, Tg=E0 / par.cw)

@@ -20,17 +20,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import energybalancemodel_jl_tpu as ebm  # noqa: E402
 
 
-def main():
-    st = ebm.SpaceTime.sin(60, 500, 1)
+def main(fast=False):
+    # fast=True: CI-sized grid and path, same workflow
+    st = ebm.SpaceTime.sin(16, 150, 1) if fast else ebm.SpaceTime.sin(60, 500, 1)
     par = ebm.default_parameters("MIZ")
 
     # tol 1e-2: in float32 (the TPU default) the adaptive Newton solve
     # leaves O(1e-3) year-over-year noise in the annual means — a tighter
     # tol chases solver noise, not physics (use float64 for tighter
     # equilibria)
-    F_up = np.linspace(-4.0, 6.0, 11)
+    F_up = np.linspace(-4.0, 6.0, 4 if fast else 11)
     cont = ebm.continuation("MIZ", st, F_up, par, ebm.zeros_init(st),
-                            round_trip=True, tol=1e-2, max_years=400)
+                            round_trip=True, tol=1e-2,
+                            max_years=150 if fast else 400)
     print(cont)
 
     area = cont.ice_area()

@@ -25,10 +25,12 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import energybalancemodel_jl_tpu as ebm  # noqa: E402
 
 
-def main():
-    st = ebm.SpaceTime.sin(24, 1000, 1)
+def main(fast=False):
+    # fast=True: CI-sized grid/members/steps (nt stays 1000 — classic
+    # explicit-step stability)
+    st = ebm.SpaceTime.sin(8 if fast else 24, 1000, 1)
     par = ebm.Collection(ebm.default_parameters("Classic"))
-    D_vals = np.linspace(0.3, 0.9, 4)
+    D_vals = np.linspace(0.3, 0.9, 2 if fast else 4)
     par["D"] = D_vals
 
     E0 = np.full(st.nx, 40.0)
@@ -38,7 +40,8 @@ def main():
         "Classic", st, par, init,
         lo=-10.0,   # below every fold: warm branch gone
         hi=20.0,    # comfortably warm: branch exists (the anchor)
-        steps=12, tol=0.5, max_years=200, progress=True,
+        steps=5 if fast else 12, tol=0.5,
+        max_years=150 if fast else 200, progress=True,
     )
     print(res)
 

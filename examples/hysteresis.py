@@ -22,11 +22,17 @@ from energybalancemodel_jl_tpu.parallel import sweep  # noqa: E402
 from energybalancemodel_jl_tpu.utils.numerics import np_hemispheric_mean  # noqa: E402
 
 
-def main(outdir="."):
+def main(outdir=".", fast=False):
     # 5-segment ramp: hold 0 -> warm to +8 -> hold -> cool to -8 -> hold
-    ramp = ebm.Forcing(0.0, 8.0, -8.0, (10, 10), (0.8, -0.8))
-    dur = ramp.domain[4] + 5
-    st = ebm.SpaceTime.sin(90, 1000, dur)
+    # (fast=True: CI-sized — 1-year segments, small grid, 4 members)
+    if fast:
+        ramp = ebm.Forcing(0.0, 4.0, -4.0, (1, 1), (4.0, -4.0))
+        dur = ramp.domain[4] + 1
+        st = ebm.SpaceTime.sin(24, 200, dur)
+    else:
+        ramp = ebm.Forcing(0.0, 8.0, -8.0, (10, 10), (0.8, -0.8))
+        dur = ramp.domain[4] + 5
+        st = ebm.SpaceTime.sin(90, 1000, dur)
     par = ebm.default_parameters("MIZ")
 
     # single-run hysteresis loop (reference plot_seasonal)
@@ -37,7 +43,7 @@ def main(outdir="."):
     # bifurcation across diffusivity: one on-chip ensemble. engine='auto'
     # picks the fused whole-year kernel on TPU; float32 is plenty for the
     # hysteresis statistics.
-    Ds = np.linspace(0.45, 0.75, 16)
+    Ds = np.linspace(0.45, 0.75, 4 if fast else 16)
     ens = sweep("MIZ", st, ramp, par, {"D": Ds}, ebm.zeros_init(st),
                 dtype="float32")
     area = np.array(

@@ -26,15 +26,20 @@ from energybalancemodel_jl_tpu.parallel import sweep  # noqa: E402
 from energybalancemodel_jl_tpu.utils.numerics import np_hemispheric_mean  # noqa: E402
 
 
-def main(outdir="."):
-    spinup = 30
-    st = ebm.SpaceTime.sin(180, 2000, spinup)
+def main(outdir=".", fast=False):
+    # fast=True: CI-sized grid/members on the default engine (the fused
+    # Pallas kernel is a TPU path; engine='auto' picks the right one)
+    spinup = 4 if fast else 30
+    st = (ebm.SpaceTime.sin(24, 200, spinup) if fast
+          else ebm.SpaceTime.sin(180, 2000, spinup))
     par = ebm.default_parameters("MIZ")
 
-    S0s = np.linspace(390.0, 450.0, 64)
+    S0s = np.linspace(390.0, 450.0, 8 if fast else 64)
+    kwargs = ({} if fast
+              else dict(engine="fused", years_per_dispatch=8))
     ens = sweep(
         "MIZ", st, ebm.Forcing(0.0), par, {"S0": S0s}, ebm.zeros_init(st),
-        engine="fused", dtype="float32", years_per_dispatch=8,
+        dtype="float32", **kwargs,
     )
 
     # final-year annual means per member

@@ -24,19 +24,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import energybalancemodel_jl_tpu as ebm  # noqa: E402
 
 
-def main():
+def main(fast=False):
+    # fast=True: CI-sized — fewer members/iterations, shorter solves;
+    # every section still runs
+    n_it = 15 if fast else 40
     # -- MIZ ensemble: one lockstep estimate per OLR level ---------------
-    st = ebm.SpaceTime.sin(24, 200, 1)
+    st = ebm.SpaceTime.sin(12 if fast else 24, 200, 1)
     par = ebm.Collection(ebm.default_parameters("MIZ"))
-    par["A"] = np.array([193.0, 196.0, 199.0])
+    par["A"] = np.array([193.0, 199.0] if fast else [193.0, 196.0, 199.0])
     eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
-                         ebm.zeros_init(st), tol=1e-5, max_years=500)
+                         ebm.zeros_init(st), tol=1e-4 if fast else 1e-5,
+                         max_years=200 if fast else 500)
     print(eq)
 
     raw = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
-                        n_iter=40)
+                        n_iter=n_it)
     proj = ebm.stability("MIZ", st, ebm.Forcing(0.0), par, eq.state,
-                         n_iter=40, project=("Ew", "phi"))
+                         n_iter=n_it, project=("Ew", "phi"))
     print(f"{'A':>6}  {'|lambda|':>10}  {'projected':>10}")
     for a, g, gp in zip(np.asarray(par["A"]), np.atleast_1d(raw.growth),
                         np.atleast_1d(proj.growth)):
@@ -50,26 +54,27 @@ def main():
           f"ice-covered cells (the frozen integrator family)")
 
     # -- classic: attracting equilibrium vs the step-instability regime --
-    stc = ebm.SpaceTime.sin(24, 1000, 1)
+    stc = ebm.SpaceTime.sin(12 if fast else 24, 1000, 1)
     base = ebm.default_parameters("Classic")
     E0 = np.full(stc.nx, 40.0)
     init = ebm.Collection(E=E0, Tg=E0 / float(base["cw"]))
     eqc = ebm.equilibrate("Classic", stc, ebm.Forcing(6.0), base, init,
-                          tol=0.5, max_years=300)
+                          tol=0.5, max_years=150 if fast else 300)
     resc = ebm.stability("Classic", stc, ebm.Forcing(6.0), base, eqc.state,
-                         n_iter=40)
+                         n_iter=n_it)
     print(f"classic warm equilibrium: {resc}")
 
-    st_bad = ebm.SpaceTime.sin(24, 400, 1)  # dt*M/cw > 1: unstable stepping
+    st_bad = ebm.SpaceTime.sin(stc.nx, 400, 1)  # dt*M/cw > 1: unstable stepping
     res_bad = ebm.stability("Classic", st_bad, ebm.Forcing(0.0), base, init,
                             n_iter=10)
     print(f"classic at nt=400 (dt*M/cw > 1): {res_bad}")
 
     # -- the leading spectrum at once: block (subspace) iteration ---------
+    n_modes = 2 if fast else 4
     blk = ebm.stability("Classic", stc, ebm.Forcing(6.0), base, eqc.state,
-                        n_iter=80, n_modes=4)
+                        n_iter=30 if fast else 80, n_modes=n_modes)
     print(f"classic leading modes: {np.round(blk.growth, 4)} "
-          f"(per-year contraction of the 4 slowest directions)")
+          f"(per-year contraction of the {n_modes} slowest directions)")
     # .eigenvalues carries the SIGN/phase the QR moduli discard:
     # positive real = monotone (fold-type), negative real = year-over-year
     # flip, a complex pair = oscillatory (Neimark-Sacker-type) mode
@@ -82,7 +87,7 @@ def main():
     # itself (linear_transpose of the pullback), so the mode is the
     # spatial pattern a deviation actually takes as it decays
     right = ebm.stability("Classic", stc, ebm.Forcing(6.0), base,
-                          eqc.state, n_iter=40, side="right")
+                          eqc.state, n_iter=n_it, side="right")
     E = np.asarray(right.mode["E"])
     print(f"right (physical) mode: |E|-component peaks at grid cell "
           f"{int(np.argmax(np.abs(E)))} of {stc.nx} "
@@ -91,10 +96,12 @@ def main():
     # -- stability along a continuation path ------------------------------
     # one call classifies every level of a bifurcation branch, each
     # warm-started from the previous level's eigenvector
-    cont = ebm.continuation("MIZ", st, [-2.0, 0.0, 2.0, 4.0],
+    cont = ebm.continuation("MIZ", st,
+                            [0.0, 2.0] if fast else [-2.0, 0.0, 2.0, 4.0],
                             ebm.default_parameters("MIZ"),
-                            ebm.zeros_init(st), tol=1e-4, max_years=400)
-    path = cont.stability(n_iter=30, project=("Ew", "phi"))
+                            ebm.zeros_init(st), tol=1e-4,
+                            max_years=150 if fast else 400)
+    path = cont.stability(n_iter=10 if fast else 30, project=("Ew", "phi"))
     print(f"\n{'F':>6}  {'|lambda| (projected)':>20}")
     for F, r in zip(cont.values, path):
         print(f"{F:+6.1f}  {r.growth:20.6f}")
