@@ -63,8 +63,8 @@ from .equilibrium import (ContinuationResult, EquilibriumResult,  # noqa: E402
                           StabilityResult, continuation, equilibrate,
                           stability)
 from .fold import FoldResult, fold  # noqa: E402
-from .basins import (BasinResult, EdgeResult, basins, blend_states,  # noqa: E402
-                     edge, stack_states)
+from .basins import (BasinResult, EdgeResult, EdgeStateResult,  # noqa: E402
+                     basins, blend_states, edge, edge_state, stack_states)
 from .sensitivity import SensitivityResult, sensitivity  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
@@ -132,6 +132,8 @@ __all__ = [
     "BasinResult",
     "edge",
     "EdgeResult",
+    "edge_state",
+    "EdgeStateResult",
     "blend_states",
     "stack_states",
     "sensitivity",

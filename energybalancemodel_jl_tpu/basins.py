@@ -32,18 +32,19 @@ at the held midpoint is not replayed verbatim.
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Optional, Sequence, Union
 
 import numpy as np
 
-from .equilibrium import EquilibriumResult, equilibrate
+from .equilibrium import EquilibriumResult, StabilityResult, equilibrate
 from .fold import seasonal_ice_area
 from .forcing import Forcing
 from .spacetime import SpaceTime
 from .utils.collection import Collection
 
-__all__ = ["basins", "edge", "blend_states", "stack_states",
-           "BasinResult", "EdgeResult"]
+__all__ = ["basins", "edge", "edge_state", "blend_states", "stack_states",
+           "BasinResult", "EdgeResult", "EdgeStateResult"]
 
 
 def stack_states(states: Sequence[Collection]) -> Collection:
@@ -316,8 +317,52 @@ class EdgeResult:
     def states(self) -> Collection:
         """The blended states AT the boundary estimates — initial
         conditions on (numerically, astride) the basin boundary, the
-        starting point for edge-state (saddle) refinement."""
+        starting point for edge-state (saddle) refinement
+        (:meth:`refine`)."""
         return blend_states(self.a, self.b, self.values)
+
+    def refine(self, model: str, forcing=0.0, member: int = 0,
+               **kwargs) -> "EdgeStateResult":
+        """Refine member ``member``'s boundary crossing into the EDGE
+        STATE (the boundary saddle) via :func:`edge_state`.
+
+        Slices that member's final bracket states, scalar parameters
+        (``(K,)`` sweep leaves reduce to the member's value, including a
+        virtual ``par["F"]``), and attractor reference areas out of this
+        result, so the endpoint equilibrations are never re-paid.
+        ``model`` and ``forcing`` must repeat the :func:`edge` call's
+        (the result does not store them); remaining keywords pass to
+        :func:`edge_state`.
+        """
+        K = len(np.atleast_1d(self.wa))
+        m = int(member)
+        if not 0 <= m < K:
+            raise ValueError(f"member {m} out of range for K={K}")
+
+        def slice_state(s):
+            return Collection({
+                k: (np.asarray(v)[m] if np.ndim(v) >= 2
+                    and np.shape(v)[0] == K else np.asarray(v))
+                for k, v in s.items()
+            })
+
+        par_m = None
+        if self.par is not None:
+            par_m = Collection({
+                k: (np.asarray(v)[m] if np.ndim(v) == 1
+                    and np.shape(v)[0] == K else v)
+                for k, v in self.par.items()
+            })
+        a_m, b_m = slice_state(self.a), slice_state(self.b)
+        wa = float(np.atleast_1d(self.wa)[m])
+        wb = float(np.atleast_1d(self.wb)[m])
+        kwargs.setdefault("season", self.season)
+        return edge_state(
+            model, self.spacetime, par_m if par_m is not None
+            else Collection(), blend_states(a_m, b_m, wa),
+            blend_states(a_m, b_m, wb), forcing=forcing,
+            refs=(float(np.atleast_1d(self.area_a)[m]),
+                  float(np.atleast_1d(self.area_b)[m])), **kwargs)
 
     def __repr__(self):
         v = np.array2string(self.values, precision=4)
@@ -565,3 +610,457 @@ def edge(
                       area_a=ref_a, area_b=ref_b, a=a, b=b,
                       result_a=result_a, result_b=result_b, spacetime=st,
                       season=season, par=par)
+
+
+@dataclasses.dataclass
+class EdgeStateResult:
+    """Result of :func:`edge_state` — a refined EDGE STATE (the saddle
+    on the basin boundary).
+
+    ``state`` is the refined year-map fixed-point estimate (a full carry
+    Collection — pass it to :func:`~energybalancemodel_jl_tpu.equilibrium.
+    stability` or as an ``init``); ``area`` its seasonal ice area
+    (strictly between the two attractors' areas); ``resid`` the year-map
+    stationarity ``||year(state) - state||_inf`` over the carry (a true
+    saddle has resid 0 despite being non-attracting; the classic step
+    albedo floors this at O(1) — see :func:`edge_state`). ``converged``
+    is ``resid <= tol`` and ``polish_nfev`` counts the Gauss-Newton
+    polish's residual evaluations (0 when the polish was skipped).
+
+    Per-stage diagnostics (each of length ``stages_run``): ``drift`` is
+    the max-abs metric change of the tracked midpoint from the previous
+    stage (the tracker's own convergence measure — NaN for stage 0),
+    ``tracked_years`` how many years that stage's flight advanced along
+    the boundary, and ``separation`` the flown pair's final ice-area
+    separation (commitment monitor — small means the pair still
+    straddles the boundary tightly).
+
+    ``stability`` (unless disabled) is the year-map spectrum AT the
+    refined state via ``side="right"``: a genuine saddle reports
+    ``growth > 1`` with ``mode`` the PHYSICAL unstable direction — the
+    spatial pattern along which trajectories leave the boundary.
+    """
+
+    state: Collection
+    area: float
+    resid: float
+    drift: np.ndarray
+    tracked_years: np.ndarray
+    separation: np.ndarray
+    converged: bool
+    stability: Optional[StabilityResult]
+    spacetime: SpaceTime
+    season: str = "avg"
+    par: Optional[Collection] = None
+    polish_nfev: int = 0
+
+    @property
+    def stages_run(self) -> int:
+        return len(self.drift)
+
+    def __repr__(self):
+        g = ""
+        if self.stability is not None:
+            lead = np.asarray(self.stability.growth).reshape(-1)[0]
+            g = f", |lambda| ~ {float(lead):.4g}"
+        conv = "converged" if self.converged else "NOT converged"
+        return (f"EdgeStateResult(area {float(self.area):.4f}, resid "
+                f"{float(self.resid):.3g}, {self.stages_run} stages, "
+                f"{conv}{g})")
+
+
+def _member_state(state: Collection, k: int, K: int) -> Collection:
+    """Member ``k`` of an ensemble carry: ``(K, ...)`` leaves sliced,
+    shared 1-D leaves kept (ensemble carries are fully K-batched, so the
+    fallthrough only fires for genuinely shared leaves)."""
+    return Collection({
+        key: (np.asarray(v)[k] if np.ndim(v) >= 2
+              and np.shape(v)[0] == K else np.asarray(v))
+        for key, v in state.items()
+    })
+
+
+def _polish_fixed_point(model: str, st: SpaceTime, forcing: Forcing,
+                        par: Collection, state: Collection, dtype,
+                        max_nfev: int):
+    """Trust-region Gauss-Newton polish of a year-map fixed point.
+
+    Flattens the carry, and minimizes ``||G(x) - x||_2`` with scipy's
+    ``least_squares`` (TRF) using the exact reverse-mode Jacobian
+    (``jax.jacrev`` through the compiled year — one vmapped reverse year
+    per Jacobian evaluation). A trust region is ESSENTIAL here, not a
+    nicety: the classic model's step albedo (``aw*(E>0) + ai*(E<0)``,
+    /root/reference/src/classic.jl:47) makes the year map piecewise
+    smooth with kink surfaces wherever any (cell, step) crosses ``E=0``,
+    so a plain Newton step overshoots its linearization radius and
+    stalls an order of magnitude high (measured at the nx=8/nt=1000
+    saddle: damped Newton stalls at ``||G(x)-x||_inf ~ 8.7``, TRF
+    reaches ``~0.7`` — the same class as the albedo-hole attractor
+    wobble, which is the model's genuine stationarity floor).
+
+    ``max_nfev=0`` skips the optimization and just evaluates the
+    residual at ``state``. Returns ``(state, resid_inf, nfev)`` with
+    numpy leaves. Dense: cost scales with the state dimension (fine at
+    diagnostic grids; the saddle hunt is not a production-throughput
+    path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .integrate import default_dtype, make_year_fn
+    from .models.base import default_step_config, get_model
+
+    spec = get_model(model)
+    dtype = jnp.dtype(dtype if dtype is not None else default_dtype())
+    par = Collection(par)
+    par.pop("__K__", None)
+    F_off = par.pop("F", None)
+    if F_off is not None:  # scalar virtual-F leaf folds into the forcing
+        forcing = Forcing(float(forcing.base) + float(np.asarray(F_off)))
+    cfg = default_step_config(dtype.name)
+    carry = spec.init_carry(state, st, dtype)
+    keys_order = tuple(sorted(carry.keys()))
+    widths = tuple(int(carry[k].shape[-1]) for k in keys_order)
+    par_j = Collection({k: jnp.asarray(v, dtype) for k, v in par.items()})
+    frow_j = jnp.asarray(forcing.table(st)[0], dtype=dtype)
+    year = make_year_fn(model, st, cfg, dtype.name, False)
+
+    def from_mat(x):
+        out, i = {}, 0
+        for k, w in zip(keys_order, widths):
+            out[k] = x[..., i:i + w]
+            i += w
+        return Collection(out)
+
+    def res_fn(x):
+        nxt = year(from_mat(x), par_j, frow_j)[0]
+        return jnp.concatenate([nxt[k] for k in keys_order], axis=-1) - x
+
+    fj = jax.jit(res_fn)
+    x0 = np.concatenate([np.asarray(carry[k], dtype=np.float64)
+                         for k in keys_order], axis=-1)
+    if max_nfev < 1:
+        resid = float(np.max(np.abs(np.asarray(fj(jnp.asarray(x0, dtype))))))
+        return from_mat(x0), resid, 0
+    from scipy.optimize import least_squares
+
+    jj = jax.jit(jax.jacrev(res_fn))
+
+    def f_np(x):
+        return np.asarray(fj(jnp.asarray(x, dtype)), dtype=np.float64)
+
+    def j_np(x):
+        return np.asarray(jj(jnp.asarray(x, dtype)), dtype=np.float64)
+
+    # TRF can meet xtol on a kink flat spot well above the true floor;
+    # re-running from the stall point RESETS the trust radius, which
+    # escapes those (measured: 7.4 -> ~1 over two restarts at the
+    # classic nx=8 saddle). Restart while the inf-norm keeps improving.
+    x, nfev, resid = np.asarray(x0, dtype=np.float64), 0, np.inf
+    while nfev < max_nfev:
+        sol = least_squares(f_np, x, jac=j_np, method="trf", xtol=1e-14,
+                            ftol=1e-14, gtol=1e-14,
+                            max_nfev=int(max_nfev) - nfev)
+        nfev += int(sol.nfev)
+        new = float(np.max(np.abs(sol.fun)))
+        if not new < 0.95 * resid:
+            if new < resid:
+                x, resid = sol.x, new
+            break
+        x, resid = sol.x, new
+    return from_mat(x), resid, nfev
+
+
+def edge_state(
+    model: str,
+    st: SpaceTime,
+    par: Collection,
+    a,
+    b,
+    forcing: Union[Forcing, float] = 0.0,
+    stages: int = 6,
+    probes: int = 14,
+    rounds: int = 2,
+    flight_years: int = 40,
+    flight_chunk: int = 4,
+    tol: float = 1.0,
+    track_tol: Optional[float] = None,
+    polish: bool = True,
+    polish_max_nfev: int = 200,
+    commit_years: int = 300,
+    commit_tol: float = 1e-2,
+    season: str = "avg",
+    jump_tol: float = np.pi / 2,
+    refs=None,
+    metric: Sequence[str] = ("E",),
+    stability_check: bool = True,
+    stability_kwargs: Optional[dict] = None,
+    progress: bool = False,
+    **equilibrate_kwargs,
+) -> EdgeStateResult:
+    """Converge the EDGE STATE — the saddle on the basin boundary between
+    the attractors of states ``a`` and ``b`` — by edge tracking.
+
+    :func:`edge` locates where the boundary crosses the ``a -> b`` line;
+    this refines that crossing INTO the boundary's own attractor, the
+    saddle whose stable manifold IS the boundary (one unstable direction
+    out of it). The classic model's known unstable intermediate branch —
+    the partial-ice equilibrium between the warm and snowball states —
+    is exactly this object. No reference analog (the reference never
+    computes unstable equilibria; its hysteresis runs jump across them,
+    /root/reference/src/plot.jl:173-225).
+
+    The tracker alternates two moves, each a LOCKSTEP ensemble
+    equilibration (the fused whole-year kernel on TPU):
+
+    1. **Multi-probe bisection** — ``probes`` blends between the current
+       bracket pair integrate at once (``commit_years``/``commit_tol``);
+       each probe classifies to the nearer attractor reference area, and
+       the longest consistent A-prefix / B-suffix tightens the bracket
+       by ~``probes + 1`` per round (non-finite probes stay inside the
+       bracket). One round costs ONE ensemble solve — the K-ary version
+       of :func:`edge`'s bisection.
+    2. **Flight** — the bracket pair integrates forward in
+       ``flight_chunk``-year hops (up to ``flight_years`` per stage);
+       both members stay in their own basins, so the pair brackets the
+       boundary the whole way while the boundary's internal dynamics
+       contract it toward the saddle. Flying stops when the pair's
+       ice-area separation exceeds a quarter of the attractor gap (the
+       unstable direction has amplified the bracket width — time to
+       re-bisect); if even one hop separates it, the stage re-bisects
+       first and retries.
+
+    Tracking alone cannot polish the estimate below the bracket's
+    post-flight width (measured at nx=8/nt=1000: the midpoint hovers
+    within a few ``E`` units of the saddle but never settles), so the
+    stages serve ONE purpose — land inside the saddle's neighborhood.
+    All ``stages`` run unless ``track_tol`` is set and the midpoint's
+    stage-over-stage drift (max-abs over ``metric``'s leaves) falls
+    below it first. The refinement proper is then a trust-region
+    Gauss-Newton solve of ``year(x) == x`` (scipy TRF on the flattened
+    carry with the exact ``jacrev`` Jacobian, at most
+    ``polish_max_nfev`` residual evaluations per start;
+    ``polish=False`` skips it and reports the raw final midpoint). The
+    trust region matters: the classic step albedo makes the year map
+    piecewise smooth, and a plain damped Newton stalls an order of
+    magnitude above the TRF floor (see :func:`_polish_fixed_point`).
+    Because the kink structure pins different local floors around the
+    saddle, EVERY stage's midpoint is a candidate start — polished
+    last-first until one meets ``tol``, best kept.
+
+    ``resid`` is the year-map stationarity ``||year(x) - x||_inf`` over
+    the carry at the returned state and ``converged = resid <= tol``.
+    ``tol`` defaults to 1.0 because the classic model cannot do better:
+    its ``E==0`` albedo hole leaves an O(0.1)-O(1) wobble at ice-edge
+    cells even on the ATTRACTORS (equilibrate's notes), and the
+    measured saddle floor at nx=8/nt=1000 is ~0.7. Smooth models can
+    take a much tighter ``tol``. Finally — the point of the exercise —
+    the saddle's unstable eigenvalue/mode comes from
+    :func:`~energybalancemodel_jl_tpu.equilibrium.stability` with
+    ``side="right"`` (``stability_kwargs`` pass through, e.g.
+    ``dict(n_iter=60, dtype="float64")``; ``stability_check=False``
+    skips it): a genuine codimension-1 saddle reports exactly one
+    ``|lambda| > 1`` (measured classic nx=8/nt=1000 F=10: 1.02-1.09
+    then ~0.91, area 1.83 strictly between the warm 1.05 and snowball
+    5.64 attractors).
+
+    Coarse-grid honesty: on the classic model the boundary's relative
+    attractor can be a CHATTERING set of the albedo hole rather than a
+    point saddle — the polished state then reads ``|lambda| < 1`` from
+    the infinitesimal linearization (which only sees the current kink
+    cell) while finite perturbations still escape to both attractors.
+    Stability there is SCALE-DEPENDENT; trust the escape behavior (blend
+    the state a few percent toward each attractor and integrate — the
+    test suite's straddle check), and read the spectrum as meaningful
+    only when ``resid`` is small against the local kink spacing. Seeding
+    the tracker near a known point saddle (tight endpoints + ``refs=``)
+    recovers the clean one-unstable-mode reading.
+
+    Solo only: ``par`` must not carry ``(K,)`` ensemble leaves and
+    ``a``/``b`` must be unbatched — refine one member of a lockstep
+    :func:`edge` run via :meth:`EdgeResult.refine`, which slices that
+    member's bracket, parameters, and attractor references out for this
+    function. ``refs=(area_a, area_b)`` supplies known attractor
+    reference areas (skipping the endpoint equilibrations); remaining
+    keywords pass to every ``equilibrate`` call (``dtype`` also selects
+    the polish precision — float64 strongly recommended, as for
+    :func:`~energybalancemodel_jl_tpu.equilibrium.stability`).
+    """
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError("edge_state needs a constant forcing")
+    if season not in _SEASONS:
+        raise ValueError(f"season must be one of {_SEASONS}, "
+                         f"got {season!r}")
+    if probes < 1 or rounds < 1 or stages < 1:
+        raise ValueError("stages, probes, and rounds must all be >= 1")
+    if flight_chunk < 1 or flight_years < flight_chunk:
+        raise ValueError("need flight_years >= flight_chunk >= 1")
+    par = Collection(par)
+    par.pop("__K__", None)
+    if any(np.ndim(v) >= 1 for v in par.values()):
+        raise ValueError(
+            "edge_state refines ONE member — par must be scalar-leaved; "
+            "slice a lockstep edge() run per member via EdgeResult.refine")
+    a, b = Collection(a), Collection(b)
+    for name, s in (("a", a), ("b", b)):
+        if any(np.ndim(v) >= 2 for v in s.values()):
+            raise ValueError(
+                f"endpoint {name} is member-batched — edge_state refines "
+                f"ONE member (EdgeResult.refine slices one out)")
+
+    def solve(init, tol_, years_):
+        return equilibrate(model, st, forcing, par, init, tol=tol_,
+                           max_years=years_, **equilibrate_kwargs)
+
+    def area_of(res, K):
+        v = seasonal_ice_area(getattr(res.seasonal, season), st)
+        return np.broadcast_to(np.atleast_1d(v), (K,)).astype(np.float64)
+
+    prog = None
+    if progress:
+        from .utils.progress import Progress
+
+        prog = Progress(stages, title="EdgeState",
+                        infofeed=lambda msg: msg)
+        prog.update(0, feedargs=("attractor references",))
+
+    if refs is not None:
+        ref_a, ref_b = (float(refs[0]), float(refs[1]))
+    else:
+        ends = solve(stack_states([a, b]), commit_tol, commit_years)
+        conv = np.broadcast_to(np.atleast_1d(ends.converged), (2,))
+        fin = _finite_members(ends, 2)
+        if not (conv & fin).all():
+            raise ValueError(
+                f"endpoint equilibration did not converge finitely "
+                f"({ends!r}) — the attractor references must be trusted; "
+                f"raise commit_years or pass refs=")
+        ref_a, ref_b = area_of(ends, 2)
+        a = _member_state(ends.state, 0, 2)
+        b = _member_state(ends.state, 1, 2)
+    gap = abs(ref_a - ref_b)
+    if gap < jump_tol:
+        raise ValueError(
+            f"attractor references {ref_a:.4g} and {ref_b:.4g} are less "
+            f"than jump_tol={jump_tol:g} apart in ice area — same basin, "
+            f"or indistinguishable in this diagnostic")
+    sep_tol = 0.25 * gap
+
+    def bisect_round(xa, xb):
+        """One multi-probe round: returns the tightened (xa, xb)."""
+        w = np.linspace(0.0, 1.0, probes + 2)[1:-1]
+        res = solve(blend_states(xa, xb, w), commit_tol, commit_years)
+        areas = area_of(res, probes)
+        finite = _finite_members(res, probes)
+        in_a = np.abs(areas - ref_a) <= np.abs(areas - ref_b)
+        i = 0                      # longest finite A-prefix
+        while i < probes and finite[i] and in_a[i]:
+            i += 1
+        j = probes - 1             # longest finite B-suffix
+        while j >= 0 and finite[j] and not in_a[j]:
+            j -= 1
+        lo = w[i - 1] if i > 0 else 0.0
+        hi = w[j + 1] if j < probes - 1 else 1.0
+        if not lo < hi:            # fully inconsistent classifications
+            lo, hi = 0.0, 1.0
+        return blend_states(xa, xb, lo), blend_states(xa, xb, hi)
+
+    drift_h, years_h, sep_h, mids = [], [], [], []
+    mid_prev = None
+    xa, xb = a, b
+    for s in range(stages):
+        for _ in range(rounds):
+            xa, xb = bisect_round(xa, xb)
+
+        # flight: hop the bracket pair forward while it still straddles
+        # the boundary tightly; one re-bisection retry if the very first
+        # hop already separates it (bracket not tight enough yet)
+        flown_years = 0
+        sep = 0.0
+        for retry in range(2):
+            fa, fb = xa, xb
+            while flown_years < flight_years:
+                res = solve(stack_states([fa, fb]), 0.0, flight_chunk)
+                if not _finite_members(res, 2).all():
+                    break          # keep the last finite pair
+                na = _member_state(res.state, 0, 2)
+                nb = _member_state(res.state, 1, 2)
+                sep = float(np.abs(np.subtract(*area_of(res, 2))))
+                if sep > sep_tol:
+                    break          # committed past the monitor: re-bisect
+                fa, fb = na, nb
+                flown_years += flight_chunk
+            if flown_years or retry:
+                break
+            xa, xb = bisect_round(xa, xb)   # too wide to fly: tighten
+        xa, xb = fa, fb
+
+        mid = blend_states(xa, xb, 0.5)
+        if mid_prev is None:
+            drift = np.nan
+        else:
+            drift = max(
+                float(np.max(np.abs(np.asarray(mid[v], dtype=np.float64)
+                                    - np.asarray(mid_prev[v],
+                                                 dtype=np.float64))))
+                for v in metric)
+        mid_prev = mid
+        mids.append(mid)
+        drift_h.append(drift)
+        years_h.append(flown_years)
+        sep_h.append(sep)
+        if prog is not None:
+            prog.update(s + 1, feedargs=(
+                f"stage {s + 1}: drift {drift:.3g}, "
+                f"+{flown_years} yr tracked",))
+        if (track_tol is not None and np.isfinite(drift)
+                and drift < track_tol):
+            break
+
+    # refinement proper: trust-region Gauss-Newton on the year map (or,
+    # under polish=False, just measure the last midpoint's stationarity
+    # with the same residual). The step-albedo kink structure pins
+    # DIFFERENT local ||year(x)-x|| floors around the saddle (measured
+    # 0.7 / 1.3 / 7.4 from different stage midpoints at nx=8), so every
+    # stage midpoint is a candidate start: polish last-first until one
+    # meets tol, keep the best.
+    if prog is not None:
+        prog.update(len(drift_h), feedargs=("polishing the saddle",))
+    state, resid, nfev = None, np.inf, 0
+    for cand in mids[::-1]:
+        s_, r_, n_ = _polish_fixed_point(
+            model, st, forcing, par, cand,
+            equilibrate_kwargs.get("dtype"),
+            polish_max_nfev if polish else 0)
+        nfev += n_
+        if r_ < resid:
+            state, resid = s_, r_
+        if resid <= tol or not polish:
+            break
+    converged = bool(resid <= tol)
+
+    probe = solve(state, 0.0, 1)
+    area = float(area_of(probe, 1)[0])
+    if min(abs(area - ref_a), abs(area - ref_b)) < 0.1 * gap:
+        warnings.warn(
+            f"edge_state's polished state (ice area {area:.4g}) sits on "
+            f"an ATTRACTOR (references {ref_a:.4g}/{ref_b:.4g}) — the "
+            f"polish slid off the basin boundary; raise stages/probes so "
+            f"tracking lands closer to the saddle first")
+
+    stab = None
+    if stability_check:
+        from .equilibrium import stability
+
+        kw = dict(side="right")
+        kw.update(stability_kwargs or {})
+        stab = stability(model, st, forcing, par, state, **kw)
+
+    return EdgeStateResult(
+        state=state, area=area, resid=resid,
+        drift=np.asarray(drift_h), tracked_years=np.asarray(years_h),
+        separation=np.asarray(sep_h), converged=converged,
+        polish_nfev=nfev, stability=stab, spacetime=st, season=season,
+        par=par)

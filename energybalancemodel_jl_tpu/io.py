@@ -339,6 +339,41 @@ def _read_stability(f: h5py.Group):
     )
 
 
+def _write_edge_state(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "EdgeStateResult"
+    f.attrs.update(season=str(res.season), area=float(res.area),
+                   resid=float(res.resid), converged=bool(res.converged),
+                   polish_nfev=int(res.polish_nfev))
+    for name in ("drift", "tracked_years", "separation"):
+        f.create_dataset(name, data=np.asarray(getattr(res, name)))
+    _write_spacetime(f, res.spacetime)
+    _write_collection(f.create_group("state"), res.state)
+    if res.stability is not None:
+        _write_stability(f.create_group("stability"), res.stability)
+    if res.par is not None:
+        _write_collection(f.create_group("par"), res.par)
+
+
+def _read_edge_state(f: h5py.Group):
+    from .basins import EdgeStateResult
+
+    return EdgeStateResult(
+        state=_read_collection(f["state"]),
+        area=float(f.attrs["area"]),
+        resid=float(f.attrs["resid"]),
+        drift=np.asarray(f["drift"]),
+        tracked_years=np.asarray(f["tracked_years"]),
+        separation=np.asarray(f["separation"]),
+        converged=bool(f.attrs["converged"]),
+        polish_nfev=int(f.attrs["polish_nfev"]),
+        stability=_read_stability(f["stability"]) if "stability" in f
+        else None,
+        spacetime=_read_spacetime(f),
+        season=str(f.attrs["season"]),
+        par=_read_collection(f["par"]) if "par" in f else None,
+    )
+
+
 def _write_sensitivity(f: h5py.Group, res) -> None:
     f.attrs["__ebm_type__"] = "SensitivityResult"
     f.attrs["of"] = str(res.of)
@@ -425,7 +460,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             return path
     except ImportError:  # pragma: no cover
         pass
-    from .basins import BasinResult, EdgeResult
+    from .basins import BasinResult, EdgeResult, EdgeStateResult
     from .calibrate import CalibrationResult
     from .equilibrium import (ContinuationResult, EquilibriumResult,
                               StabilityResult)
@@ -448,6 +483,8 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_basins(f, obj)
         elif isinstance(obj, EdgeResult):
             _write_edge(f, obj)
+        elif isinstance(obj, EdgeStateResult):
+            _write_edge_state(f, obj)
         elif isinstance(obj, StabilityResult):
             _write_stability(f, obj)
         elif isinstance(obj, SensitivityResult):
@@ -505,6 +542,8 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_basins(f)
         if tag == "EdgeResult":
             return _read_edge(f)
+        if tag == "EdgeStateResult":
+            return _read_edge_state(f)
         if tag == "StabilityResult":
             return _read_stability(f)
         if tag == "SensitivityResult":

@@ -1,5 +1,6 @@
-"""Map basins of attraction and bisect the basin boundary with
-`ebm.basins` / `ebm.edge`.
+"""Map basins of attraction, bisect the basin boundary with
+`ebm.basins` / `ebm.edge`, and refine the EDGE STATE with
+`EdgeResult.refine` / `ebm.edge_state`.
 
 In the classic model's bistable forcing window the warm climate and the
 snowball COEXIST — which one the system reaches depends only on where it
@@ -25,7 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import energybalancemodel_jl_tpu as ebm  # noqa: E402
 
 
-def main(fast=False):
+def main(outdir=None, fast=False):
     # fast=True: CI-sized (nx=8 keeps the classic bistable window at
     # F in ~[5, 15] — CLAUDE.md measured; nt stays 1000 for step stability)
     st = ebm.SpaceTime.sin(8 if fast else 24, 1000, 1)
@@ -69,10 +70,47 @@ def main(fast=False):
     for F, v, a, b in zip(F_vals, res.values, res.wa, res.wb):
         print(f"{F:6.1f}  {v:30.4f}  [{a:.4f}, {b:.4f}]")
     print("\nstronger forcing grows the warm basin along this line (the "
-          "boundary moves toward the snowball endpoint); "
-          "res.states() hands back the near-boundary blends for "
-          "edge-state studies (ebm.save(res, 'edge.h5') archives "
-          "everything)")
+          "boundary moves toward the snowball endpoint)")
+
+    # 3. refine one member's crossing into the EDGE STATE — the
+    # near-stationary object ON the boundary itself (edge tracking +
+    # trust-region Gauss-Newton on the year map), with its year-map
+    # spectrum: the transverse escape direction of the basin boundary
+    saddle = res.refine("Classic", forcing=0.0, member=0,
+                        stages=2 if fast else 6,
+                        commit_years=200 if fast else 300,
+                        commit_tol=0.5,
+                        stability_kwargs=dict(dtype="float64"))
+    print(f"\nedge state at F={F_vals[0]:.1f}: {saddle}")
+    lam = float(np.asarray(saddle.stability.growth).reshape(-1)[0])
+    print(f"  ice area {saddle.area:.3f} (between the attractors "
+          f"{float(np.atleast_1d(res.area_a)[0]):.3f} and "
+          f"{float(np.atleast_1d(res.area_b)[0]):.3f}), year-map "
+          f"stationarity {saddle.resid:.3g}, leading |lambda| {lam:.3f}")
+    print("  (on coarse classic grids the boundary attractor chatters "
+          "around the albedo hole — see the edge_state docstring; "
+          "ebm.save(saddle, 'edge_state.h5') archives it)")
+
+    # plot the unstable (escape) mode over the grid: the spatial pattern
+    # along which trajectories leave the boundary
+    import matplotlib.pyplot as plt
+    fig, ax = plt.subplots(figsize=(6, 3.2))
+    mode_E = np.asarray(saddle.stability.mode["E"]).reshape(-1)
+    ax.plot(st.x, np.asarray(saddle.state["E"]) / 100.0,
+            label="edge state E / 100")
+    ax.plot(st.x, mode_E / max(np.abs(mode_E).max(), 1e-12),
+            label="escape mode (normalized)")
+    ax.axhline(0.0, color="0.8", lw=0.8)
+    ax.set_xlabel("x = sin(latitude)")
+    ax.set_title(f"classic edge state, F={F_vals[0]:.1f}")
+    ax.legend()
+    fig.tight_layout()
+    out = os.path.join(outdir if outdir is not None
+                       else os.path.dirname(__file__),
+                       "basin_boundary.png")
+    fig.savefig(out, dpi=120)
+    plt.close(fig)
+    print(f"  escape-mode plot -> {out}")
 
 
 if __name__ == "__main__":

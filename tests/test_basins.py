@@ -187,6 +187,184 @@ class TestEdge:
         assert "w* =" in repr(tracked)
 
 
+@pytest.fixture(scope="module")
+def attractors():
+    """The two converged endpoint attractor states (and their areas)."""
+    from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+    res = ebm.equilibrate("Classic", ST, F, _par(),
+                          ebm.stack_states([WARM, COLD]),
+                          tol=0.5, max_years=200)
+    assert np.all(np.asarray(res.converged))
+    a = ebm.Collection({k: np.asarray(v)[0] for k, v in res.state.items()})
+    b = ebm.Collection({k: np.asarray(v)[1] for k, v in res.state.items()})
+    areas = np.asarray(seasonal_ice_area(res.seasonal.avg, ST))
+    return a, b, float(areas[0]), float(areas[1])
+
+
+@pytest.fixture(scope="module")
+def refined():
+    """End-to-end edge_state from the raw warm/cold inits."""
+    return ebm.edge_state("Classic", ST, _par(), WARM, COLD, forcing=F,
+                          commit_years=200, commit_tol=0.5,
+                          stability_kwargs=dict(dtype="float64"))
+
+
+class TestEdgeState:
+    def test_end_to_end_converges_between_the_attractors(self, refined,
+                                                         attractors):
+        _, _, area_a, area_b = attractors
+        # the polish reaches the classic stationarity floor (measured
+        # ~0.7 at this config; the albedo hole bounds it from below)
+        assert refined.converged and refined.resid <= 1.0
+        assert refined.polish_nfev > 0
+        lo, hi = sorted((area_a, area_b))
+        assert lo + 0.3 < refined.area < hi - 0.3
+        n = refined.stages_run
+        assert (len(refined.tracked_years) == n
+                and len(refined.separation) == n)
+        assert np.isnan(refined.drift[0]) and np.isfinite(refined.drift[1:]).all()
+        assert refined.stability is not None
+        assert refined.stability.side == "right"
+        assert "converged" in repr(refined)
+
+    def test_edge_state_straddles_the_boundary(self, refined, attractors):
+        # THE defining property: nudging the refined state toward either
+        # attractor commits to THAT attractor — the state sits on the
+        # basin boundary (finite-scale instability, regardless of what
+        # the infinitesimal linearization reads on this non-smooth map;
+        # see the edge_state docstring on chattering)
+        from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+        aeq, beq, area_a, area_b = attractors
+        pa = ebm.blend_states(refined.state, aeq, 0.1)
+        pb = ebm.blend_states(refined.state, beq, 0.1)
+        res = ebm.equilibrate("Classic", ST, F, _par(),
+                              ebm.stack_states([pa, pb]),
+                              tol=0.5, max_years=300)
+        areas = np.asarray(seasonal_ice_area(res.seasonal.avg, ST))
+        assert abs(areas[0] - area_a) < 0.5
+        assert abs(areas[1] - area_b) < 0.5
+
+    def test_saddle_spectrum(self, attractors):
+        # seeded near the clean warm-boundary saddle (neighborhood
+        # measured by a dense multi-start TRF ladder scan at this
+        # config: area 1.831, resid floor ~0.6, spectrum 1.02-1.09 then
+        # 0.89-0.91), edge_state converges a genuine codimension-1
+        # saddle: EXACTLY one year-map eigenvalue above 1
+        aeq, beq, area_a, area_b = attractors
+        guess = ebm.Collection(
+            E=np.array([93.6, 72.2, 18.8, -5.9, -15.2, -38.6, -58.5,
+                        -75.0]),
+            Tg=np.array([8.86, 6.67, 1.29, -12.1, -25.7, -38.8, -50.7,
+                         -61.3]))
+        res = ebm.edge_state(
+            "Classic", ST, _par(), ebm.blend_states(guess, aeq, 0.05),
+            ebm.blend_states(guess, beq, 0.05), forcing=F,
+            refs=(area_a, area_b), stages=4, commit_years=200,
+            commit_tol=0.5,
+            stability_kwargs=dict(dtype="float64", n_modes=2))
+        assert res.converged
+        assert abs(res.area - 1.831) < 0.3
+        growth = np.asarray(res.stability.growth).reshape(-1)
+        assert growth[0] > 1.0          # the unstable (escape) mode
+        assert growth[1] < 1.0          # ... and only that one
+        assert "|lambda|" in repr(res)
+
+    def test_refine_slices_a_member(self, tracked):
+        res = tracked.refine("Classic", forcing=F, member=0, stages=2,
+                             commit_years=200, commit_tol=0.5,
+                             polish_max_nfev=40, stability_check=False)
+        assert isinstance(res, ebm.EdgeStateResult)
+        assert res.stability is None
+        assert res.polish_nfev > 0
+        assert res.season == tracked.season
+
+    def test_refine_member_out_of_range(self, tracked):
+        with pytest.raises(ValueError, match="member"):
+            tracked.refine("Classic", forcing=F, member=5)
+
+    def test_polish_false_reports_the_raw_midpoint(self, attractors):
+        aeq, beq, area_a, area_b = attractors
+        res = ebm.edge_state("Classic", ST, _par(), aeq, beq, forcing=F,
+                             refs=(area_a, area_b), stages=1,
+                             commit_years=200, commit_tol=0.5,
+                             polish=False, stability_check=False)
+        assert res.polish_nfev == 0
+        assert np.isfinite(res.resid)
+
+    def test_validation_errors(self):
+        par = _par()
+        par["F"] = np.array([5.0, 15.0])
+        with pytest.raises(ValueError, match="ONE member"):
+            ebm.edge_state("Classic", ST, par, WARM, COLD, forcing=0.0)
+        batched = ebm.stack_states([WARM, COLD])
+        with pytest.raises(ValueError, match="member-batched"):
+            ebm.edge_state("Classic", ST, _par(), batched, COLD, forcing=F)
+        with pytest.raises(ValueError, match="same basin|jump_tol"):
+            ebm.edge_state("Classic", ST, _par(), WARM, COLD, forcing=F,
+                           refs=(1.0, 1.2))
+        with pytest.raises(ValueError, match="season"):
+            ebm.edge_state("Classic", ST, _par(), WARM, COLD, forcing=F,
+                           season="sumer")
+        with pytest.raises(ValueError, match="constant"):
+            ebm.edge_state("Classic", ST, _par(), WARM, COLD,
+                           forcing=ebm.Forcing(0.0, 5.0, -5.0, (10, 10),
+                                               (0.5, -0.5)))
+        with pytest.raises(ValueError, match="flight_years"):
+            ebm.edge_state("Classic", ST, _par(), WARM, COLD, forcing=F,
+                           flight_years=2, flight_chunk=4)
+
+    def test_roundtrip(self, refined, tmp_path):
+        path = str(tmp_path / "edge_state.h5")
+        ebm.save(refined, path)
+        back = ebm.load(path)
+        assert isinstance(back, ebm.EdgeStateResult)
+        assert np.allclose(back.state["E"], np.asarray(refined.state["E"]))
+        assert back.resid == refined.resid
+        assert back.polish_nfev == refined.polish_nfev
+        assert back.converged == refined.converged
+        assert np.allclose(back.stability.growth,
+                           np.asarray(refined.stability.growth))
+
+
+class TestEdgeUnconvergedProbes:
+    """VERDICT r2 #8: starved probes must be DETECTABLE, and the
+    checkpoint contract must not let a starved search masquerade as a
+    trusted one."""
+
+    def test_starved_probes_flag_ok_false(self, attractors):
+        aeq, beq, _, _ = attractors
+        starved = ebm.edge("Classic", ST, _par(), aeq, beq, forcing=F,
+                           steps=3, tol=0.5, max_years=4)
+        # every probe ran out of years finitely: classified (bracket
+        # moved) but flagged — the documented recover-by-re-run case
+        assert not starved.ok.any()
+        assert not starved.probe_converged.any()
+        assert starved.probe_finite.all()
+        trusted = ebm.edge("Classic", ST, _par(), aeq, beq, forcing=F,
+                           steps=3, tol=0.5, max_years=200)
+        assert trusted.ok.all()
+
+    def test_resume_with_larger_max_years_restarts(self, attractors,
+                                                   tmp_path):
+        # max_years is deliberately part of the checkpoint fingerprint
+        # (unlike equilibrate's pure-continuation resume): a starved
+        # search's recorded probes are untrustworthy, so extending
+        # max_years must NOT splice onto them — it warns and re-runs
+        aeq, beq, _, _ = attractors
+        ck = str(tmp_path / "edge.ck")
+        starved = ebm.edge("Classic", ST, _par(), aeq, beq, forcing=F,
+                           steps=3, tol=0.5, max_years=4, checkpoint=ck)
+        assert not starved.ok.any()
+        with pytest.warns(UserWarning, match="does not match"):
+            repaired = ebm.edge("Classic", ST, _par(), aeq, beq,
+                                forcing=F, steps=3, tol=0.5,
+                                max_years=200, checkpoint=ck, resume=True)
+        assert repaired.ok.all()
+        trusted = ebm.edge("Classic", ST, _par(), aeq, beq, forcing=F,
+                           steps=3, tol=0.5, max_years=200)
+        assert np.array_equal(repaired.values, trusted.values)
+
+
 class TestValidation:
     def test_same_basin_raises(self):
         nudged = ebm.blend_states(WARM, WARM, 0.5)

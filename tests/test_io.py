@@ -328,6 +328,15 @@ class TestResultCompleteness:
                 result_a=cls._equilibrium(rng, K=2),
                 result_b=cls._equilibrium(rng, K=2),
                 spacetime=st, season="avg", par=par),
+            "EdgeStateResult": lambda: ebm.EdgeStateResult(
+                state=state(), area=1.3, resid=2e-4,
+                drift=np.array([np.nan, 0.5, 0.01]),
+                tracked_years=np.array([12, 40, 40]),
+                separation=rng.random(3), converged=True, polish_nfev=69,
+                stability=ebm.StabilityResult(
+                    growth=1.4, history=rng.random(5), converged=True,
+                    mode=state(), rtol=1e-6, side="right"),
+                spacetime=st, season="avg", par=par),
         }
 
     def test_registry_covers_all_public_result_types(self):
