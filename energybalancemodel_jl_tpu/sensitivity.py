@@ -114,7 +114,11 @@ def sensitivity(
       model's ice indicator ``E < 0`` has zero gradient almost
       everywhere; ask for a smooth diagnostic there instead);
     * ``"mean"``: hemispheric mean of ``var`` (any solution variable,
-      presentation NaNs contribute zero — both models).
+      presentation NaNs contribute zero — both models). Precisely: the
+      reference's trapezoid-integral ``hemispheric_mean`` normalized by
+      the cell-center span ``x[-1] - x[0]`` (the raw integral is an
+      AREA-scaled quantity; oracle comparisons must match this
+      definition — tests/test_oracle_equilibrium.py does).
 
     ``wrt`` restricts the differentiated names (default: every ``par``
     key plus the constant forcing level ``"F"``). The fixed point is
