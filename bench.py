@@ -8,7 +8,7 @@ with seasonal-only storage, times steady-state years after a compile warmup,
 and prints ONE JSON line.
 
 Environment knobs: EBM_BENCH_K (ensemble size, default 8192),
-EBM_BENCH_YEARS (timed years, default 24; fused mode rounds up to a whole number of EBM_BENCH_YPD-year dispatch chunks, default 8), EBM_BENCH_DTYPE (float32|float64),
+EBM_BENCH_YEARS (timed years, default 48; fused mode rounds up to a whole number of EBM_BENCH_YPD-year dispatch chunks, default 24 — the measured amortization knee, BENCH_NOTES "years_per_dispatch amortization"), EBM_BENCH_DTYPE (float32|float64),
 EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
 (fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K,
 EBM_BENCH_MODE (integrate|equilibrate — equilibrate times the fixed-point
@@ -46,7 +46,7 @@ def main():
     from energybalancemodel_jl_tpu.utils.collection import Collection
 
     K = int(os.environ.get("EBM_BENCH_K", "8192"))
-    years = int(os.environ.get("EBM_BENCH_YEARS", "24"))
+    years = int(os.environ.get("EBM_BENCH_YEARS", "48"))
     dtype = jnp.dtype(os.environ.get("EBM_BENCH_DTYPE", "float32"))
     solver = os.environ.get("EBM_BENCH_SOLVER", "pcr_fused")
     engine = os.environ.get("EBM_BENCH_ENGINE", "fused")
@@ -104,7 +104,7 @@ def main():
     # shape here: per-year host dispatches over the tunnel cost ~0.2 s each,
     # which is ~25% of the budget at K=8192. Chunks stay well under the
     # remote watchdog's ~2 min dispatch limit (8 yr ~ 3 s at K=8192).
-    ypd = max(1, int(os.environ.get("EBM_BENCH_YPD", "8")))
+    ypd = max(1, int(os.environ.get("EBM_BENCH_YPD", "24")))
     if engine == "fused" and ypd > 1:
         # one compiled chunk length only: a sub-ypd remainder would pay a
         # second compile inside the timed loop

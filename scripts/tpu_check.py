@@ -226,6 +226,52 @@ def s_edge():
     print(f"      {res!r}", flush=True)
 
 
+@stage("edge_state saddle refinement composes with the fused engine")
+def s_edge_state():
+    # f32 smoke: the tracker + polish complete and land strictly between
+    # the endpoint attractors' ice areas; the spectrum/floor claims belong
+    # to the f64 CPU tests (test_basins.py::TestEdgeState)
+    from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    warm = ebm.Collection(E=np.full(st.nx, 40.0),
+                          Tg=np.full(st.nx, 40.0 / cw))
+    cold = ebm.Collection(E=np.full(st.nx, -300.0),
+                          Tg=np.full(st.nx, -300.0 / cw))
+    eq = ebm.equilibrate("Classic", st, 10.0, par,
+                         ebm.stack_states([warm, cold]), tol=0.5,
+                         max_years=200)
+    areas = np.sort(np.asarray(seasonal_ice_area(eq.seasonal.avg, st)))
+    res = ebm.edge_state("Classic", st, par, warm, cold, forcing=10.0,
+                         commit_years=200, commit_tol=0.5,
+                         stability_check=False)
+    assert np.isfinite(res.resid), res
+    assert areas[0] < res.area < areas[1], (res.area, areas)
+    print(f"      saddle area {res.area:.3f} in ({areas[0]:.3f}, "
+          f"{areas[1]:.3f}), resid {res.resid:.2f}", flush=True)
+
+
+@stage("high-res: fused classic nx=1024, nx=4096 on the XLA fallback")
+def s_highres():
+    from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
+    import jax.numpy as jnp
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    ramp = ebm.Forcing(0.0, 1.0, 0.0, (0, 0), (1.0, -1.0))
+    for nx, years in ((1024, 2), (4096, 1)):
+        st = ebm.SpaceTime.sin(nx, 1000, years)
+        E0 = np.full(nx, 30.0)
+        init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+        reason = fused_unfit("Classic", st, jnp.float32)
+        sol = ebm.integrate("Classic", st, ramp, par, init,
+                            raw_mode="none", engine="auto",
+                            dtype="float32", progress=False)
+        E = np.asarray(sol.seasonal.avg["E"])
+        assert np.isfinite(E).all(), nx
+        print(f"      nx={nx}: {'XLA fallback' if reason else 'fused'} "
+              "finite", flush=True)
+
+
 @stage("sensitivity adjoint runs on-chip (f32 smoke: finite only)")
 def s_sensitivity():
     # f32 gradients through the frozen-cell lanes are noisy by design
@@ -276,8 +322,8 @@ def main():
     print(f"devices: {jax.devices()}", flush=True)
     stages = [s_claim, s_fused, s_batched, s_anderson, s_continuation,
               s_path_stability, s_projected, s_io, s_calibrate,
-              s_fold, s_edge, s_sensitivity, s_right_side,
-              s_integrate_chunks]
+              s_fold, s_edge, s_edge_state, s_highres, s_sensitivity,
+              s_right_side, s_integrate_chunks]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)

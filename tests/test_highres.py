@@ -220,3 +220,27 @@ class TestHighResSharding:
         assert E_s.shape[-1] == 1024
         assert np.isfinite(E_s).all()
         np.testing.assert_allclose(E_s, E_u, atol=1e-8)
+
+    def test_grid2d_matches_batched_at_nx_1024(self):
+        # 2-D (members x grid) mesh at a real grid shard size: K=2 members
+        # x 4 grid shards = 256 cells/device (the dryrun uses 4-8)
+        from energybalancemodel_jl_tpu.parallel.ensemble import (
+            ensemble_integrate)
+        from energybalancemodel_jl_tpu.parallel.grid2d import (
+            ensemble_spatial_integrate, grid2d_mesh)
+        st = ebm.SpaceTime.sin(1024, 1000, 1)
+        par = ebm.Collection(ebm.default_parameters("Classic"))
+        par["A"] = float(par["A"]) + np.array([0.0, 2.0])
+        E0 = np.full(1024, 30.0)
+        init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+        ens = ensemble_integrate("Classic", st, ebm.Forcing(0.0), par,
+                                 init, engine="batched", raw_mode="none",
+                                 progress=False)
+        ens2 = ensemble_spatial_integrate(
+            "Classic", st, ebm.Forcing(0.0), par, init,
+            mesh=grid2d_mesh(2, 4), raw_mode="none", progress=False)
+        a = np.asarray(ens.seasonal.avg["E"])
+        b = np.asarray(ens2.seasonal.avg["E"])
+        assert b.shape == (2, 1, 1024)  # (K, dur, nx)
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(b, a, rtol=1e-10, atol=1e-11)
