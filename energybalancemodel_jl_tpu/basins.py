@@ -792,7 +792,7 @@ def edge_state(
     season: str = "avg",
     jump_tol: float = np.pi / 2,
     refs=None,
-    metric: Sequence[str] = ("E",),
+    metric: Optional[Sequence[str]] = None,
     stability_check: bool = True,
     stability_kwargs: Optional[dict] = None,
     progress: bool = False,
@@ -835,7 +835,8 @@ def edge_state(
     within a few ``E`` units of the saddle but never settles), so the
     stages serve ONE purpose — land inside the saddle's neighborhood.
     All ``stages`` run unless ``track_tol`` is set and the midpoint's
-    stage-over-stage drift (max-abs over ``metric``'s leaves) falls
+    stage-over-stage drift (max-abs over ``metric``'s leaves; default =
+    every carry leaf — the MIZ carry has no ``"E"``) falls
     below it first. The refinement proper is then a trust-region
     Gauss-Newton solve of ``year(x) == x`` (scipy TRF on the flattened
     carry with the exact ``jacrev`` Jacobian, at most
@@ -998,6 +999,16 @@ def edge_state(
         xa, xb = fa, fb
 
         mid = blend_states(xa, xb, 0.5)
+        if metric is None:
+            # every carry leaf (model-agnostic: the MIZ carry has no "E")
+            drift_keys = tuple(sorted(mid.keys()))
+        else:
+            drift_keys = tuple(metric)
+            missing = [v for v in drift_keys if v not in mid]
+            if missing:
+                raise ValueError(
+                    f"metric leaves {missing} not in the tracked carry "
+                    f"(available: {sorted(mid.keys())})")
         if mid_prev is None:
             drift = np.nan
         else:
@@ -1005,7 +1016,7 @@ def edge_state(
                 float(np.max(np.abs(np.asarray(mid[v], dtype=np.float64)
                                     - np.asarray(mid_prev[v],
                                                  dtype=np.float64))))
-                for v in metric)
+                for v in drift_keys)
         mid_prev = mid
         mids.append(mid)
         drift_h.append(drift)

@@ -291,6 +291,33 @@ class TestEdgeState:
         assert res.polish_nfev == 0
         assert np.isfinite(res.resid)
 
+    def test_miz_carry_has_no_E_leaf(self):
+        # regression (review r3): the default drift metric read mid["E"],
+        # which the MIZ carry does not have (Ei/Ew/h/D/phi/T0) — the MIZ
+        # path crashed with KeyError at stage 2; default now spans every
+        # carry leaf. Fake refs: only the tracker mechanics are on trial.
+        st = ebm.SpaceTime.sin(8, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        a = ebm.zeros_init(st)
+        b = ebm.Collection({k: np.asarray(v) * 0.5 for k, v in a.items()})
+        b["h"] = np.full(st.nx, 2.0)
+        b["phi"] = np.full(st.nx, 1.0)
+        b["Ei"] = np.full(st.nx, -20.0)
+        res = ebm.edge_state("MIZ", st, par, a, b, forcing=0.0, stages=2,
+                             probes=2, rounds=1, flight_years=2,
+                             flight_chunk=1, commit_years=3,
+                             commit_tol=100.0, refs=(0.0, 5.0),
+                             polish=False, stability_check=False)
+        assert res.stages_run == 2
+        assert np.isfinite(res.drift[1])
+        with pytest.raises(ValueError, match="metric leaves"):
+            ebm.edge_state("MIZ", st, par, a, b, forcing=0.0, stages=2,
+                           probes=2, rounds=1, flight_years=2,
+                           flight_chunk=1, commit_years=3,
+                           commit_tol=100.0, refs=(0.0, 5.0),
+                           metric=("E",), polish=False,
+                           stability_check=False)
+
     def test_validation_errors(self):
         par = _par()
         par["F"] = np.array([5.0, 15.0])
