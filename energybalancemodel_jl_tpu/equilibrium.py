@@ -794,7 +794,9 @@ def equilibrate(
         if use_fused:
             from .ops.pallas_year import fused_unfit
 
-            use_fused = fused_unfit(spec.name, st, dtype, par_j) is None
+            use_fused = fused_unfit(
+                spec.name, st, dtype, par_j,
+                K=1 if K is None else int(K)) is None
         engine = "fused" if use_fused else "batched"
     if engine not in ("batched", "fused"):
         raise ValueError(
@@ -840,7 +842,8 @@ def equilibrate(
             par_j["F"] = jnp.asarray(np.asarray(F_off), dtype=dtype)
         from .ops.pallas_year import default_interpret, fused_unfit
 
-        unfit = fused_unfit(spec.name, st, dtype, par_j)
+        unfit = fused_unfit(spec.name, st, dtype, par_j,
+                            K=1 if K is None else int(K))
         if unfit:
             raise ValueError(unfit)
         if mesh is not None:

@@ -4,8 +4,11 @@ The batch-native hot loop (BENCH_NOTES.md) still pays per-step HBM traffic:
 every ``lax.scan`` step reads and writes the ``(K, nx)`` carry plus ten
 seasonal accumulators between fused XLA kernels. At nx = 180 the entire
 working set of a 128-member block — prognostic state, Newton warm start,
-seasonal accumulators, even the full ``(nt, nx)`` insolation table — fits in
-VMEM with room to spare. This kernel therefore runs the *whole year*
+seasonal accumulators — fits in VMEM with room to spare (the insolation
+is separable, so both layouts rebuild each step's row from static
+rows/columns and a cosine scalar, bitwise-identically to the statics
+table — no ``(nt, nx)`` table is ever resident, which is what lets the
+'kx' layout reach nx in the thousands for single runs). This kernel therefore runs the *whole year*
 (``nt`` physics steps, each with its warm-started adaptive Newton solve and
 PCR tridiagonal solves) in one launch per block: HBM sees one read of the
 carry and one write of the carry + seasonal storage per simulated year.
@@ -62,10 +65,11 @@ _TM_POW = len(PAR_NAMES)
 # which Mosaic cannot lower; constant offsets cover the WE15 F-bifurcation)
 _F_OFF = len(PAR_NAMES) + 1
 N_PAR = len(PAR_NAMES) + 2
-# parameters shaping the insolation/coalbedo tables. The 'kx' layout keeps
-# the (nt, nx) table VMEM-resident and shared, so these must be scalar
-# there; the transposed 'xk' layout rebuilds the (separable) insolation
-# in-kernel from per-member parameter rows, so ALL of them are sweepable.
+# parameters shaping the insolation/coalbedo tables. Both layouts rebuild
+# the (separable) insolation in-kernel; 'kx' shares ONE rebuild across the
+# member block (scalar S0/S1/S2 in SMEM; aw stays a precomputed static
+# row), so these must be scalar there, while the transposed 'xk' rebuilds
+# insolation AND coalbedo from per-member rows, so ALL are sweepable.
 TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
 # extra per-member parameter rows of the 'xk' kernels, after PAR_NAMES
 XK_TABLE_ROWS = ("S0", "S1", "S2", "a0", "a2")
@@ -92,9 +96,22 @@ def _member_slabs(Kp: int, Kt: int):
 
 def _kernel(
     f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
+    cosv_ref,   # SMEM (nt,) cos(2 pi t) — with separable=True the kernel
+                # rebuilds each step's insolation row from three static lane
+                # rows and this scalar ((S0 - (S1 x) cos) - S2 x^2), instead
+                # of reading a VMEM-resident (nt, nxp) table. On TPU the
+                # rebuild equals the statics table bitwise (verified on-chip
+                # via cross-layout checksums); on XLA:CPU the two jit graphs
+                # contract FMAs differently (~1 ulp), so table mode stays
+                # the default whenever the table fits — separable mode is
+                # what lifts the nt*nx ~ 8 MB cap for high-resolution runs
+                # (round 3)
+    tabs_ref,   # SMEM (3,): the scalar S0, S1, S2 ('kx' shares one
+                # insolation — sweeping them still needs 'xk')
+    insol_ref,  # VMEM (nt, nxp) insolation table (separable=False) or a
+                # (1, nxp) dummy (separable=True — not read)
     cin_ref,    # VMEM (6, Kt, nxp) carry in
-    insol_ref,  # VMEM (nt, nxp) insolation table
-    rows_ref,   # VMEM (4, nxp): aw, glo, gdi, gup
+    rows_ref,   # VMEM (7, nxp): aw, glo, gdi, gup, pad mask, x, x^2
     pars_ref,   # VMEM (Kt, N_PAR) per-member parameters (one per lane)
     cout_ref,   # VMEM (6, Kt, nxp) carry out
     wint_ref,   # VMEM (10, Kt, nxp) winter snapshot
@@ -107,7 +124,7 @@ def _kernel(
                 # T(8,128) = 512 B/member and XLA places custom-call results
                 # in VMEM — 4 MB at Kp = 8192, which is exactly what used to
                 # overflow the 16 MB scoped-VMEM budget on large launches.
-    *, nt: int, w0: int, s0: int, dt: float, cfg,
+    *, nt: int, w0: int, s0: int, dt: float, cfg, separable: bool,
 ):
     from ..models import miz
 
@@ -127,6 +144,9 @@ def _kernel(
         dt=dt,
         Tm_pow_m2=pars_ref[:, _TM_POW:_TM_POW + 1],
     )
+    mask = rows_ref[4:5]   # 1 on real grid lanes, 0 on lane padding
+    rowX = rows_ref[5:6]   # x
+    rowX2 = rows_ref[6:7]  # x^2
     carry0 = Collection({k: cin_ref[j] for j, k in enumerate(CARRY_KEYS)})
     # annual sums accumulate in the output ref itself (read-modify-write per
     # step) rather than in the loop carry — saves 10 (Kt, nxp) buffers of
@@ -136,8 +156,17 @@ def _kernel(
 
     def body(t, state):
         carry, conv = state
+        if separable:
+            c = cosv_ref[t]
+            # same products, same evaluation order as the statics table
+            # build ((S0 - (S1 x) cos) - S2 x^2): real lanes S0*1.0 == S0
+            # exactly, padded lanes 0 - 0 - 0 = the table's pad zeros
+            insol = ((tabs_ref[0] * mask - (tabs_ref[1] * rowX) * c)
+                     - tabs_ref[2] * rowX2)
+        else:
+            insol = insol_ref[pl.ds(t, 1), :]
         f_t = f_ref[t] + pars_ref[:, _F_OFF:_F_OFF + 1]
-        xs = Collection(insol=insol_ref[pl.ds(t, 1), :], f=f_t)
+        xs = Collection(insol=insol, f=f_t)
         carry, out = miz.step(carry, xs, stat, par, cfg)
         out = dict(out)
         conv = jnp.minimum(conv, out.pop("newton_converged"))
@@ -264,6 +293,11 @@ def _kernel_xk(
 XK_PLANES_MIZ = 60
 XK_PLANES_CLASSIC = 30
 _XK_VMEM_BUDGET = 28 * 2**20
+# 'kx' insolation-TABLE budget: below this the kernel keeps the XLA-built
+# (nt, nxp) table VMEM-resident (bitwise-shared with the XLA engines on
+# every backend); above it the kernel switches to the separable in-kernel
+# rebuild (bitwise on TPU, ~1 ulp off on XLA:CPU — _kernel docstring)
+_KX_TABLE_BUDGET = 8 * 2**20
 
 
 def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int) -> int:
@@ -293,44 +327,49 @@ def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int):
     return None
 
 
-def _kx_fits(nt_rows: int, nxp: int, itemsize: int):
-    """None if the 'kx' layout's shared insolation table fits in VMEM, else
-    the reason it can't (twin of :func:`_xk_fits` for the original layout;
-    the whole-year kernel keeps the (nt, nx) table VMEM-resident — past
-    ~8 MB it cannot coexist with the block working set, 16 MB/core)."""
-    table_mb = nt_rows * nxp * itemsize / 2**20
-    if table_mb > 8.0:
+def _kx_vmem_bytes(nx: int, K: int, block_k: int, itemsize: int,
+                   planes: int) -> int:
+    """Rough 'kx' working set: ``planes`` (Kt, nxp) ref planes + step
+    intermediates. Since the separable-insolation rebuild (round 3) the
+    layout holds NO (nt, nx) table, so — like 'xk' — the bound is the
+    per-block working set, here scaling with the MEMBER block height
+    (min(block_k, K padded to sublanes)) instead of the lane block."""
+    Kt = min(block_k, _round_up(max(int(K), 1), 8))
+    return planes * Kt * pad_to_lanes(nx) * itemsize
+
+
+def _kx_fits(nx: int, K: int, block_k: int, itemsize: int, planes: int):
+    """None if the 'kx' layout can launch, else the reason it can't (twin
+    of :func:`_xk_fits`; single source of truth for the auto-resolver and
+    the launch guard)."""
+    if _kx_vmem_bytes(nx, K, block_k, itemsize, planes) > _XK_VMEM_BUDGET:
         return (
-            f"insolation table of {nt_rows}x{nxp} ({table_mb:.1f} MB) exceeds "
-            "the whole-year kernel's VMEM budget; use an XLA engine "
-            "(engine='scan' for single runs, 'batched' for ensembles) for "
-            "this resolution (or shard the grid axis with parallel.spatial)"
+            f"nx={nx} working set at K={K} exceeds the whole-year "
+            "kernel's VMEM budget; use an XLA engine (engine='scan' for "
+            "single runs, 'batched' for ensembles) for this resolution "
+            "(or shard the grid axis with parallel.spatial)"
         )
     return None
 
 
-def _table_rows(model_name: str, nt: int) -> int:
-    """Rows of the 'kx' layout's VMEM-resident insolation table: the classic
-    kernel carries a wraparound row (its stored T uses step t+1's insolation,
-    models/classic.py), MIZ does not. The fit predicate and the launch
-    guards must agree on this count or `engine='auto'` can select a layout
-    whose own guard then rejects it."""
-    return nt if model_name == "MIZ" else nt + 1
-
-
-def fused_unfit(model_name: str, st, dtype, par=None, block_k: int = 128):
+def fused_unfit(model_name: str, st, dtype, par=None, block_k: int = 128,
+                K: int = 1):
     """None if SOME whole-year-kernel layout can launch this configuration,
     else the reason none can — the predicate ``engine='auto'`` resolvers use
     to fall back to the XLA engines instead of letting a default call raise
-    a launch-guard ValueError at high resolution (advisor finding r1)."""
+    a launch-guard ValueError at high resolution (advisor finding r1).
+
+    ``K`` is the member count: the 'kx' working set scales with the member
+    block (8 sublanes at K=1 vs 128 at wide ensembles), so a single run
+    fits at far higher nx than an ensemble — pass the real K from ensemble
+    resolvers."""
     itemsize = jnp.dtype(dtype).itemsize
     planes = XK_PLANES_MIZ if model_name == "MIZ" else XK_PLANES_CLASSIC
     table_swept = par is not None and _table_swept(par)
     xk_reason = _xk_fits(st.nx, block_k, itemsize, planes)
     if table_swept:
         return xk_reason  # only 'xk' can rebuild per-member insolation
-    kx_reason = _kx_fits(_table_rows(model_name, st.nt), pad_to_lanes(st.nx),
-                         itemsize)
+    kx_reason = _kx_fits(st.nx, K, block_k, itemsize, planes)
     if xk_reason is None or kx_reason is None:
         return None
     return kx_reason
@@ -353,17 +392,17 @@ def _table_swept(par) -> bool:
 
 
 def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
-                    planes: int, table_swept: bool = False,
-                    table_rows: int = None) -> str:
+                    planes: int, table_swept: bool = False) -> str:
     """Pick the faster in-kernel layout when the caller doesn't.
 
     'xk' (grid on sublanes, members on lanes) wins when the ensemble fills
     the 128-lane blocks — measured 2.2x at nx = 180, K = 8192 (BENCH_NOTES).
     'kx' wins for narrow ensembles/single runs (a lone member still pays all
     ceil(nx/8) sublane tiles in 'xk') and is the fallback when 'xk' does not
-    fit (non-lane-multiple block_k, VMEM bound). Swept table parameters
-    force 'xk' (only that layout can rebuild the insolation per member);
-    a 'kx' table that does not fit VMEM (``table_rows`` given) forces 'xk'.
+    fit (non-lane-multiple block_k, VMEM bound — 'kx' reaches much higher
+    nx at small K since its working set scales with the member block).
+    Swept table parameters force 'xk' (only that layout can rebuild the
+    insolation PER MEMBER; 'kx' rebuilds it too, round 3, but shared).
     """
     if layout is not None:
         return layout
@@ -383,9 +422,6 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
         return "xk"
     if unfit_reason is not None:
         return "kx"
-    if (table_rows is not None
-            and _kx_fits(table_rows, pad_to_lanes(nx), itemsize) is not None):
-        return "xk"  # only the separable-insolation layout fits this nt*nx
     # per-step VPU tile counts of each layout (8x128 tiles)
     kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
     xk_tiles = (_round_up(nx, 8) // 8) * (_round_up(K, 128) // 128)
@@ -412,10 +448,11 @@ def _miz_par_stack(par, stat, K, dtype):
     )
 
 
-def _check_table_fits(nt_rows: int, nxp: int, itemsize: int):
+def _check_kx_fits(nx: int, K: int, block_k: int, itemsize: int,
+                   planes: int):
     """Launch guard for the 'kx' layout (raise-on-unfit twin of
     :func:`_kx_fits`, the single source of truth)."""
-    reason = _kx_fits(nt_rows, nxp, itemsize)
+    reason = _kx_fits(nx, K, block_k, itemsize, planes)
     if reason is not None:
         raise ValueError(reason)
 
@@ -454,7 +491,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     layout = _resolve_layout(
         layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
         jnp.dtype(carry["Ei"].dtype).itemsize, planes=XK_PLANES_MIZ,
-        table_swept=_table_swept(par), table_rows=_table_rows("MIZ", st.nt),
+        table_swept=_table_swept(par),
     )
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -464,7 +501,8 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     dtype = carry["Ei"].dtype
     K, nx = carry["Ei"].shape
     nxp = pad_to_lanes(nx)
-    _check_table_fits(st.nt, nxp, jnp.dtype(dtype).itemsize)
+    _check_kx_fits(nx, K, block_k, jnp.dtype(dtype).itemsize,
+                   XK_PLANES_MIZ)
     Kt = min(block_k, _round_up(K, 8))
     Kp = _round_up(K, Kt)
     nt = st.nt
@@ -483,11 +521,33 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     def pad_lane(v):
         return jnp.pad(jnp.asarray(v, dtype), (0, nxp - nx))
 
+    x = jnp.asarray(st.x, dtype=dtype)
+    t = jnp.asarray(st.t, dtype=dtype)
+    cosv = jnp.cos(2.0 * jnp.pi * t)  # same values the statics table uses
+    tabs = jnp.stack([jnp.asarray(par[n], dtype) for n in ("S0", "S1", "S2")])
     cin = jnp.stack([pad_kx(jnp.asarray(carry[k], dtype)) for k in CARRY_KEYS])
-    insol = jnp.pad(stat.insol, ((0, 0), (0, nxp - nx)))
     rows = jnp.stack(
-        [pad_lane(stat.aw), pad_lane(stat.glo), pad_lane(stat.gdi), pad_lane(stat.gup)]
+        [pad_lane(stat.aw), pad_lane(stat.glo), pad_lane(stat.gdi),
+         pad_lane(stat.gup), pad_lane(jnp.ones((nx,), dtype)), pad_lane(x),
+         pad_lane(x**2)]
     )
+    # table mode whenever the statics table fits beside the working set:
+    # the XLA-built table and the in-kernel rebuild are bitwise-identical
+    # on TPU (verified on-chip) but differ ~1 ulp on XLA:CPU (FMA
+    # contraction across jit graphs), so keeping the table preserves the
+    # interpret-mode parity baselines; separable mode is the high-res
+    # extension the table could never reach (_kernel docstring)
+    itemsize = jnp.dtype(dtype).itemsize
+    table_bytes = st.nt * nxp * itemsize
+    separable = (
+        table_bytes > _KX_TABLE_BUDGET
+        or _kx_vmem_bytes(nx, K, block_k, itemsize, XK_PLANES_MIZ)
+        + table_bytes > _XK_VMEM_BUDGET
+    )
+    if separable:
+        insol = jnp.zeros((1, nxp), dtype)  # dummy, never read
+    else:
+        insol = jnp.pad(stat.insol, ((0, 0), (0, nxp - nx)))
     # padded members replicate the last member's PARAMETERS (edge mode) over
     # zero state: zero-padded parameters would give the Newton residual a
     # 0/0 (k = hmin = 0) whose NaN never satisfies the tolerance and poisons
@@ -503,7 +563,8 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         ks = cin_s.shape[1]
         return pl.pallas_call(
             functools.partial(
-                _kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+                _kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg,
+                separable=separable,
             ),
             grid=(ks // Kt,),
             out_shape=(
@@ -515,9 +576,12 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
             ),
             in_specs=[
                 smem,
+                smem,
+                smem,
+                pl.BlockSpec(insol.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
                 blk6,
-                pl.BlockSpec((nt, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((7, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Kt, N_PAR), lambda i: (i, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=(
@@ -536,7 +600,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
             interpret=interpret,
-        )(f, cin_s, insol, rows, pars_s)
+        )(f, cosv, tabs, insol, cin_s, rows, pars_s)
 
     parts = [
         launch(
@@ -731,15 +795,25 @@ def _classic_par_stack(par, stat, st, K, dtype):
 
 def _classic_kernel(
     f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
+    cosv_ref,   # SMEM (nt+1,) cos(2 pi t) with wraparound entry
+                # cosv[nt] == cosv[0] — with separable=True the kernel
+                # rebuilds both per-step rows (S_i and the wraparound
+                # S_{i+1}) from the separable form ((S0 - S2 x^2) -
+                # (S1 cos) x, classic.py statics) instead of holding the
+                # (nt+1, nxp) table in VMEM; same table/separable policy
+                # and backend caveat as the MIZ :func:`_kernel` (round 3)
+    tabs_ref,   # SMEM (3,): the scalar S0, S1, S2
+    S_ref,      # VMEM (nt+1, nxp) insolation table (separable=False) or a
+                # (1, nxp) dummy (separable=True — not read)
     cin_ref,    # VMEM (2, Kt, nxp) carry in: E, Tg
-    S_ref,      # VMEM (nt+1, nxp) insolation table with wraparound row
-    rows_ref,   # VMEM (4, nxp): aw, geom.lo, geom.di, geom.up (uniform grid)
+    rows_ref,   # VMEM (7, nxp): aw, geom.lo, geom.di, geom.up (uniform
+                # grid), pad mask, x, x^2
     pars_ref,   # VMEM (Kt, N) per-member parameter lanes (C_PAR_NAMES)
     cout_ref,   # VMEM (2, Kt, nxp)
     wint_ref,   # VMEM (3, Kt, nxp)
     summ_ref,   # VMEM (3, Kt, nxp)
     avg_ref,    # VMEM (3, Kt, nxp)
-    *, nt: int, w0: int, s0: int, dt: float, cfg,
+    *, nt: int, w0: int, s0: int, dt: float, cfg, separable: bool,
 ):
     from ..models import classic
 
@@ -760,13 +834,29 @@ def _classic_kernel(
     par = Collection(ai=col["ai"], A=col["A"], Fb=col["Fb"],
                      cw=col["cw"], Lf=col["Lf"])
     carry0 = Collection({k: cin_ref[j] for j, k in enumerate(C_CARRY_KEYS)})
+    mask = rows_ref[4:5]
+    rowX = rows_ref[5:6]
+    rowX2 = rows_ref[6:7]
+    # the cos-independent part of the table row, hoisted: same products and
+    # subtraction order as the statics build (S0 - S2 x^2), so real lanes
+    # are bitwise-identical (S0*1.0 == S0) and padded lanes exactly 0
+    colA = tabs_ref[0] * mask - tabs_ref[2] * rowX2
     for i in range(len(C_OUT_VARS)):
         avg_ref[i] = jnp.zeros((Kt, nxp), dtype)
 
     def body(t, carry):
+        if separable:
+            # statics: S = (S0 - S2 x^2) - (S1 cos)[:,None] * x — rebuild
+            # both rows with the same grouping; cosv[nt] == cosv[0]
+            # reproduces the wraparound row (identical inputs and ops)
+            S_i = colA - (tabs_ref[1] * cosv_ref[t]) * rowX
+            S_ip1 = colA - (tabs_ref[1] * cosv_ref[t + 1]) * rowX
+        else:
+            S_i = S_ref[pl.ds(t, 1), :]
+            S_ip1 = S_ref[pl.ds(t + 1, 1), :]  # wraparound column (:61)
         xs = Collection(
-            S_i=S_ref[pl.ds(t, 1), :],
-            S_ip1=S_ref[pl.ds(t + 1, 1), :],  # wraparound column (:61)
+            S_i=S_i,
+            S_ip1=S_ip1,
             f=f_ref[t] + pars_ref[:, _C_F_OFF:_C_F_OFF + 1],
         )
         carry, out = classic.step(carry, xs, stat, par, cfg)
@@ -810,7 +900,6 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
         jnp.dtype(carry["E"].dtype).itemsize, planes=XK_PLANES_CLASSIC,
         table_swept=_table_swept(par),
-        table_rows=_table_rows("Classic", st.nt),
     )
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
@@ -820,7 +909,8 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
     dtype = carry["E"].dtype
     K, nx = carry["E"].shape
     nxp = pad_to_lanes(nx)
-    _check_table_fits(st.nt + 1, nxp, jnp.dtype(dtype).itemsize)
+    _check_kx_fits(nx, K, block_k, jnp.dtype(dtype).itemsize,
+                   XK_PLANES_CLASSIC)
     Kt = min(block_k, _round_up(K, 8))
     Kp = _round_up(K, Kt)
     nt = st.nt
@@ -848,10 +938,28 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
 
     geom = uniform_bands(nx)
     cin = jnp.stack([pad_kx(jnp.asarray(carry[k], dtype)) for k in C_CARRY_KEYS])
-    S = jnp.pad(stat.S, ((0, 0), (0, nxp - nx)))
+    x = jnp.asarray(st.x, dtype=dtype)
+    t = jnp.asarray(st.t, dtype=dtype)
+    cosv = jnp.cos(2.0 * jnp.pi * t)  # same values the statics table uses
+    cosv = jnp.concatenate([cosv, cosv[:1]])  # wraparound entry (statics :62)
+    tabs = jnp.stack([jnp.asarray(par[n], dtype) for n in ("S0", "S1", "S2")])
     rows = jnp.stack(
-        [pad_lane(stat.aw), pad_lane(geom.lo), pad_lane(geom.di), pad_lane(geom.up)]
+        [pad_lane(stat.aw), pad_lane(geom.lo), pad_lane(geom.di),
+         pad_lane(geom.up), pad_lane(jnp.ones((nx,), dtype)), pad_lane(x),
+         pad_lane(x**2)]
     )
+    # table/separable mode policy: see pallas_miz_year (same rationale)
+    itemsize = jnp.dtype(dtype).itemsize
+    table_bytes = (st.nt + 1) * nxp * itemsize
+    separable = (
+        table_bytes > _KX_TABLE_BUDGET
+        or _kx_vmem_bytes(nx, K, block_k, itemsize, XK_PLANES_CLASSIC)
+        + table_bytes > _XK_VMEM_BUDGET
+    )
+    if separable:
+        S = jnp.zeros((1, nxp), dtype)  # dummy, never read
+    else:
+        S = jnp.pad(stat.S, ((0, 0), (0, nxp - nx)))
     pars_p = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge")
     f = jnp.asarray(fyear, dtype=dtype)
 
@@ -863,7 +971,8 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         ks = cin_s.shape[1]
         return pl.pallas_call(
             functools.partial(
-                _classic_kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+                _classic_kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg,
+                separable=separable,
             ),
             grid=(ks // Kt,),
             out_shape=(
@@ -874,9 +983,12 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
             ),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(S.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
                 blk2,
-                pl.BlockSpec((nt + 1, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((4, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((7, nxp), lambda i: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((Kt, len(C_PAR_NAMES) + 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
             ],
@@ -885,7 +997,7 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
             interpret=interpret,
-        )(f, cin_s, S, rows, pars_s)
+        )(f, cosv, tabs, S, cin_s, rows, pars_s)
 
     parts = [
         launch(

@@ -327,7 +327,8 @@ def ensemble_integrate(
         if use_fused:
             from ..ops.pallas_year import fused_unfit
 
-            use_fused = fused_unfit(spec.name, st, dtype, par_j) is None
+            use_fused = fused_unfit(spec.name, st, dtype, par_j,
+                                    K=int(K)) is None
         if use_fused:
             engine = "fused"
         else:

@@ -252,10 +252,11 @@ def s_edge_state():
           f"{areas[1]:.3f}), resid {res.resid:.2f}", flush=True)
 
 
-@stage("high-res: fused classic nx=1024, nx=4096 on the XLA fallback")
+@stage("high-res singles run FUSED to nx=4096; extreme nx falls back")
 def s_highres():
-    from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
     import jax.numpy as jnp
+
+    from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
     par = ebm.Collection(ebm.default_parameters("Classic"))
     ramp = ebm.Forcing(0.0, 1.0, 0.0, (0, 0), (1.0, -1.0))
     for nx, years in ((1024, 2), (4096, 1)):
@@ -263,13 +264,28 @@ def s_highres():
         E0 = np.full(nx, 30.0)
         init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
         reason = fused_unfit("Classic", st, jnp.float32)
+        assert reason is None, reason  # kx separable insolation (r3)
         sol = ebm.integrate("Classic", st, ramp, par, init,
                             raw_mode="none", engine="auto",
                             dtype="float32", progress=False)
         E = np.asarray(sol.seasonal.avg["E"])
         assert np.isfinite(E).all(), nx
-        print(f"      nx={nx}: {'XLA fallback' if reason else 'fused'} "
-              "finite", flush=True)
+        print(f"      nx={nx}: fused single run finite", flush=True)
+    # the fallback boundary now sits at wide ensembles / extreme nx
+    st = ebm.SpaceTime.sin(4096, 1000, 1)
+    assert fused_unfit("MIZ", st, jnp.float32, K=1024) is not None
+    st = ebm.SpaceTime.sin(16384, 1000, 1)
+    assert fused_unfit("MIZ", st, jnp.float32) is not None
+    # a single high-nt MIZ year (the nt ~ nx^2 stability route) is fused
+    st = ebm.SpaceTime.sin(512, 16000, 1)
+    assert fused_unfit("MIZ", st, jnp.float32) is None
+    sol = ebm.integrate("MIZ", st, ebm.Forcing(0.0),
+                        ebm.default_parameters("MIZ"), ebm.zeros_init(st),
+                        raw_mode="none", engine="fused", dtype="float32",
+                        progress=False)
+    E = np.asarray(sol.seasonal.avg["E"])
+    assert np.isfinite(E).all()
+    print("      MIZ nx=512/nt=16000 fused single run finite", flush=True)
 
 
 @stage("sensitivity adjoint runs on-chip (f32 smoke: finite only)")

@@ -484,15 +484,23 @@ class TestFusedEngine:
         assert sols.seasonal.avg["E"].shape == (K, st.dur, st.nx)
 
 
-def test_vmem_guard_rejects_huge_tables():
-    st = ebm.SpaceTime.sin(1024, 4000, 1)  # (4000, 1024) f32 table = 16 MB
+def test_vmem_guard_rejects_oversize_working_sets():
+    # since the separable-insolation rebuild (round 3) there is no table
+    # to reject — the guard bounds the per-block working set. A wide
+    # ensemble at nx=1024 (60 planes x 128 rows x 1024 lanes x 4 B =
+    # 31.5 MB) exceeds the 28 MB budget in BOTH layouts; forcing 'kx'
+    # must raise the fit reason rather than fail inside Mosaic. (K=8 at
+    # this nx/nt now correctly FITS — the old 16 MB table is gone.)
+    st = ebm.SpaceTime.sin(1024, 4000, 1)
     par = ebm.default_parameters("MIZ")
     spec = get_model("MIZ")
     carry = spec.init_carry(ebm.zeros_init(st), st, DTYPE)
-    carry = Collection({k: jnp.broadcast_to(v, (8,) + v.shape) for k, v in carry.items()})
+    carry = Collection({k: jnp.broadcast_to(v, (128,) + v.shape)
+                        for k, v in carry.items()})
     with pytest.raises(ValueError, match="VMEM budget"):
         pallas_miz_year(carry, Collection({k: jnp.asarray(v, DTYPE) for k, v in par.items()}),
-                        jnp.zeros(st.nt, DTYPE), st, FIXED_CFG, interpret=True)
+                        jnp.zeros(st.nt, DTYPE), st, FIXED_CFG,
+                        interpret=True, layout="kx")
 
 
 class TestIntegrateFused:
@@ -1004,15 +1012,20 @@ class TestFusedFitPredicate:
         assert fused_unfit("MIZ", st, jnp.float32) is None
         assert fused_unfit("Classic", st, jnp.float32) is None
 
-    def test_high_resolution_miz_unfit_classic_fits(self):
+    def test_fit_scales_with_member_count(self):
         from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
 
-        # nx=1024/nt=4000 f32: the 'kx' insolation table is 16 MB (> 8 MB)
-        # and the MIZ 'xk' working set 31.5 MB (> 28 MB) — no layout fits;
-        # the classic 'xk' working set is half that and fits
+        # since the 'kx' separable-insolation rebuild (round 3) no layout
+        # holds an (nt, nx) table, so nt never matters and the 'kx' bound
+        # scales with the MEMBER block: nx=1024/nt=4000 f32 fits a single
+        # run in 'kx' (60 planes x 8 sublanes x 1024 lanes = 2 MB) while a
+        # wide MIZ ensemble (Kt=128 -> 31.5 MB) fits no layout ('xk' is
+        # 31.5 MB too); the classic working set is half and fits both ways
         st = ebm.SpaceTime.sin(1024, 4000, 1)
-        assert fused_unfit("MIZ", st, jnp.float32) is not None
+        assert fused_unfit("MIZ", st, jnp.float32) is None          # K=1
+        assert fused_unfit("MIZ", st, jnp.float32, K=1024) is not None
         assert fused_unfit("Classic", st, jnp.float32) is None
+        assert fused_unfit("Classic", st, jnp.float32, K=1024) is None
 
     def test_table_sweep_requires_xk(self):
         from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
@@ -1024,40 +1037,31 @@ class TestFusedFitPredicate:
         # ...MIZ cannot (xk working set over budget)
         assert fused_unfit("MIZ", st, jnp.float32, par) is not None
 
-    def test_auto_resolver_falls_back_to_kx_table_limit(self):
+    def test_single_run_boundaries(self):
+        from energybalancemodel_jl_tpu.ops.pallas_year import fused_unfit
+
+        # K=1 'kx' working-set boundaries (f32, 28 MB budget): MIZ
+        # 60 planes x 8 x nxp x 4 B crosses at nxp > 15288, classic
+        # (30 planes) at nxp > 30576
+        assert fused_unfit("MIZ", ebm.SpaceTime.sin(8192, 1000, 1),
+                           jnp.float32) is None
+        assert fused_unfit("MIZ", ebm.SpaceTime.sin(16384, 1000, 1),
+                           jnp.float32) is not None
+        assert fused_unfit("Classic", ebm.SpaceTime.sin(16384, 1000, 1),
+                           jnp.float32) is None
+        assert fused_unfit("Classic", ebm.SpaceTime.sin(32768, 1000, 1),
+                           jnp.float32) is not None
+
+    def test_auto_resolver_picks_kx_where_xk_is_over_budget(self):
         from energybalancemodel_jl_tpu.ops.pallas_year import (
             XK_PLANES_MIZ, _resolve_layout,
         )
 
-        # kx table over budget at nt=16000 (nxp=256 f32 -> 15.6 MB) while
-        # the xk working set fits: the resolver must pick 'xk'
-        assert _resolve_layout(None, 8, 180, 128, 4, XK_PLANES_MIZ,
-                               table_rows=16000) == "xk"
-
-    def test_classic_table_rows_include_wraparound(self):
-        """The classic 'kx' kernel stores an (nt+1)-row insolation table
-        (wraparound row); the fit predicate and the auto resolver must count
-        those nt+1 rows, not nt — otherwise engine='auto'/layout=None can
-        select a layout whose own launch guard then raises (review r2)."""
-        from energybalancemodel_jl_tpu.ops.pallas_year import (
-            XK_PLANES_CLASSIC, _resolve_layout, _table_rows, fused_unfit,
-        )
-
-        assert _table_rows("MIZ", 2000) == 2000
-        assert _table_rows("Classic", 2000) == 2001
-        # nxp=1920 f32: nt=1092 rows fit the 8 MB table budget exactly,
-        # 1093 do not. At nx=1912 the MIZ 'xk' working set is over budget
-        # too, so fused_unfit must report classic nt=1092 as UNFIT (its
-        # real table has 1093 rows) instead of letting auto pick 'fused'
-        # and crash in the launch guard.
-        st = ebm.SpaceTime.sin(1912, 1092, 1)
-        assert fused_unfit("Classic", st, jnp.float32) is not None
-        # MIZ has no wraparound row: its 1092-row table still fits 'kx'
-        assert fused_unfit("MIZ", st, jnp.float32) is None
-        # where 'xk' fits, the resolver must route classic around the
-        # full 'kx' table rather than picking it by the tile heuristic
-        assert _resolve_layout(None, 8, 100, 128, 4, XK_PLANES_CLASSIC,
-                               table_rows=16385) == "xk"
+        # single high-res run: the 'xk' working set (60 x 4096 x 128 x 4 B
+        # = 126 MB) is far over budget, 'kx' (60 x 8 x 4096 x 4 B = 7.9 MB)
+        # fits — the resolver must land on 'kx', whose launch guard accepts
+        assert _resolve_layout(None, 1, 4096, 128, 4,
+                               XK_PLANES_MIZ) == "kx"
 
     def test_integrate_auto_falls_back_to_scan(self, monkeypatch):
         """A default integrate() at a resolution the kernels cannot launch
