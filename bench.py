@@ -14,7 +14,9 @@ EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
 EBM_BENCH_MODE (integrate|equilibrate — equilibrate times the fixed-point
 driver: the fused kernel inside the convergence while_loop, measured
 faster per model-year than the integrate path since no host year loop
-remains; see BENCH_NOTES.md).
+remains; see BENCH_NOTES.md), EBM_BENCH_MODEL (MIZ|Classic — Classic
+times the WE15 fused kernel on the same canonical grid/sweep; the
+headline metric stays MIZ).
 """
 import json
 import os
@@ -57,9 +59,10 @@ def main():
     if mode != "integrate":
         raise SystemExit(f"unknown EBM_BENCH_MODE {mode!r}")
 
+    model = os.environ.get("EBM_BENCH_MODEL", "MIZ")
     st = ebm.SpaceTime.sin(180, 2000, 1)
     # realistic bifurcation sweep: spread diffusivity across members
-    par_b = Collection(ebm.default_parameters("MIZ"))
+    par_b = Collection(ebm.default_parameters(model))
     par_b["D"] = np.linspace(0.55, 0.65, K)
 
     if dtype == jnp.float64:
@@ -67,32 +70,42 @@ def main():
     else:
         cfg = StepConfig(solver=solver, newton_abstol=0.5, newton_reltol=1e-4,
                          newton_max_step=50.0)
-    spec = get_model("MIZ")
+    spec = get_model(model)
     par_j = Collection({k: jnp.asarray(v, dtype=dtype) for k, v in par_b.items()})
     if engine == "fused":
         from energybalancemodel_jl_tpu.ops.pallas_year import (
-            default_interpret, pallas_miz_year,
+            default_interpret, pallas_classic_year, pallas_miz_year,
         )
 
         block_k = int(os.environ.get("EBM_BENCH_BLOCK_K", "128"))
         layout = os.environ.get("EBM_BENCH_LAYOUT", "auto")
         layout = None if layout == "auto" else layout
         interp = default_interpret()
+        year_kernel = (pallas_miz_year if model == "MIZ"
+                       else pallas_classic_year)
 
         def run_year(carry, p, fy):
-            return pallas_miz_year(carry, p, fy, st, cfg, block_k=block_k,
-                                   interpret=interp, layout=layout)
+            return year_kernel(carry, p, fy, st, cfg, block_k=block_k,
+                               interpret=interp, layout=layout)
     elif engine == "batched":
         par_j = ens._augment_batched(par_j)
-        run_year = ens._native_year_fn("MIZ", st, cfg, dtype.name, False, False)
+        run_year = ens._native_year_fn(model, st, cfg, dtype.name, False, False)
     else:
         axes = ens._param_axes(par_j)
         run_year = ens._batched_year_fn(
-            "MIZ", st, cfg, dtype.name, False,
+            model, st, cfg, dtype.name, False,
             ens._AxesKey(tuple(sorted(axes.items()))), False,
         )
 
-    carry = spec.init_carry(ebm.zeros_init(st), st, dtype)
+    if model == "MIZ":
+        init = ebm.zeros_init(st)
+    else:
+        # classic needs a Tg = E/cw-consistent warm init (a cold shock from
+        # zeros lands in the snowball attractor; throughput is identical,
+        # but keep the benched trajectory physical)
+        E0 = np.full(st.nx, 30.0)
+        init = Collection(E=E0, Tg=E0 / float(par_b["cw"]))
+    carry = spec.init_carry(init, st, dtype)
     carry = Collection({k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in carry.items()})
     fyear = jnp.zeros(st.nt, dtype=dtype)
 
@@ -178,7 +191,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "miz_model_years_per_day_per_chip",
+                "metric": f"{model.lower()}_model_years_per_day_per_chip",
                 "value": round(years_per_day, 1),
                 "unit": "model-years/day",
                 "vs_baseline": round(years_per_day / baseline, 2),
@@ -186,7 +199,7 @@ def main():
         )
     )
     print(
-        f"# K={K} years={years} ypd={ypd} dtype={dtype.name} solver={solver} engine={engine} "
+        f"# model={model} K={K} years={years} ypd={ypd} dtype={dtype.name} solver={solver} engine={engine} "
         f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s compile={compile_s:.1f}s "
         f"steps/s={steps_per_sec:.0f} "
         f"finite={finite} checksum={checksum:.6g} device={jax.devices()[0].platform}",
