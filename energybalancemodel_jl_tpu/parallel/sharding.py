@@ -54,26 +54,50 @@ def sharded_ensemble_integrate(
     batched leading axis (parameters, carry, outputs) is laid out with
     ``NamedSharding(mesh, P('ensemble'))`` so each chip advances its shard of
     the ensemble independently.
+
+    A leaf whose leading axis is NOT divisible by ``mesh.size`` cannot be
+    laid out this way and is left replicated — correct, but every device
+    then carries (and computes) the full axis. That silent perf footgun is
+    surfaced with a ``UserWarning`` naming the leaves; pad the member count
+    to a multiple of the mesh size to get real scaling.
     """
     if mesh is None:
         mesh = ensemble_mesh()
     axis = mesh.axis_names[0]
     batched = NamedSharding(mesh, P(axis))
+    replicated = []
 
-    def shard_leading(tree):
-        def put(v):
+    def shard_leading(tree, label):
+        def put(k, v):
             v = jnp.asarray(v)
             if v.ndim >= 1 and v.shape[0] % mesh.size == 0:
                 return jax.device_put(v, batched)
+            if v.ndim >= 1 and v.shape[0] > 1:
+                replicated.append(f"{label}[{k!r}] leading axis {v.shape[0]}")
             return v
-        return jax.tree_util.tree_map(put, tree)
+        return Collection({k: put(k, v) for k, v in tree.items()})
 
     def jit_wrapper(fn):
         return jax.jit(fn)
 
     # device_put the batched params/init up front; jit propagates shardings.
-    par = shard_leading(Collection(par))
-    init = Collection({k: shard_leading(v) if np.ndim(v) > 1 else v for k, v in init.items()})
+    par = shard_leading(Collection(par), "par")
+    init = Collection({
+        k: shard_leading(Collection({k: v}), "init")[k] if np.ndim(v) > 1
+        else v
+        for k, v in init.items()
+    })
+    if replicated:
+        import warnings
+
+        warnings.warn(
+            f"sharded_ensemble_integrate: {'; '.join(replicated)} not "
+            f"divisible by mesh size {mesh.size} — these leaves are "
+            "REPLICATED on every device (correct but unscaled); pad the "
+            "member count to a multiple of the mesh size",
+            UserWarning,
+            stacklevel=2,
+        )
     return ens.ensemble_integrate(
         model, st, forcing, par, init, jit_wrapper=jit_wrapper, **kwargs
     )
