@@ -44,6 +44,49 @@ from ..solutions import Seasonal
 from ..utils.collection import Collection
 from .pallas_newton import default_interpret, pad_to_lanes
 
+
+def _time_unroll(nt: int) -> int:
+    """Unroll factor of the classic kernels' in-kernel time loop.
+
+    The classic step is ~6x lighter than a MIZ step, so per-iteration loop
+    overhead (bookkeeping, scalar addressing) weighs proportionally more;
+    manual unrolling recovers it. Measured on-chip (3 interleaved cycles,
+    K=8192, canonical grid, BENCH_NOTES "Classic kernel"): unroll 8 is
+    +8.8% over 1 (292 -> 268 ms/yr) with BITWISE-identical trajectories
+    (same arithmetic, same order — only the loop carries fewer trips);
+    first-compile grows ~7 s -> ~25 s, cached thereafter. Default: the
+    largest power of two <= 8 dividing nt (1 for odd nt). Env override
+    EBM_TIME_UNROLL for experiments (must divide nt to take effect).
+    MIZ keeps unroll 1: its body (Newton while_loop included) dwarfs the
+    loop overhead and code-bloats the compile for <1%."""
+    import os
+
+    env = os.environ.get("EBM_TIME_UNROLL")
+    if env is not None:
+        u = max(1, int(env))
+        return u if nt % u == 0 else 1
+    u = 8
+    while u > 1 and nt % u:
+        u //= 2
+    return u
+
+
+def _time_loop(nt: int, body, carry0):
+    """fori_loop over the nt physics steps, manually unrolled by
+    :func:`_time_unroll` (Mosaic's fori lowering only supports unroll=1 or
+    full unrolling; a step-exact manual unroll keeps the same arithmetic
+    in the same order)."""
+    u = _time_unroll(nt)
+    if u > 1:
+        def body_u(i, carry):
+            t = i * u
+            for j in range(u):
+                carry = body(t + j, carry)
+            return carry
+
+        return jax.lax.fori_loop(0, nt // u, body_u, carry0)
+    return jax.lax.fori_loop(0, nt, body, carry0)
+
 __all__ = ["pallas_miz_year", "pallas_classic_year", "default_interpret"]
 
 # scan-carry fields of the MIZ model (models/miz.py init_carry)
@@ -302,8 +345,13 @@ _KX_TABLE_BUDGET = 8 * 2**20
 
 def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int) -> int:
     """Rough transposed-layout working set: ``planes`` (nxs, block_k) ref
-    planes + step intermediates."""
-    return planes * _round_up(nx, 8) * block_k * itemsize
+    planes + step intermediates. The plane counts are calibrated at the
+    default block_k=128; wider blocks grow some Mosaic stack intermediates
+    SUPER-linearly (measured on-chip: MIZ at block_k=512 allocates 35.4 MB
+    where the linear model predicts 22.6 — a compile-time scoped-vmem OOM),
+    so a 1.6x safety factor covers expert block_k overrides."""
+    scale = 1.6 if block_k > 128 else 1.0
+    return int(planes * _round_up(nx, 8) * block_k * itemsize * scale)
 
 
 def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int):
@@ -875,7 +923,7 @@ def _classic_kernel(
 
         return carry
 
-    carry = jax.lax.fori_loop(0, nt, body, carry0)
+    carry = _time_loop(nt, body, carry0)
     for j, k in enumerate(C_CARRY_KEYS):
         cout_ref[j] = carry[k]
     for i in range(len(C_OUT_VARS)):
@@ -1093,7 +1141,7 @@ def _classic_kernel_xk(
 
         return carry
 
-    carry = jax.lax.fori_loop(0, nt, body, carry0)
+    carry = _time_loop(nt, body, carry0)
     for j, k in enumerate(C_CARRY_KEYS):
         cout_ref[j] = carry[k]
     for i in range(len(C_OUT_VARS)):

@@ -91,9 +91,20 @@ def _sub_jaxprs(eqn):
     return []
 
 
+# movement primitives that lower to real lane/sublane shifts or copies on
+# TPU (not free relabeling like reshape/convert): counted separately —
+# they occupy the vector unit without being "ALU work", and for the
+# PCR-dominated classic kernel they are a material fraction of the issue
+# stream (each jnp.roll in a PCR round is a concatenate of two slices)
+SHIFTY = {"concatenate", "slice", "dynamic_slice", "dynamic_update_slice",
+          "pad", "rev", "gather", "scatter", "select_and_scatter_add"}
+
+
 def count_jaxpr(jaxpr, while_iters: int):
-    """Weighted op total of a jaxpr; while bodies scaled by while_iters."""
+    """(weighted ALU ops, shift/copy elems, unknown) of a jaxpr; while
+    bodies scaled by while_iters."""
     total = 0.0
+    moved = 0.0
     unknown = {}
     for eqn in jaxpr.eqns:
         name = eqn.primitive.name
@@ -101,19 +112,28 @@ def count_jaxpr(jaxpr, while_iters: int):
         if subs:
             branch_costs = []
             for sub, mult in subs:
-                sub_total, sub_unknown = count_jaxpr(sub, while_iters)
+                sub_total, sub_moved, sub_unknown = count_jaxpr(
+                    sub, while_iters)
                 for k, v in sub_unknown.items():
                     unknown[k] = unknown.get(k, 0) + v
                 if mult == "while_body":
                     total += sub_total * while_iters
+                    moved += sub_moved * while_iters
                 elif mult == "while_cond":
                     total += sub_total * (while_iters + 1)
+                    moved += sub_moved * (while_iters + 1)
                 elif mult == "branch_max":
-                    branch_costs.append(sub_total)
+                    branch_costs.append((sub_total, sub_moved))
                 else:
                     total += sub_total * mult
+                    moved += sub_moved * mult
             if branch_costs:
-                total += max(branch_costs)
+                t, m = max(branch_costs)
+                total += t
+                moved += m
+            continue
+        if name in SHIFTY:
+            moved += _elems(eqn)
             continue
         if name in MOVEMENT:
             continue
@@ -122,7 +142,7 @@ def count_jaxpr(jaxpr, while_iters: int):
             unknown[name] = unknown.get(name, 0) + _elems(eqn)
             continue
         total += w * _elems(eqn)
-    return total, unknown
+    return total, moved, unknown
 
 
 def _miz_step_fn(K, nx, nt):
@@ -162,10 +182,11 @@ def _classic_step_fn(K, nx, nt):
 def report(name, fn, carry, K, nx, nt, newton_iters, yrday):
     closed = jax.make_jaxpr(fn)(carry)
     # split the Newton loop out of the total: count with 0 and 1 iteration
-    base, unknown = count_jaxpr(closed.jaxpr, while_iters=0)
-    one, _ = count_jaxpr(closed.jaxpr, while_iters=1)
+    base, mv0, unknown = count_jaxpr(closed.jaxpr, while_iters=0)
+    one, mv1, _ = count_jaxpr(closed.jaxpr, while_iters=1)
     per_iter = one - base
     total = base + newton_iters * per_iter
+    moved = mv0 + newton_iters * (mv1 - mv0)
     cell = K * nx
     print(f"{name} (K={K}, nx={nx}, nt={nt}, f32, pcr):")
     print(f"  outside any while loop: {base / cell:.0f} weighted ops/cell-step")
@@ -173,6 +194,9 @@ def report(name, fn, carry, K, nx, nt, newton_iters, yrday):
         print(f"  while (Newton) body:    {per_iter / cell:.0f} "
               f"ops/cell-step per iteration x {newton_iters} executed")
     print(f"  TOTAL:                  {total / cell:.0f} weighted ops/cell-step")
+    print(f"  shift/copy traffic:     {moved / cell:.0f} elems/cell-step "
+          f"({moved / max(total, 1):.0%} of the weighted-op count — vector-"
+          "unit issue slots that are not ALU work)")
     if unknown:
         print(f"  [unweighted primitives: {unknown}]")
     if yrday:
