@@ -842,8 +842,14 @@ def equilibrate(
             par_j["F"] = jnp.asarray(np.asarray(F_off), dtype=dtype)
         from .ops.pallas_year import default_interpret, fused_unfit
 
-        unfit = fused_unfit(spec.name, st, dtype, par_j,
-                            K=1 if K is None else int(K))
+        # under a mesh each chip's shard-mapped kernel sees only K/size
+        # members, so the 'kx' member-block working set must be judged at
+        # the PER-SHARD count — the global K would spuriously reject valid
+        # sharded configurations (review r3b)
+        K_local = 1 if K is None else int(K)
+        if mesh is not None:
+            K_local //= mesh.size
+        unfit = fused_unfit(spec.name, st, dtype, par_j, K=K_local)
         if unfit:
             raise ValueError(unfit)
         if mesh is not None:

@@ -473,7 +473,15 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
     # per-step VPU tile counts of each layout (8x128 tiles)
     kx_tiles = (_round_up(K, 8) // 8) * (pad_to_lanes(nx) // 128)
     xk_tiles = (_round_up(nx, 8) // 8) * (_round_up(K, 128) // 128)
-    return "xk" if xk_tiles <= kx_tiles else "kx"
+    if xk_tiles <= kx_tiles:
+        return "xk"
+    # the tile heuristic prefers 'kx', but its working set (member block x
+    # full padded nx) can exceed the VMEM budget in a window where 'xk'
+    # (lane block) fits — an auto-selected layout must never fail its own
+    # launch guard, so fall back to the layout that fits (review r3b)
+    if _kx_fits(nx, K, block_k, itemsize, planes) is not None:
+        return "xk"
+    return "kx"
 
 
 def _validate_table_scalars(par, hint: str = "layout='xk' or engine='vmap'"):

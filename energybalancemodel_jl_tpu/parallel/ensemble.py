@@ -327,8 +327,11 @@ def ensemble_integrate(
         if use_fused:
             from ..ops.pallas_year import fused_unfit
 
+            # under a mesh each chip's kernel sees K/size members — judge
+            # the 'kx' member-block working set per shard (review r3b)
+            K_fit = int(K) // (mesh.size if mesh is not None else 1)
             use_fused = fused_unfit(spec.name, st, dtype, par_j,
-                                    K=int(K)) is None
+                                    K=max(K_fit, 1)) is None
         if use_fused:
             engine = "fused"
         else:

@@ -67,24 +67,21 @@ def sharded_ensemble_integrate(
     batched = NamedSharding(mesh, P(axis))
     replicated = []
 
-    def shard_leading(tree, label):
-        def put(k, v):
-            v = jnp.asarray(v)
-            if v.ndim >= 1 and v.shape[0] % mesh.size == 0:
-                return jax.device_put(v, batched)
-            if v.ndim >= 1 and v.shape[0] > 1:
-                replicated.append(f"{label}[{k!r}] leading axis {v.shape[0]}")
-            return v
-        return Collection({k: put(k, v) for k, v in tree.items()})
+    def put(label, k, v):
+        v = jnp.asarray(v)
+        if v.ndim >= 1 and v.shape[0] % mesh.size == 0:
+            return jax.device_put(v, batched)
+        if v.ndim >= 1 and v.shape[0] > 1:
+            replicated.append(f"{label}[{k!r}] leading axis {v.shape[0]}")
+        return v
 
     def jit_wrapper(fn):
         return jax.jit(fn)
 
     # device_put the batched params/init up front; jit propagates shardings.
-    par = shard_leading(Collection(par), "par")
+    par = Collection({k: put("par", k, v) for k, v in Collection(par).items()})
     init = Collection({
-        k: shard_leading(Collection({k: v}), "init")[k] if np.ndim(v) > 1
-        else v
+        k: put("init", k, v) if np.ndim(v) > 1 else v
         for k, v in init.items()
     })
     if replicated:

@@ -249,6 +249,35 @@ class TestMeshEngine:
             ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par_bad,
                             ebm.zeros_init(st), mesh=mesh)
 
+    def test_mesh_guard_judges_vmem_fit_per_shard(self, monkeypatch):
+        """The fused-engine VMEM guard must use the PER-SHARD member count
+        under a mesh — each chip's kernel sees K/mesh.size members, and
+        judging the 'kx' working set at the global K spuriously rejected
+        valid sharded configurations (review r3b). The window is forced at
+        a tiny config by shrinking the budget: 'xk' (60*16*128*4 = 492 kB)
+        and global-K 'kx' (60*64*128*4 = 1.9 MB) are over a 300 kB budget,
+        the per-shard 'kx' working set (60*8*128*4 = 246 kB) fits."""
+        import jax.numpy as jnp
+
+        from energybalancemodel_jl_tpu.ops import pallas_year as py
+        from energybalancemodel_jl_tpu.parallel.sharding import ensemble_mesh
+
+        mesh = ensemble_mesh()
+        assert mesh.size == 8
+        st = ebm.SpaceTime.sin(16, 50, 1)
+        K = 64
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.linspace(0.0, 2.0, K)
+        monkeypatch.setattr(py, "_XK_VMEM_BUDGET", 300_000)
+        assert py.fused_unfit("MIZ", st, jnp.float32, K=K) is not None
+        assert py.fused_unfit("MIZ", st, jnp.float32, K=K // 8) is None
+        res = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                              ebm.zeros_init(st), mesh=mesh, tol=0.0,
+                              max_years=2, dtype="float32")
+        assert res.seasonal.avg["E"].shape == (K, st.nx)
+        assert np.isfinite(np.nan_to_num(
+            np.asarray(res.seasonal.avg["E"]))).all()
+
 
 class TestImplicitGradients:
     """Implicit-function-theorem adjoint through the fixed point — validated

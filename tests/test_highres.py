@@ -160,13 +160,17 @@ class TestFusedKernelReach:
         # (measured median |diff| 0.03), only step cells reach 0.3
         assert float(np.median(np.abs(a - b))) < 0.1
 
-    def test_separable_mode_is_bitwise_vs_table_mode(self, monkeypatch):
+    def test_separable_mode_matches_table_mode(self, monkeypatch):
         # kernel-vs-kernel isolation of the rebuild: force separable mode
         # at a canonical-size config by zeroing the table budget and
         # compare against the default table-mode run — same kernel, only
-        # the insolation source differs. Classic must be BITWISE (the
-        # rebuild reproduces the statics table exactly, measured); MIZ
-        # rides through its adaptive Newton, same bound.
+        # the insolation source differs. ON-CHIP the two are BITWISE
+        # identical (measured; asserted by the tpu_check stage). Here the
+        # kernels run in XLA:CPU interpret mode, where the two jit graphs
+        # may legitimately differ by FMA contraction (~1 ulp seeds,
+        # trajectory-amplified) — so this CPU guard asserts a tolerance
+        # that still catches any wrong rebuild formula (errors would be
+        # O(1)), not bitwiseness (review r3b).
         import energybalancemodel_jl_tpu.ops.pallas_year as py
         st = ebm.SpaceTime.sin(40, 200, 1)
         par = ebm.Collection(ebm.default_parameters("Classic"))
@@ -174,15 +178,21 @@ class TestFusedKernelReach:
         init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
         kw = dict(progress=False, raw_mode="none", dtype="float32",
                   engine="fused")
-        a = np.asarray(ebm.integrate("Classic", st, ebm.Forcing(0.0), par,
-                                     init, **kw).seasonal.avg["E"])
-        monkeypatch.setattr(py, "_KX_TABLE_BUDGET", 0)
         import jax
-        jax.clear_caches()  # the mode is baked in at trace time
-        b = np.asarray(ebm.integrate("Classic", st, ebm.Forcing(0.0), par,
-                                     init, **kw).seasonal.avg["E"])
-        np.testing.assert_array_equal(a, b)
-        jax.clear_caches()
+        try:
+            a = np.asarray(ebm.integrate("Classic", st, ebm.Forcing(0.0),
+                                         par, init, **kw).seasonal.avg["E"])
+            monkeypatch.setattr(py, "_KX_TABLE_BUDGET", 0)
+            jax.clear_caches()  # the mode is baked in at trace time
+            b = np.asarray(ebm.integrate("Classic", st, ebm.Forcing(0.0),
+                                         par, init, **kw).seasonal.avg["E"])
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-3)
+        finally:
+            # budget-0 separable traces must never outlive this test: the
+            # jit caches do not key on _KX_TABLE_BUDGET (trace-time mode),
+            # so a failure mid-test would otherwise leak them into later
+            # same-config integrations
+            jax.clear_caches()
 
     def test_fused_unfit_names_the_reason_at_extreme_nx(self):
         import jax.numpy as jnp

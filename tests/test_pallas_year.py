@@ -1063,6 +1063,32 @@ class TestFusedFitPredicate:
         assert _resolve_layout(None, 1, 4096, 128, 4,
                                XK_PLANES_MIZ) == "kx"
 
+    def test_resolver_never_picks_a_layout_its_guard_rejects(self):
+        """An auto-selected layout must pass its own launch guard (review
+        r3b): in a window around MIZ f32 nx~900 / K~129 the tile heuristic
+        preferred 'kx' while only 'xk' fits the VMEM budget, so
+        engine='auto' (whose fused_unfit admitted the config) crashed on
+        the 'kx' guard. Sweep the window for both models."""
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            XK_PLANES_CLASSIC, XK_PLANES_MIZ, _kx_fits, _resolve_layout,
+            _xk_fits,
+        )
+
+        checked = 0
+        for planes, nxs in ((XK_PLANES_MIZ, (896, 904, 952)),
+                            (XK_PLANES_CLASSIC, (1800, 1856, 1908))):
+            for nx in nxs:
+                for K in (64, 121, 129, 160, 225, 256):
+                    xk = _xk_fits(nx, 128, 4, planes)
+                    kx = _kx_fits(nx, K, 128, 4, planes)
+                    if xk is not None and kx is not None:
+                        continue  # fused_unfit rejects: resolver unused
+                    layout = _resolve_layout(None, K, nx, 128, 4, planes)
+                    fit = xk if layout == "xk" else kx
+                    assert fit is None, (nx, K, layout, fit)
+                    checked += 1
+        assert checked  # the window must actually be exercised
+
     def test_integrate_auto_falls_back_to_scan(self, monkeypatch):
         """A default integrate() at a resolution the kernels cannot launch
         must run on the scan engine instead of raising (advisor r1). The TPU
