@@ -64,8 +64,10 @@ from .equilibrium import (ContinuationResult, EquilibriumResult,  # noqa: E402
                           stability)
 from .fold import FoldResult, fold  # noqa: E402
 from .basins import (BasinResult, EdgeResult, EdgeStateResult,  # noqa: E402
-                     basins, blend_states, edge, edge_state, stack_states)
+                     basins, blend_states, edge, edge_state, stack_states,
+                     unstable_branch)
 from .sensitivity import SensitivityResult, sensitivity  # noqa: E402
+from .lyapunov import LyapunovResult, lyapunov  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
@@ -77,6 +79,7 @@ from .plot import (  # noqa: E402
     plot_edge,
     plot_fold,
     plot_sensitivity,
+    plot_lyapunov,
     plot_raw,
     plot_seasonal,
 )
@@ -115,6 +118,7 @@ __all__ = [
     "plot_edge",
     "plot_basins",
     "plot_sensitivity",
+    "plot_lyapunov",
     "Progress",
     "update",
     "zeros_init",
@@ -134,10 +138,13 @@ __all__ = [
     "EdgeResult",
     "edge_state",
     "EdgeStateResult",
+    "unstable_branch",
     "blend_states",
     "stack_states",
     "sensitivity",
     "SensitivityResult",
+    "lyapunov",
+    "LyapunovResult",
 ]
 
 __version__ = "0.1.0"

@@ -43,7 +43,8 @@ from .forcing import Forcing
 from .spacetime import SpaceTime
 from .utils.collection import Collection
 
-__all__ = ["basins", "edge", "edge_state", "blend_states", "stack_states",
+__all__ = ["basins", "edge", "edge_state", "unstable_branch",
+           "blend_states", "stack_states",
            "BasinResult", "EdgeResult", "EdgeStateResult"]
 
 
@@ -968,6 +969,21 @@ def edge_state(
             lo, hi = 0.0, 1.0
         return blend_states(xa, xb, lo), blend_states(xa, xb, hi)
 
+    # resolve the drift-metric leaves UP FRONT from the endpoint carry —
+    # a typo'd metric name must fail before the first (expensive) stage
+    # of ensemble bisection + flight equilibrations, not after it
+    # (review r3b)
+    if metric is None:
+        # every carry leaf (model-agnostic: the MIZ carry has no "E")
+        drift_keys = tuple(sorted(a.keys()))
+    else:
+        drift_keys = tuple(metric)
+        missing = [v for v in drift_keys if v not in a]
+        if missing:
+            raise ValueError(
+                f"metric leaves {missing} not in the tracked carry "
+                f"(available: {sorted(a.keys())})")
+
     drift_h, years_h, sep_h, mids = [], [], [], []
     mid_prev = None
     xa, xb = a, b
@@ -999,16 +1015,6 @@ def edge_state(
         xa, xb = fa, fb
 
         mid = blend_states(xa, xb, 0.5)
-        if metric is None:
-            # every carry leaf (model-agnostic: the MIZ carry has no "E")
-            drift_keys = tuple(sorted(mid.keys()))
-        else:
-            drift_keys = tuple(metric)
-            missing = [v for v in drift_keys if v not in mid]
-            if missing:
-                raise ValueError(
-                    f"metric leaves {missing} not in the tracked carry "
-                    f"(available: {sorted(mid.keys())})")
         if mid_prev is None:
             drift = np.nan
         else:
@@ -1075,3 +1081,152 @@ def edge_state(
         separation=np.asarray(sep_h), converged=converged,
         polish_nfev=nfev, stability=stab, spacetime=st, season=season,
         par=par)
+
+
+def _year_seasonal(model: str, st: SpaceTime, forcing: Forcing,
+                   par: Collection, state: Collection, dtype):
+    """One jitted year from ``state``: its Seasonal store (the fixed
+    point's seasonal cycle) — shapes match the solo carry, exactly the
+    stores :class:`EquilibriumResult` carries."""
+    import jax.numpy as jnp
+
+    from .integrate import _jitted_year_fn, default_dtype
+    from .models.base import default_step_config, get_model
+
+    spec = get_model(model)
+    dtype = jnp.dtype(dtype if dtype is not None else default_dtype())
+    par = Collection(par)
+    par.pop("__K__", None)
+    F_off = par.pop("F", None)
+    if F_off is not None:
+        forcing = Forcing(float(forcing.base) + float(np.asarray(F_off)))
+    cfg = default_step_config(dtype.name)
+    carry = spec.init_carry(state, st, dtype)
+    par_j = Collection({k: jnp.asarray(v, dtype) for k, v in par.items()})
+    frow_j = jnp.asarray(forcing.table(st)[0], dtype=dtype)
+    year = _jitted_year_fn(model, st, cfg, dtype.name, False, None)
+    _, seasonal, _, _ = year(carry, par_j, frow_j)
+    import jax
+
+    return jax.device_get(seasonal)
+
+
+def unstable_branch(
+    model: str,
+    st: SpaceTime,
+    values,
+    par: Collection,
+    saddle: Collection,
+    vary: str = "F",
+    forcing: Union[Forcing, float] = 0.0,
+    tol: Optional[float] = None,
+    polish_max_nfev: int = 200,
+    jump_tol: float = np.pi / 2,
+    season: str = "avg",
+    dtype=None,
+    progress: bool = False,
+):
+    """Trace the UNSTABLE (saddle) branch of a bifurcation diagram.
+
+    :func:`~energybalancemodel_jl_tpu.equilibrium.continuation` traces
+    attracting branches; the middle segment of the hysteresis S-curve —
+    the saddle separating them — is exactly what forward integration can
+    never settle on (the reference's hysteresis runs jump ACROSS it,
+    /root/reference/src/plot.jl:173-225). This driver completes the
+    diagram: starting from one converged saddle (``saddle`` — an
+    :func:`edge_state` result's ``.state``), each ``values`` level
+    re-polishes the year-map fixed point with the trust-region
+    Gauss-Newton solve (:func:`edge_state`'s machinery), warm-started
+    from the previous level's saddle — the saddle moves continuously
+    with the parameter, so the expensive edge-tracking stage is paid
+    ONCE, by whoever produced ``saddle``.
+
+    ``vary`` is ``"F"`` (constant forcing offsets) or any ``par`` key;
+    ``values`` should start at (or near) the level ``saddle`` was
+    computed at and step gently — a step that jumps past a fold (where
+    the unstable branch annihilates against an attractor) leaves nothing
+    to converge to, and the polish lands on the nearby ATTRACTOR
+    instead. Two guards flag that: a level whose residual exceeds
+    ``tol`` (default: ``2.5x`` the first level's polished residual —
+    the classic albedo-hole floor is O(0.7), MIZ's is tiny), or whose
+    ice area jumps more than ``jump_tol`` from the last good level, is
+    marked not-converged (and later levels keep being compared against
+    the last GOOD area). Solo only — the dense Gauss-Newton polish has
+    no lockstep axis (``par`` leaves must be scalars).
+
+    Returns a
+    :class:`~energybalancemodel_jl_tpu.equilibrium.ContinuationResult`
+    whose levels are the saddles — every path diagnostic works on it
+    unchanged: ``ice_area()`` gives the middle branch for the S-curve
+    plot, ``plot_continuation`` draws it, ``.stability()`` verifies
+    saddleness per level (leading ``|lambda| > 1``; a level that fell
+    onto an attractor reads ``< 1``), and ``ebm.save``/``load``
+    round-trip it. Each level's ``years`` records the polish's
+    residual-evaluation count (there is no time integration here).
+    """
+    from .equilibrium import ContinuationResult, _level_config
+
+    if not isinstance(forcing, Forcing):
+        forcing = Forcing(float(forcing))
+    if not forcing.constant:
+        raise ValueError("unstable_branch needs a constant base forcing")
+    par = Collection(par)
+    if vary != "F" and vary not in par:
+        raise ValueError(f"vary {vary!r} not in par (and not 'F')")
+    swept = [k for k, v in par.items() if np.ndim(v) >= 1]
+    if swept:
+        raise ValueError(
+            f"unstable_branch is solo-only (the dense Gauss-Newton "
+            f"polish has no lockstep axis); par leaves {swept} are swept")
+    values = np.atleast_1d(np.asarray(values, dtype=np.float64))
+    if values.ndim != 1 or values.size < 1:
+        raise ValueError("values must be a non-empty 1-D sequence")
+    bad_state = [k for k, v in Collection(saddle).items()
+                 if np.ndim(v) > 1]
+    if bad_state:
+        raise ValueError(
+            f"saddle leaves {bad_state} are member-batched; pass ONE "
+            f"state (e.g. edge_state(...).state)")
+    if polish_max_nfev < 1:
+        raise ValueError("polish_max_nfev must be >= 1")
+
+    prog = None
+    if progress:
+        from .utils.progress import Progress
+
+        prog = Progress(values.size, title=f"Unstable branch ({vary})",
+                        infofeed=lambda msg: msg)
+
+    state = Collection(saddle)
+    results = []
+    thr = tol
+    last_good_area = None
+    for i, v in enumerate(values):
+        forcing_v, par_v = _level_config(vary, forcing, par, float(v))
+        state, resid, nfev = _polish_fixed_point(
+            model, st, forcing_v, par_v, state, dtype, polish_max_nfev)
+        seasonal = _year_seasonal(model, st, forcing_v, par_v, state,
+                                  dtype)
+        area = float(np.asarray(seasonal_ice_area(
+            getattr(seasonal, season), st)))
+        if thr is None:  # calibrate to the model's stationarity floor
+            thr = max(2.5 * resid, 1e-8)
+        ok = bool(resid <= thr)
+        if last_good_area is not None and ok:
+            ok = bool(abs(area - last_good_area) < jump_tol)
+        if ok:
+            last_good_area = area
+        results.append(EquilibriumResult(
+            state=Collection({k: np.asarray(x) for k, x in state.items()}),
+            seasonal=seasonal, years=int(nfev), resid=float(resid),
+            converged=ok, member_years=None, newton_ok=True,
+            tol=float(thr)))
+        if prog is not None:
+            prog.update(i + 1, feedargs=(
+                f"{vary}={float(v):g}: resid {resid:.3g}, area "
+                f"{area:.3f}" + ("" if ok else " (NOT converged)"),))
+
+    return ContinuationResult(
+        values=values, direction=np.ones(values.size, dtype=np.int64),
+        results=results, vary=vary, spacetime=st, model=model,
+        par=Collection(par), forcing=forcing)

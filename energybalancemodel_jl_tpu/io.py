@@ -424,6 +424,30 @@ def _read_calibration(f: h5py.Group):
     )
 
 
+def _write_lyapunov(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "LyapunovResult"
+    f.attrs.update(transient=int(res.transient), n_modes=int(res.n_modes),
+                   years=int(res.years))
+    f.create_dataset("exponents", data=np.asarray(res.exponents))
+    f.create_dataset("history", data=np.asarray(res.history))
+    _write_collection(f.create_group("state"), res.state)
+    _write_collection(f.create_group("modes"), res.modes)
+
+
+def _read_lyapunov(f: h5py.Group):
+    from .lyapunov import LyapunovResult
+
+    return LyapunovResult(
+        exponents=np.asarray(f["exponents"]),
+        history=np.asarray(f["history"]),
+        state=_read_collection(f["state"]),
+        modes=_read_collection(f["modes"]),
+        transient=int(f.attrs["transient"]),
+        n_modes=int(f.attrs["n_modes"]),
+        years=int(f.attrs["years"]),
+    )
+
+
 def _read_solutions(f: h5py.Group) -> Solutions:
     st = _read_spacetime(f)
     forcing = _read_forcing(f)
@@ -465,6 +489,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
     from .equilibrium import (ContinuationResult, EquilibriumResult,
                               StabilityResult)
     from .fold import FoldResult
+    from .lyapunov import LyapunovResult
     from .parallel.ensemble import EnsembleSolutions
     from .sensitivity import SensitivityResult
 
@@ -491,6 +516,8 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_sensitivity(f, obj)
         elif isinstance(obj, CalibrationResult):
             _write_calibration(f, obj)
+        elif isinstance(obj, LyapunovResult):
+            _write_lyapunov(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -550,6 +577,8 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_sensitivity(f)
         if tag == "CalibrationResult":
             return _read_calibration(f)
+        if tag == "LyapunovResult":
+            return _read_lyapunov(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

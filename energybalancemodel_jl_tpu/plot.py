@@ -39,6 +39,7 @@ __all__ = [
     "plot_edge",
     "plot_basins",
     "plot_sensitivity",
+    "plot_lyapunov",
     "miz_layout",
     "classic_layout",
     "unsafesave",
@@ -640,6 +641,54 @@ def plot_sensitivity(
     ax.set_yticklabels(names)
     ax.set_xlabel("dg/dp" if raw else "elasticity  p · dg/dp")
     ax.set_title(title or f"Sensitivity of {res.of}")
+    return fig
+
+
+def plot_lyapunov(
+    res,
+    bcknd: Optional[str] = None,
+    title: Optional[str] = None,
+):
+    """Convergence plot of a
+    :func:`~energybalancemodel_jl_tpu.lyapunov` result: the running
+    (cumulative post-transient) exponent estimates against counted years
+    — flat curves mean the finite-time exponents have settled, drifting
+    ones need more ``years``. One line per mode; ensemble members of the
+    same mode share a color with thin lines. The per-year instantaneous
+    log growths of the LEADING mode are scattered behind the running
+    curves (solo runs only — ensembles would overplot) so transient
+    non-normal growth bursts stay visible. No reference analog."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    run = res.running()  # (years', m) or (years', K, m)
+    if run.shape[0] < 1:
+        raise ValueError("no counted years (years <= transient?)")
+    yrs = np.arange(1, run.shape[0] + 1, dtype=np.float64) + res.transient
+    ensemble = run.ndim == 3
+    fig, ax = plt.subplots(figsize=(6.4, 4.0), constrained_layout=True)
+    cycle = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    m = run.shape[-1]
+    for j in range(m):
+        c = cycle[j % len(cycle)]
+        if ensemble:
+            for i in range(run.shape[1]):
+                ax.plot(yrs, run[:, i, j], color=c, linewidth=0.9,
+                        alpha=0.7,
+                        label=f"mode {j + 1}" if i == 0 else None)
+        else:
+            ax.plot(yrs, run[:, j], color=c, linewidth=1.6,
+                    label=f"mode {j + 1}")
+    if not ensemble:
+        h = res.history[res.transient:, 0]
+        ax.plot(yrs, h, linestyle="none", marker=".", color="gray",
+                markersize=4, alpha=0.6, label="yearly (mode 1)")
+    ax.axhline(0.0, color="black", linewidth=0.8)
+    ax.set_xlabel("year")
+    ax.set_ylabel("running Lyapunov exponent  (1/yr)")
+    ax.set_title(title or "Finite-time Lyapunov exponents")
+    ax.legend(loc="best", fontsize=8)
     return fig
 
 

@@ -91,6 +91,27 @@ def main(outdir=None, fast=False):
           "around the albedo hole — see the edge_state docstring; "
           "ebm.save(saddle, 'edge_state.h5') archives it)")
 
+    # 4. trace the UNSTABLE BRANCH: warm-started saddle continuation —
+    # the middle segment of the hysteresis S-curve that forward
+    # integration can never settle on (the expensive edge tracking above
+    # was paid once; each further forcing level is just a warm-started
+    # Gauss-Newton re-polish)
+    br_vals = np.linspace(F_vals[0], F_vals[-1], 2 if fast else 4)
+    branch = ebm.unstable_branch(
+        "Classic", st, br_vals,
+        ebm.Collection(ebm.default_parameters("Classic")),  # no F sweep
+        saddle.state, vary="F", forcing=0.0,
+        polish_max_nfev=60 if fast else 150)
+    mid_areas = np.asarray(branch.ice_area()).reshape(-1)
+    print(f"\nunstable (middle) branch — {branch!r}")
+    print(f"{'F':>6}  {'saddle ice area':>16}  {'resid':>8}")
+    for Fv, a, r in zip(br_vals, mid_areas,
+                        [x.resid for x in branch.results]):
+        print(f"{Fv:6.1f}  {a:16.3f}  {r:8.3g}")
+    print("  (between the warm and snowball branches at every level; "
+          "branch.stability() verifies |lambda|>1 saddleness, "
+          "plot_continuation(branch) draws it)")
+
     # plot the unstable (escape) mode over the grid: the spatial pattern
     # along which trajectories leave the boundary
     import matplotlib.pyplot as plt

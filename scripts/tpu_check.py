@@ -334,12 +334,61 @@ def s_integrate_chunks():
     assert np.isfinite(E).all()
 
 
+@stage("lyapunov Benettin/QR runs on-chip (f32 smoke: finite only)")
+def s_lyapunov():
+    # like the sensitivity stage: f32 tangents through the frozen-cell
+    # lanes are noisy by design (stability docstring) — the on-chip claim
+    # is that the forward+transpose year dispatches complete and return
+    # finite log growths; trustworthy exponents come from the f64 CPU
+    # path (test_lyapunov.py)
+    st = ebm.SpaceTime.sin(16, 150, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    E0 = np.full(st.nx, 30.0)
+    init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+    lya = ebm.lyapunov("Classic", st, ebm.Forcing(0.0), par, init,
+                       years=6, transient=2, dtype="float32",
+                       years_per_dispatch=3)
+    assert np.isfinite(lya.history).all()
+    print(f"      lambda_1 = {float(lya.exponents[0]):+.3f}/yr (f32 "
+          "smoke)", flush=True)
+
+
+@stage("kx separable insolation rebuild is BITWISE vs table mode")
+def s_separable_bitwise():
+    # the round-3 'kx' in-kernel insolation rebuild must reproduce the
+    # statics table EXACTLY on the chip (BENCH_NOTES round-3b addendum;
+    # the CPU test only asserts a tolerance — interpret-mode jit graphs
+    # may differ by FMA contraction). Runs LAST: forcing separable mode
+    # means clearing the jit caches, which would recompile later stages.
+    import energybalancemodel_jl_tpu.ops.pallas_year as py
+    st = ebm.SpaceTime.sin(40, 200, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    E0 = np.full(40, 30.0)
+    init = ebm.Collection(E=E0, Tg=E0 / float(par["cw"]))
+    kw = dict(progress=False, raw_mode="none", dtype="float32",
+              engine="fused")
+    budget = py._KX_TABLE_BUDGET
+    try:
+        a = np.asarray(ebm.integrate("Classic", st, ebm.Forcing(0.0), par,
+                                     init, **kw).seasonal.avg["E"])
+        py._KX_TABLE_BUDGET = 0
+        jax.clear_caches()  # the mode is baked in at trace time
+        b = np.asarray(ebm.integrate("Classic", st, ebm.Forcing(0.0), par,
+                                     init, **kw).seasonal.avg["E"])
+    finally:
+        py._KX_TABLE_BUDGET = budget
+        jax.clear_caches()
+    np.testing.assert_array_equal(a, b)
+    print("      separable == table, bitwise", flush=True)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     stages = [s_claim, s_fused, s_batched, s_anderson, s_continuation,
               s_path_stability, s_projected, s_io, s_calibrate,
               s_fold, s_edge, s_edge_state, s_highres, s_sensitivity,
-              s_right_side, s_integrate_chunks]
+              s_right_side, s_integrate_chunks, s_lyapunov,
+              s_separable_bitwise]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)

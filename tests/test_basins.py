@@ -577,3 +577,78 @@ class TestPersistence:
         assert np.allclose(back.area_a, tracked.area_a)
         assert np.array_equal(back.a["E"], np.asarray(tracked.a["E"]))
         assert np.allclose(back.states()["E"], tracked.states()["E"])
+
+
+# the known warm-boundary saddle at ST/F (measured by the dense
+# multi-start TRF ladder scan recorded in TestEdgeState: area 1.831,
+# resid floor ~0.6, spectrum one eigenvalue in 1.02-1.09 then 0.89-0.91)
+SADDLE = ebm.Collection(
+    E=np.array([93.6, 72.2, 18.8, -5.9, -15.2, -38.6, -58.5, -75.0]),
+    Tg=np.array([8.86, 6.67, 1.29, -12.1, -25.7, -38.8, -50.7, -61.3]))
+
+
+class TestUnstableBranch:
+    def test_traces_the_middle_branch(self, attractors):
+        aeq, beq, area_a, area_b = attractors
+        values = np.array([10.0, 11.0, 12.0])
+        br = ebm.unstable_branch("Classic", ST, values, _par(), SADDLE,
+                                 vary="F", forcing=0.0,
+                                 polish_max_nfev=120)
+        assert br.converged.all(), [r.resid for r in br.results]
+        areas = np.asarray(br.ice_area()).reshape(-1)
+        lo, hi = min(area_a, area_b), max(area_a, area_b)
+        # the saddle sits strictly BETWEEN the attractors at every level
+        assert np.all(areas > lo + 0.3) and np.all(areas < hi - 0.3), areas
+        assert abs(areas[0] - 1.831) < 0.3  # the measured F=10 saddle
+        # every ContinuationResult diagnostic works on the branch
+        assert br.mean("E").shape == (3,)
+        # ... including per-level stability: the whole branch is SADDLE
+        # (leading |lambda| > 1 at every level — a level that had fallen
+        # onto an attractor would read < 1)
+        stabs = br.stability(n_iter=25, dtype="float64")
+        growths = np.asarray([s.growth for s in stabs])
+        assert np.all(growths > 1.0), growths
+
+    def test_falling_off_past_the_fold_is_flagged(self, attractors):
+        # F=30 is far outside the bistable window (~[5, 15] at these
+        # defaults): the saddle no longer exists, the polish lands on
+        # the warm attractor, and the O(1) ice-area jump flags the level
+        br = ebm.unstable_branch("Classic", ST, [10.0, 30.0], _par(),
+                                 SADDLE, vary="F", forcing=0.0,
+                                 polish_max_nfev=60)
+        conv = np.asarray(br.converged)
+        assert conv[0] and not conv[1], conv
+
+    def test_round_trips_through_save_load(self, tmp_path):
+        br = ebm.unstable_branch("Classic", ST, [10.0], _par(), SADDLE,
+                                 vary="F", forcing=0.0,
+                                 polish_max_nfev=40)
+        p = str(tmp_path / "branch.h5")
+        ebm.save(br, p)
+        back = ebm.load(p)
+        np.testing.assert_array_equal(back.values, br.values)
+        np.testing.assert_array_equal(
+            np.asarray(back.ice_area()), np.asarray(br.ice_area()))
+
+    def test_validation_errors(self):
+        par = _par()
+        with pytest.raises(ValueError, match="vary"):
+            ebm.unstable_branch("Classic", ST, [10.0], par, SADDLE,
+                                vary="nope")
+        with pytest.raises(ValueError, match="constant"):
+            ramp = ebm.Forcing(0.0, 1.0, 0.0, (0, 0), (1.0, -1.0))
+            ebm.unstable_branch("Classic", ST, [10.0], par, SADDLE,
+                                forcing=ramp)
+        with pytest.raises(ValueError, match="solo-only"):
+            p = ebm.Collection(par)
+            p["D"] = np.array([0.5, 0.6])
+            ebm.unstable_branch("Classic", ST, [10.0], p, SADDLE)
+        with pytest.raises(ValueError, match="member-batched"):
+            ebm.unstable_branch(
+                "Classic", ST, [10.0], par,
+                ebm.stack_states([SADDLE, SADDLE]))
+        with pytest.raises(ValueError, match="values"):
+            ebm.unstable_branch("Classic", ST, [], par, SADDLE)
+        with pytest.raises(ValueError, match="polish_max_nfev"):
+            ebm.unstable_branch("Classic", ST, [10.0], par, SADDLE,
+                                polish_max_nfev=0)

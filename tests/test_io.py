@@ -328,6 +328,11 @@ class TestResultCompleteness:
                 result_a=cls._equilibrium(rng, K=2),
                 result_b=cls._equilibrium(rng, K=2),
                 spacetime=st, season="avg", par=par),
+            "LyapunovResult": lambda: ebm.LyapunovResult(
+                exponents=rng.standard_normal(2),
+                history=rng.standard_normal((6, 2)),
+                state=state(), modes=state(), transient=2, n_modes=2,
+                years=6),
             "EdgeStateResult": lambda: ebm.EdgeStateResult(
                 state=state(), area=1.3, resid=2e-4,
                 drift=np.array([np.nan, 0.5, 0.01]),
