@@ -68,6 +68,7 @@ from .basins import (BasinResult, EdgeResult, EdgeStateResult,  # noqa: E402
                      unstable_branch)
 from .sensitivity import SensitivityResult, sensitivity  # noqa: E402
 from .lyapunov import LyapunovResult, lyapunov  # noqa: E402
+from .stochastic import TransitionResult, transitions  # noqa: E402
 from .io import load, load_into, save, unsafeload, unsafesave  # noqa: E402
 from .plot import (  # noqa: E402
     Layout,
@@ -82,6 +83,7 @@ from .plot import (  # noqa: E402
     plot_lyapunov,
     plot_raw,
     plot_seasonal,
+    plot_transitions,
 )
 
 __all__ = [
@@ -145,6 +147,9 @@ __all__ = [
     "SensitivityResult",
     "lyapunov",
     "LyapunovResult",
+    "transitions",
+    "TransitionResult",
+    "plot_transitions",
 ]
 
 __version__ = "0.1.0"

@@ -448,6 +448,46 @@ def _read_lyapunov(f: h5py.Group):
     )
 
 
+def _write_transition(f: h5py.Group, res) -> None:
+    f.attrs["__ebm_type__"] = "TransitionResult"
+    f.attrs.update(start=str(res.start), sigma=float(res.sigma),
+                   tau=float(res.tau), years=int(res.years),
+                   season=str(res.season), seed=int(res.seed),
+                   newton_ok=bool(res.newton_ok))
+    f.create_dataset("areas", data=np.asarray(res.areas))
+    f.create_dataset("labels", data=np.asarray(res.labels))
+    f.create_dataset("first_passage", data=np.asarray(res.first_passage))
+    f.create_dataset("finite", data=np.asarray(res.finite))
+    f.create_dataset("eta", data=np.asarray(res.eta))
+    f.create_dataset("area_a", data=np.asarray(res.area_a))
+    f.create_dataset("area_b", data=np.asarray(res.area_b))
+    _write_collection(f.create_group("state"), res.state)
+    _write_collection(f.create_group("tracked"), res.tracked)
+
+
+def _read_transition(f: h5py.Group):
+    from .stochastic import TransitionResult
+
+    return TransitionResult(
+        areas=np.asarray(f["areas"]),
+        labels=np.asarray(f["labels"]),
+        first_passage=np.asarray(f["first_passage"]),
+        finite=np.asarray(f["finite"]).astype(bool),
+        state=_read_collection(f["state"]),
+        eta=np.asarray(f["eta"]),
+        tracked=_read_collection(f["tracked"]),
+        area_a=np.asarray(f["area_a"]),
+        area_b=np.asarray(f["area_b"]),
+        start=str(f.attrs["start"]),
+        sigma=float(f.attrs["sigma"]),
+        tau=float(f.attrs["tau"]),
+        years=int(f.attrs["years"]),
+        season=str(f.attrs["season"]),
+        seed=int(f.attrs["seed"]),
+        newton_ok=bool(f.attrs["newton_ok"]),
+    )
+
+
 def _read_solutions(f: h5py.Group) -> Solutions:
     st = _read_spacetime(f)
     forcing = _read_forcing(f)
@@ -492,6 +532,7 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
     from .lyapunov import LyapunovResult
     from .parallel.ensemble import EnsembleSolutions
     from .sensitivity import SensitivityResult
+    from .stochastic import TransitionResult
 
     with h5py.File(path, "w") as f:
         if isinstance(obj, Solutions):
@@ -518,6 +559,8 @@ def unsafesave(obj, path: str, spwarn: bool = False, **kwargs) -> str:
             _write_calibration(f, obj)
         elif isinstance(obj, LyapunovResult):
             _write_lyapunov(f, obj)
+        elif isinstance(obj, TransitionResult):
+            _write_transition(f, obj)
         elif isinstance(obj, dict):
             _write_collection(f, obj)
         elif isinstance(obj, str):
@@ -579,6 +622,8 @@ def unsafeload(path: str, spwarn: bool = False):
             return _read_calibration(f)
         if tag == "LyapunovResult":
             return _read_lyapunov(f)
+        if tag == "TransitionResult":
+            return _read_transition(f)
         if tag == "str":
             return str(f.attrs["value"])
         if tag == "array":

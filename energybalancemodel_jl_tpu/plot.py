@@ -40,6 +40,7 @@ __all__ = [
     "plot_basins",
     "plot_sensitivity",
     "plot_lyapunov",
+    "plot_transitions",
     "miz_layout",
     "classic_layout",
     "unsafesave",
@@ -688,6 +689,49 @@ def plot_lyapunov(
     ax.set_xlabel("year")
     ax.set_ylabel("running Lyapunov exponent  (1/yr)")
     ax.set_title(title or "Finite-time Lyapunov exponents")
+    ax.legend(loc="best", fontsize=8)
+    return fig
+
+
+def plot_transitions(
+    res,
+    bcknd: Optional[str] = None,
+    title: Optional[str] = None,
+):
+    """Trajectory fan of a
+    :func:`~energybalancemodel_jl_tpu.stochastic.transitions` result:
+    every member's per-year seasonal ice area against the two attractor
+    reference lines. Members that escaped are drawn in color with a
+    marker at their first-passage year; members that stayed are gray.
+    No reference analog (the reference is deterministic)."""
+    import matplotlib.pyplot as plt
+
+    if bcknd is not None:
+        backend(bcknd)
+    areas = np.asarray(res.areas)  # (years, K)
+    yrs = np.arange(1, areas.shape[0] + 1)
+    fig, ax = plt.subplots(figsize=(6.4, 4.0), constrained_layout=True)
+    esc = res.escaped & res.finite
+    for k in range(areas.shape[1]):
+        if esc[k]:
+            (line,) = ax.plot(yrs, areas[:, k], linewidth=1.1, alpha=0.9)
+            y = int(res.first_passage[k])
+            ax.plot([y], [areas[y - 1, k]], marker="o", markersize=5,
+                    color=line.get_color())
+        else:
+            ax.plot(yrs, areas[:, k], color="0.65", linewidth=0.8,
+                    alpha=0.6)
+    for ref, name, style in ((res.area_a, "attractor a", "--"),
+                             (res.area_b, "attractor b", ":")):
+        ref = np.asarray(ref, dtype=np.float64)
+        ax.axhline(float(np.mean(ref)), color="black", linewidth=1.0,
+                   linestyle=style, label=name)
+    n_esc = int(np.count_nonzero(esc))
+    ax.set_xlabel("year")
+    ax.set_ylabel(f"ice area ({res.season})")
+    ax.set_title(title or (
+        f"Noise-induced transitions: {n_esc}/{areas.shape[1]} escaped "
+        f"(sigma={res.sigma:g}, tau={res.tau:g})"))
     ax.legend(loc="best", fontsize=8)
     return fig
 

@@ -353,6 +353,35 @@ def s_lyapunov():
           "smoke)", flush=True)
 
 
+@stage("noise-forced transitions run on-chip (chunking bitwise)")
+def s_transitions():
+    # the OU noise rides the forcing row; the on-chip claims are (1) the
+    # noisy year dispatches complete with finite areas and (2) dispatch
+    # chunking is bitwise-invariant (absolute-year-keyed draws) ON THE
+    # CHIP, not just under XLA:CPU
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        E=np.full(st.nx, e), Tg=np.full(st.nx, e) / cw)
+    a = ebm.equilibrate("Classic", st, 10.0, par, mk(30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    b = ebm.equilibrate("Classic", st, 10.0, par, mk(-30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    kw = dict(sigma=8.0, tau=0.05, years=4, K=8, seed=1,
+              dtype="float32", track=("E",))
+    r1 = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
+    r2 = ebm.transitions("Classic", st, 10.0, par, a, b,
+                         years_per_dispatch=2, **kw)
+    assert np.isfinite(r1.areas).all()
+    np.testing.assert_array_equal(r1.areas, r2.areas)
+    np.testing.assert_array_equal(r1.tracked["E"], r2.tracked["E"])
+    spread = float(np.std(np.asarray(r1.tracked["E"])[-1]))
+    assert spread > 0.0
+    print(f"      chunking bitwise; member E-spread {spread:.2f}",
+          flush=True)
+
+
 @stage("kx separable insolation rebuild is BITWISE vs table mode")
 def s_separable_bitwise():
     # the round-3 'kx' in-kernel insolation rebuild must reproduce the
@@ -388,7 +417,7 @@ def main():
               s_path_stability, s_projected, s_io, s_calibrate,
               s_fold, s_edge, s_edge_state, s_highres, s_sensitivity,
               s_right_side, s_integrate_chunks, s_lyapunov,
-              s_separable_bitwise]
+              s_transitions, s_separable_bitwise]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)

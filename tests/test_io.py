@@ -333,6 +333,16 @@ class TestResultCompleteness:
                 history=rng.standard_normal((6, 2)),
                 state=state(), modes=state(), transient=2, n_modes=2,
                 years=6),
+            "TransitionResult": lambda: ebm.TransitionResult(
+                areas=rng.random((5, 3)),
+                labels=rng.integers(-1, 2, (5, 3)).astype(np.int8),
+                first_passage=np.array([2.0, np.nan, 4.0]),
+                finite=np.array([True, True, False]),
+                state=state(K=3), eta=rng.standard_normal(3),
+                tracked=ebm.Collection({"E": rng.random((5, 3))}),
+                area_a=np.array([0.8]), area_b=np.array([3.1]),
+                start="a", sigma=6.0, tau=0.05, years=5, season="avg",
+                seed=3, newton_ok=True),
             "EdgeStateResult": lambda: ebm.EdgeStateResult(
                 state=state(), area=1.3, resid=2e-4,
                 drift=np.array([np.nan, 0.5, 0.01]),

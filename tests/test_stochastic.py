@@ -1,0 +1,274 @@
+"""Noise-forced transitions (`ebm.transitions`).
+
+The load-bearing invariants:
+
+- ``sigma=0`` reproduces the DETERMINISTIC trajectory — the noise enters
+  only through the forcing row, so the zero-noise member-year areas must
+  equal a plain :func:`ebm.integrate` of the same init.
+- dispatch chunking is bitwise-invariant (the noise realization is keyed
+  on (seed, member, ABSOLUTE year), never on the chunk layout).
+- the escape statistics respond to the noise amplitude in the physically
+  required direction near the classic fold (CLAUDE.md: warm+snowball
+  coexist for F in ~[5, 15]; the warm basin is shallow at the low end).
+"""
+import numpy as np
+import pytest
+
+import energybalancemodel_jl_tpu as ebm
+from energybalancemodel_jl_tpu.fold import seasonal_ice_area
+from energybalancemodel_jl_tpu.stochastic import transitions
+
+
+def _classic_setup(nx=8, nt=1000):
+    st = ebm.SpaceTime.sin(nx, nt, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        {"E": np.full(nx, e), "Tg": np.full(nx, e) / cw})
+    return st, par, mk
+
+
+@pytest.fixture(scope="module")
+def bistable():
+    """Warm + snowball attractors of the classic model at F=10 (middle of
+    the measured bistable window)."""
+    st, par, mk = _classic_setup()
+    F = 10.0
+    a = ebm.equilibrate("Classic", st, F, par, mk(30.0),
+                        max_years=120, tol=2.0)
+    b = ebm.equilibrate("Classic", st, F, par, mk(-30.0),
+                        max_years=120, tol=2.0)
+    assert a.converged and b.converged
+    return st, par, F, a, b
+
+
+class TestDeterministicLimit:
+    def test_sigma_zero_matches_integrate(self, bistable):
+        st, par, F, a, b = bistable
+        res = transitions("Classic", st, F, par, a, b, sigma=0.0,
+                          years=4, K=3, seed=7)
+        # all members identical (same start, zero noise)
+        for k in range(1, 3):
+            np.testing.assert_array_equal(res.areas[:, 0], res.areas[:, k])
+        # and equal to the deterministic integrate of the same init
+        st4 = ebm.SpaceTime.sin(st.nx, st.nt, 4)
+        sol = ebm.integrate("Classic", st4, ebm.Forcing(F), par,
+                            a.state, engine="scan", lastonly=False)
+        ref = np.asarray(seasonal_ice_area(sol.seasonal.avg, st4))
+        np.testing.assert_allclose(res.areas[:, 0], ref, rtol=0, atol=1e-12)
+        assert not np.any(res.escaped)
+        assert res.labels.shape == (4, 3)
+        assert np.all(res.labels == 0)
+
+    def test_virtual_F_sweep_members_match_solo(self, bistable):
+        st, par, F, a, b = bistable
+        offs = np.array([0.0, 2.0])
+        par_s = ebm.Collection(par)
+        par_s["F"] = offs
+        res = transitions("Classic", st, F, par_s, a, b, sigma=0.0,
+                          years=3, seed=0)
+        assert res.areas.shape == (3, 2)
+        for k, off in enumerate(offs):
+            st3 = ebm.SpaceTime.sin(st.nx, st.nt, 3)
+            sol = ebm.integrate("Classic", st3, ebm.Forcing(F + off), par,
+                                a.state, engine="scan", lastonly=False)
+            ref = np.asarray(seasonal_ice_area(sol.seasonal.avg, st3))
+            np.testing.assert_allclose(res.areas[:, k], ref,
+                                       rtol=0, atol=1e-12)
+
+
+class TestNoise:
+    def test_chunking_bitwise_invariant(self, bistable):
+        st, par, F, a, b = bistable
+        kw = dict(sigma=8.0, tau=0.05, years=6, K=4, seed=1, track=("E",))
+        r1 = transitions("Classic", st, F, par, a, b, **kw)
+        r2 = transitions("Classic", st, F, par, a, b,
+                         years_per_dispatch=2, **kw)
+        np.testing.assert_array_equal(r1.areas, r2.areas)
+        np.testing.assert_array_equal(r1.tracked["E"], r2.tracked["E"])
+        np.testing.assert_array_equal(r1.eta, r2.eta)
+        for k in r1.state:
+            np.testing.assert_array_equal(r1.state[k], r2.state[k])
+
+    def test_seed_reproducible_and_members_spread(self, bistable):
+        st, par, F, a, b = bistable
+        kw = dict(sigma=8.0, tau=0.05, years=4, K=4, track=("E",))
+        r1 = transitions("Classic", st, F, par, a, b, seed=1, **kw)
+        r1b = transitions("Classic", st, F, par, a, b, seed=1, **kw)
+        np.testing.assert_array_equal(r1.tracked["E"], r1b.tracked["E"])
+        r2 = transitions("Classic", st, F, par, a, b, seed=2, **kw)
+        assert not np.array_equal(r1.tracked["E"], r2.tracked["E"])
+        # members carry independent noise: the continuous mean spreads
+        # (classic ice AREAS are cell-quantized, so compare means)
+        assert float(np.std(r1.tracked["E"][-1])) > 1e-3
+
+    def test_ou_stationary_std(self, bistable):
+        # final eta across many members ~ the stationary OU std = sigma
+        st, par, F, a, b = bistable
+        r = transitions("Classic", st, F, par, a, b, sigma=5.0, tau=0.02,
+                        years=2, K=256, seed=3)
+        assert float(np.std(r.eta)) == pytest.approx(5.0, rel=0.25)
+
+    def test_escapes_near_the_fold(self):
+        # at F=5.5 the warm basin is shallow (window edge ~5): strong
+        # noise must kick members into the snowball within decades, weak
+        # noise must not. Measured per-member escape probability ~0.25
+        # at this config (16/64 at seed 0), so K=32 makes zero escapes a
+        # ~1e-4 event — seed-robust, not seed-tuned.
+        st, par, mk = _classic_setup()
+        F = 5.5
+        a = ebm.equilibrate("Classic", st, F, par, mk(30.0),
+                            max_years=120, tol=2.0)
+        b = ebm.equilibrate("Classic", st, F, par, mk(-30.0),
+                            max_years=120, tol=2.0)
+        assert a.converged and b.converged
+        strong = transitions("Classic", st, F, par, a, b, sigma=24.0,
+                             tau=0.05, years=25, K=32, seed=0)
+        assert strong.newton_ok
+        n_esc = int(np.count_nonzero(strong.escaped))
+        assert n_esc >= 1
+        fp = strong.first_passage[strong.escaped]
+        assert np.all((fp >= 1) & (fp <= 25))
+        assert strong.escape_rate() > 0.0
+        assert strong.escape_fraction() == pytest.approx(n_esc / 32.0)
+        # escaped members sit at the snowball label afterwards
+        for k in np.nonzero(strong.escaped)[0]:
+            y = int(strong.first_passage[k])
+            assert strong.labels[y - 1, k] == 1
+        weak = transitions("Classic", st, F, par, a, b, sigma=0.5,
+                           tau=0.05, years=10, K=8, seed=0)
+        assert not np.any(weak.escaped)
+        assert np.isnan(weak.mean_first_passage())
+        assert weak.escape_rate() == 0.0
+
+
+class TestFirstPassage:
+    def test_label_history_cases(self):
+        from energybalancemodel_jl_tpu.stochastic import _first_passage
+
+        labels = np.array([
+            # members: stayed | escaped y3 | bad y1 | escape y2 then bad |
+            #          bad y3 no escape | escaped y1
+            [0, 0, -1, 0, 0, 1],
+            [0, 0, -1, 1, 0, 1],
+            [0, 1, 0, -1, -1, 1],
+            [0, 1, 1, -1, -1, 1],
+        ], dtype=np.int8)
+        fp, finite = _first_passage(labels, start_label=0)
+        np.testing.assert_array_equal(
+            fp, [np.nan, 3.0, np.nan, 2.0, np.nan, 1.0])
+        np.testing.assert_array_equal(
+            finite, [True, True, False, True, False, True])
+        # starting from b, "other" is label 0: member 0 crosses at year 1
+        fp_b, finite_b = _first_passage(labels, start_label=1)
+        assert fp_b[0] == 1.0 and finite_b[0]
+
+
+class TestMIZ:
+    def test_bare_state_references_and_phi_area(self):
+        # a/b as bare state Collections exercise the one-year reference
+        # re-run; MIZ's area comes from phi (NaN-masked presentation)
+        st = ebm.SpaceTime.sin(8, 1000, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        cold = ebm.equilibrate("MIZ", st, -15.0, par, ebm.zeros_init(st),
+                               max_years=5, tol=0.0)
+        warm = ebm.equilibrate("MIZ", st, 25.0, par, ebm.zeros_init(st),
+                               max_years=5, tol=0.0)
+        res = transitions("MIZ", st, 5.0, par, warm.state, cold.state,
+                          sigma=2.0, tau=0.02, years=3, K=2, seed=0,
+                          track=("T",))
+        assert res.areas.shape == (3, 2)
+        assert np.all(np.isfinite(res.areas))
+        assert res.newton_ok
+        assert res.tracked["T"].shape == (3, 2)
+
+
+class TestMesh:
+    def test_sharded_matches_unsharded(self, bistable):
+        import jax
+        from jax.sharding import Mesh
+
+        st, par, F, a, b = bistable
+        kw = dict(sigma=6.0, tau=0.05, years=3, K=4, seed=5, track=("E",))
+        r0 = transitions("Classic", st, F, par, a, b, **kw)
+        mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("members",))
+        r1 = transitions("Classic", st, F, par, a, b, mesh=mesh, **kw)
+        np.testing.assert_array_equal(r0.areas, r1.areas)
+        np.testing.assert_array_equal(r0.tracked["E"], r1.tracked["E"])
+        np.testing.assert_array_equal(r0.eta, r1.eta)
+
+
+class TestValidationAndIO:
+    def test_validation_errors(self, bistable):
+        st, par, F, a, b = bistable
+        ramp = ebm.Forcing(0.0, 5.0, -5.0, (1, 1), (1.0, -1.0))
+        with pytest.raises(ValueError, match="constant"):
+            transitions("Classic", st, ramp, par, a, b, sigma=1.0)
+        with pytest.raises(ValueError, match="start"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, start="c")
+        with pytest.raises(ValueError, match="season"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0,
+                        season="spring")
+        with pytest.raises(ValueError, match="sigma"):
+            transitions("Classic", st, F, par, a, b, sigma=-1.0)
+        with pytest.raises(ValueError, match="track"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0,
+                        years=1, K=2, track=("nope",))
+        par_s = ebm.Collection(par)
+        par_s["D"] = np.array([0.4, 0.5, 0.6])
+        with pytest.raises(ValueError, match="conflicts"):
+            transitions("Classic", st, F, par_s, a, b, sigma=1.0, K=2)
+        with pytest.raises(ValueError, match="eta0"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, K=2,
+                        years=1, eta0=np.zeros(3))
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("members",))
+        with pytest.raises(ValueError, match="divisible"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, K=3,
+                        years=1, mesh=mesh)
+
+    def test_swept_par_requires_result_references(self, bistable):
+        st, par, F, a, b = bistable
+        par_s = ebm.Collection(par)
+        par_s["D"] = np.array([0.4, 0.5])
+        with pytest.raises(ValueError, match="EquilibriumResult"):
+            transitions("Classic", st, F, par_s, a.state, b, sigma=1.0,
+                        years=1)
+
+    def test_round_trip(self, bistable, tmp_path):
+        st, par, F, a, b = bistable
+        res = transitions("Classic", st, F, par, a, b, sigma=6.0,
+                          years=3, K=2, seed=4, track=("E",))
+        path = str(tmp_path / "trans.h5")
+        ebm.save(res, path)
+        back = ebm.load(path)
+        assert isinstance(back, ebm.TransitionResult)
+        np.testing.assert_array_equal(back.areas, res.areas)
+        np.testing.assert_array_equal(back.first_passage, res.first_passage)
+        np.testing.assert_array_equal(back.tracked["E"], res.tracked["E"])
+        assert back.sigma == res.sigma and back.start == res.start
+
+    def test_eta0_resume_material(self, bistable):
+        st, par, F, a, b = bistable
+        r = transitions("Classic", st, F, par, a, b, sigma=6.0,
+                        years=2, K=2, seed=4)
+        # extend from the returned carries/noise (fresh seed by contract)
+        r2 = transitions("Classic", st, F, par, a, b, sigma=6.0,
+                         years=2, K=2, seed=5, init=r.state, eta0=r.eta)
+        assert r2.areas.shape == (2, 2)
+        assert np.all(np.isfinite(r2.areas))
+
+    def test_plot(self, bistable):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        st, par, F, a, b = bistable
+        res = transitions("Classic", st, F, par, a, b, sigma=6.0,
+                          years=3, K=2, seed=4)
+        fig = ebm.plot_transitions(res)
+        assert fig is not None
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
