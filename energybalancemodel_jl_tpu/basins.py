@@ -681,6 +681,12 @@ def _member_state(state: Collection, k: int, K: int) -> Collection:
     })
 
 
+# Practical envelope of the dense polish: nt * nx * state_dim, ~2x the
+# largest measured-practical configuration (MIZ nx=48/nt=1000 = 1.38e7
+# units, 7.2 s/Jacobian eval on this host class — see the guard below)
+_POLISH_UNIT_CAP = 3e7
+
+
 def _polish_fixed_point(model: str, st: SpaceTime, forcing: Forcing,
                         par: Collection, state: Collection, dtype,
                         max_nfev: int):
@@ -703,7 +709,7 @@ def _polish_fixed_point(model: str, st: SpaceTime, forcing: Forcing,
     residual at ``state``. Returns ``(state, resid_inf, nfev)`` with
     numpy leaves. Dense: cost scales with the state dimension (fine at
     diagnostic grids; the saddle hunt is not a production-throughput
-    path).
+    path) — guarded by ``_POLISH_UNIT_CAP`` below.
     """
     import jax
     import jax.numpy as jnp
@@ -722,6 +728,26 @@ def _polish_fixed_point(model: str, st: SpaceTime, forcing: Forcing,
     carry = spec.init_carry(state, st, dtype)
     keys_order = tuple(sorted(carry.keys()))
     widths = tuple(int(carry[k].shape[-1]) for k in keys_order)
+    # Scale guard (advisor r3): one dense jacrev Jacobian costs one
+    # reverse year per state coordinate — wall time tracks nt*nx*dim
+    # (measured on this class of host: MIZ nx=48/nt=1000, dim=288 ->
+    # 7.2 s per Jacobian eval, so a 200-nfev TRF polish is already
+    # ~25 min; at nx=180/nt=2000, dim=1080, an eval extrapolates to
+    # ~3 min and the polish to HOURS, with multi-GB scan activations).
+    # Refuse beyond ~2x the measured-practical envelope instead of
+    # silently hanging.
+    if max_nfev >= 1:
+        units = st.nt * st.nx * sum(widths)
+        if units > _POLISH_UNIT_CAP:
+            raise ValueError(
+                f"dense Gauss-Newton polish at nx={st.nx}/nt={st.nt} "
+                f"(state dim {sum(widths)}) needs ~{units / 1.9e6:.0f} s "
+                f"PER Jacobian evaluation (extrapolated from measured "
+                f"nt*nx*dim scaling) and O(max_nfev) of them — beyond "
+                f"the practical envelope (nt*nx*dim <= {_POLISH_UNIT_CAP:.0e},"
+                f" roughly nx <= 48 at nt=1000 for MIZ). Use a diagnostic "
+                f"grid for the saddle hunt, or pass polish=False / "
+                f"polish_max_nfev=0 to skip the polish")
     par_j = Collection({k: jnp.asarray(v, dtype) for k, v in par.items()})
     frow_j = jnp.asarray(forcing.table(st)[0], dtype=dtype)
     year = make_year_fn(model, st, cfg, dtype.name, False)

@@ -450,10 +450,13 @@ def _read_lyapunov(f: h5py.Group):
 
 def _write_transition(f: h5py.Group, res) -> None:
     f.attrs["__ebm_type__"] = "TransitionResult"
-    f.attrs.update(start=str(res.start), sigma=float(res.sigma),
-                   tau=float(res.tau), years=int(res.years),
-                   season=str(res.season), seed=int(res.seed),
-                   newton_ok=bool(res.newton_ok))
+    f.attrs.update(start=str(res.start), tau=float(res.tau),
+                   years=int(res.years), season=str(res.season),
+                   seed=int(res.seed), newton_ok=bool(res.newton_ok),
+                   year0=int(res.year0), engine=str(res.engine),
+                   ramped=bool(res.ramped), degenerate=bool(res.degenerate))
+    # sigma may be a per-member (K,) vector (round 4) — a dataset either way
+    f.create_dataset("sigma", data=np.asarray(res.sigma, dtype=np.float64))
     f.create_dataset("areas", data=np.asarray(res.areas))
     f.create_dataset("labels", data=np.asarray(res.labels))
     f.create_dataset("first_passage", data=np.asarray(res.first_passage))
@@ -463,6 +466,9 @@ def _write_transition(f: h5py.Group, res) -> None:
     f.create_dataset("area_b", data=np.asarray(res.area_b))
     _write_collection(f.create_group("state"), res.state)
     _write_collection(f.create_group("tracked"), res.tracked)
+    if res.ref_state is not None:
+        _write_collection(f.create_group("ref_state_a"), res.ref_state[0])
+        _write_collection(f.create_group("ref_state_b"), res.ref_state[1])
 
 
 def _read_transition(f: h5py.Group):
@@ -479,12 +485,23 @@ def _read_transition(f: h5py.Group):
         area_a=np.asarray(f["area_a"]),
         area_b=np.asarray(f["area_b"]),
         start=str(f.attrs["start"]),
-        sigma=float(f.attrs["sigma"]),
+        # round-3 files kept sigma as a scalar attr; round-4 files store a
+        # dataset (it may be a per-member vector)
+        sigma=((float(f["sigma"][()]) if f["sigma"].ndim == 0
+                else np.asarray(f["sigma"])) if "sigma" in f
+               else float(f.attrs["sigma"])),
         tau=float(f.attrs["tau"]),
         years=int(f.attrs["years"]),
         season=str(f.attrs["season"]),
         seed=int(f.attrs["seed"]),
         newton_ok=bool(f.attrs["newton_ok"]),
+        year0=int(f.attrs.get("year0", 0)),
+        engine=str(f.attrs.get("engine", "scan")),
+        ramped=bool(f.attrs.get("ramped", False)),
+        degenerate=bool(f.attrs.get("degenerate", False)),
+        ref_state=((_read_collection(f["ref_state_a"]),
+                    _read_collection(f["ref_state_b"]))
+                   if "ref_state_a" in f else None),
     )
 
 

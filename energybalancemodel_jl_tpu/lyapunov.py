@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time as _time
 from typing import Optional, Sequence, Union
 
 import jax
@@ -218,7 +219,9 @@ def lyapunov(
     (mode-leading under ``n_modes>1``); default is a seeded random draw.
     ``years_per_dispatch`` bounds the years one device dispatch advances
     (remote-TPU watchdog; each year costs 1 forward + ``n_modes`` reverse
-    years). ``mesh`` (a 1-D ``jax.sharding.Mesh``; ensemble only, ``K``
+    years); the DEFAULT (``None``) is adaptive — chunks start at 4 years
+    and resize toward ~15 s of wall time (power-of-two sizes), so default
+    calls at production scale stay under the watchdog. ``mesh`` (a 1-D ``jax.sharding.Mesh``; ensemble only, ``K``
     divisible by the mesh size) shards the members across chips exactly
     as in :func:`stability` — the propagation and per-member QR are
     block-diagonal over members, so XLA partitions them with zero
@@ -371,14 +374,33 @@ def lyapunov(
             v,
         )
 
-    chunk = years if years_per_dispatch is None \
-        else max(1, int(years_per_dispatch))
+    # Dispatch chunking (same policy as transitions, stochastic.py:90-108):
+    # the DEFAULT is adaptive — chunks start small and resize toward ~15 s
+    # of wall time (power-of-two sizes to bound recompiles), so a default
+    # call at production scale stays under the remote-TPU execution
+    # watchdog even though each lyapunov year costs (1 + n_modes)
+    # simulated years (1 forward + n_modes reverse). Chunking is
+    # bitwise-invariant: the loop state (carry, tangent block) stays on
+    # device and the per-year work is chunk-independent.
+    from .stochastic import _CHUNK_START, _CHUNK_TARGET_S, _quantize_chunk
+
+    adaptive = years_per_dispatch is None
+    chunk = _CHUNK_START if adaptive else max(1, int(years_per_dispatch))
     hist, done = [], 0
     while done < years:
         k = min(chunk, years - done)
+        t0 = _time.perf_counter()
         carry, v, logs = run(carry, v, par_j, frow_j, k)
+        if adaptive:
+            # sync so the measured wall time is the real dispatch time
+            # (np.asarray, not block_until_ready — the axon tunnel's
+            # block_until_ready does not block, CLAUDE.md)
+            np.asarray(jax.device_get(logs[-1]))
         hist.append(logs)
         done += k
+        if adaptive:
+            wall = _time.perf_counter() - t0
+            chunk = _quantize_chunk(_CHUNK_TARGET_S * k / max(wall, 1e-6))
     carry, v, history = jax.device_get(
         (carry, v, jnp.concatenate(hist, axis=0)))
     history = np.asarray(history, dtype=np.float64)

@@ -137,6 +137,20 @@ def _member_slabs(Kp: int, Kt: int):
     return [(s, min(slab, Kp - s)) for s in range(0, Kp, slab)]
 
 
+def _pad_noise_xk(noise, nt: int, K: int, Kp: int, dtype):
+    """Validate and pad an ``(nt, K)`` noise table to ``(nt_pad8, Kp)`` for
+    the 'xk' launchers (zero padding: padded steps are never read, padded
+    members see zero noise on top of their zero state + edge params)."""
+    if noise is None:
+        return None
+    noise = jnp.asarray(noise, dtype=dtype)
+    if noise.shape != (nt, K):
+        raise ValueError(
+            f"noise must have shape (nt, K) = ({nt}, {K}), got "
+            f"{noise.shape}")
+    return jnp.pad(noise, ((0, _round_up(nt, 8) - nt), (0, Kp - K)))
+
+
 def _kernel(
     f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
     cosv_ref,   # SMEM (nt,) cos(2 pi t) — with separable=True the kernel
@@ -262,10 +276,20 @@ def _kernel_xk(
     summ_ref,   # VMEM (10, nxs, Kt) summer snapshot
     avg_ref,    # VMEM (10, nxs, Kt) annual mean
     conv_ref,   # SMEM (1, n_blocks) convergence flags (see _kernel)
-    *, nt: int, w0: int, s0: int, dt: float, cfg,
+    *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
 ):
     """Transposed twin of :func:`_kernel` — same physics (``miz.step`` with
-    ``grid_axis=0``), same storage semantics, different data layout."""
+    ``grid_axis=0``), same storage semantics, different data layout.
+
+    ``noise_ref`` (via :func:`_kernel_xk_noisy`) is an optional
+    ``(nt_pad, Kt)`` VMEM table of per-step per-member forcing offsets
+    (the OU weather noise of the fused
+    :func:`~energybalancemodel_jl_tpu.stochastic.transitions` engine);
+    step ``t`` reads row ``t`` as a dynamic sublane slice — the same
+    access family the pre-round-3 'kx' insolation table used. With the
+    table absent the traced graph is unchanged, and a zero table adds
+    ``+ 0.0`` to the forcing scalar only (bitwise no-op for every finite
+    non-negative-zero forcing)."""
     from ..models import miz
 
     dtype = cin_ref.dtype
@@ -302,6 +326,8 @@ def _kernel_xk(
         # ((S0 - (S1 x) cos) - S2 x^2) — bitwise-identical columns
         insol = (tab["S0"] * mask - (tab["S1"] * colX) * c) - tab["S2"] * colX2
         f_t = f_ref[t] + pars_ref[_F_OFF:_F_OFF + 1, :]
+        if noise_ref is not None:
+            f_t = f_t + noise_ref[pl.ds(t, 1), :]
         xs = Collection(insol=insol, f=f_t)
         carry, out = miz.step(carry, xs, stat, par, cfg)
         out = dict(out)
@@ -331,6 +357,22 @@ def _kernel_xk(
     conv_ref[0, pl.program_id(0)] = conv
 
 
+def _kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref, pars_ref,
+                     *out_refs, **kw):
+    """Noisy-launch adapter: Pallas passes refs positionally in in_specs
+    order, so the noise table rides as the third input and is forwarded to
+    :func:`_kernel_xk` as its static keyword."""
+    _kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref, *out_refs,
+               noise_ref=noise_ref, **kw)
+
+
+def _classic_kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref,
+                             pars_ref, *out_refs, **kw):
+    """Classic twin of :func:`_kernel_xk_noisy`."""
+    _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+                       *out_refs, noise_ref=noise_ref, **kw)
+
+
 # plane counts of the transposed layout's VMEM working-set estimate
 # (refs + step intermediates; no insolation table — it is separable)
 XK_PLANES_MIZ = 60
@@ -343,18 +385,24 @@ _XK_VMEM_BUDGET = 28 * 2**20
 _KX_TABLE_BUDGET = 8 * 2**20
 
 
-def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int) -> int:
+def _xk_vmem_bytes(nx: int, block_k: int, itemsize: int, planes: int,
+                   noise_nt: int = 0) -> int:
     """Rough transposed-layout working set: ``planes`` (nxs, block_k) ref
     planes + step intermediates. The plane counts are calibrated at the
     default block_k=128; wider blocks grow some Mosaic stack intermediates
     SUPER-linearly (measured on-chip: MIZ at block_k=512 allocates 35.4 MB
     where the linear model predicts 22.6 — a compile-time scoped-vmem OOM),
-    so a 1.6x safety factor covers expert block_k overrides."""
+    so a 1.6x safety factor covers expert block_k overrides. ``noise_nt``
+    adds the per-step noise table (an (nt_pad, block_k) VMEM ref — the
+    fused :func:`~energybalancemodel_jl_tpu.stochastic.transitions`
+    engine), counted inside the safety-scaled term."""
     scale = 1.6 if block_k > 128 else 1.0
-    return int(planes * _round_up(nx, 8) * block_k * itemsize * scale)
+    cells = (planes * _round_up(nx, 8) + _round_up(noise_nt, 8)) * block_k
+    return int(cells * itemsize * scale)
 
 
-def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int):
+def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int,
+             noise_nt: int = 0):
     """None if the transposed layout can launch, else the reason it can't.
 
     Single source of truth for the auto-resolver and the launch guards —
@@ -365,9 +413,11 @@ def _xk_fits(nx: int, block_k: int, itemsize: int, planes: int):
             f"layout='xk' blocks members onto lanes; block_k must be a "
             f"multiple of 128, got {block_k}"
         )
-    if _xk_vmem_bytes(nx, block_k, itemsize, planes) > _XK_VMEM_BUDGET:
+    if _xk_vmem_bytes(nx, block_k, itemsize, planes, noise_nt) \
+            > _XK_VMEM_BUDGET:
+        what = f"nx={nx}" if not noise_nt else f"nx={nx} (+nt={noise_nt} noise table)"
         return (
-            f"nx={nx} working set exceeds the transposed whole-year "
+            f"{what} working set exceeds the transposed whole-year "
             "kernel's VMEM budget; use layout='kx', an XLA engine "
             "(engine='scan' for single runs, 'batched' for ensembles), or "
             "shard the grid axis with parallel.spatial"
@@ -401,7 +451,7 @@ def _kx_fits(nx: int, K: int, block_k: int, itemsize: int, planes: int):
 
 
 def fused_unfit(model_name: str, st, dtype, par=None, block_k: int = 128,
-                K: int = 1):
+                K: int = 1, noise: bool = False):
     """None if SOME whole-year-kernel layout can launch this configuration,
     else the reason none can — the predicate ``engine='auto'`` resolvers use
     to fall back to the XLA engines instead of letting a default call raise
@@ -410,12 +460,15 @@ def fused_unfit(model_name: str, st, dtype, par=None, block_k: int = 128,
     ``K`` is the member count: the 'kx' working set scales with the member
     block (8 sublanes at K=1 vs 128 at wide ensembles), so a single run
     fits at far higher nx than an ensemble — pass the real K from ensemble
-    resolvers."""
+    resolvers. ``noise=True`` asks for the per-step per-member noise table
+    (fused ``transitions``), which only the 'xk' layout carries (a noise
+    row is a dynamic LANE slice in 'kx', which Mosaic cannot lower)."""
     itemsize = jnp.dtype(dtype).itemsize
     planes = XK_PLANES_MIZ if model_name == "MIZ" else XK_PLANES_CLASSIC
     table_swept = par is not None and _table_swept(par)
-    xk_reason = _xk_fits(st.nx, block_k, itemsize, planes)
-    if table_swept:
+    xk_reason = _xk_fits(st.nx, block_k, itemsize, planes,
+                         noise_nt=st.nt if noise else 0)
+    if table_swept or noise:
         return xk_reason  # only 'xk' can rebuild per-member insolation
     kx_reason = _kx_fits(st.nx, K, block_k, itemsize, planes)
     if xk_reason is None or kx_reason is None:
@@ -440,7 +493,8 @@ def _table_swept(par) -> bool:
 
 
 def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
-                    planes: int, table_swept: bool = False) -> str:
+                    planes: int, table_swept: bool = False,
+                    noise_nt: int = 0) -> str:
     """Pick the faster in-kernel layout when the caller doesn't.
 
     'xk' (grid on sublanes, members on lanes) wins when the ensemble fills
@@ -451,19 +505,24 @@ def _resolve_layout(layout, K: int, nx: int, block_k: int, itemsize: int,
     nx at small K since its working set scales with the member block).
     Swept table parameters force 'xk' (only that layout can rebuild the
     insolation PER MEMBER; 'kx' rebuilds it too, round 3, but shared).
+    A per-step noise table (``noise_nt > 0``) also forces 'xk': the step-t
+    noise row is a dynamic SUBLANE slice there, but would be a dynamic
+    LANE slice in 'kx', which Mosaic cannot lower.
     """
     if layout is not None:
         return layout
-    unfit_reason = _xk_fits(nx, block_k, itemsize, planes)
-    if table_swept:
+    unfit_reason = _xk_fits(nx, block_k, itemsize, planes, noise_nt)
+    if table_swept or noise_nt:
         if unfit_reason is not None:
+            need = ("a per-step noise table" if noise_nt
+                    else "sweeping insolation-table parameters")
             hint = (
                 "leave block_k at its default (128)"
                 if block_k % 128 != 0
                 else "use engine='vmap' for this configuration"
             )
             raise ValueError(
-                "sweeping insolation-table parameters needs the transposed "
+                f"{need} needs the transposed "
                 f"'xk' kernel layout, which cannot launch here "
                 f"({unfit_reason}); {hint}"
             )
@@ -517,7 +576,8 @@ def _check_kx_fits(nx: int, K: int, block_k: int, itemsize: int,
     jax.jit, static_argnames=("st", "cfg", "block_k", "interpret", "layout")
 )
 def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
-                    interpret: bool = False, layout: str = None):
+                    interpret: bool = False, layout: str = None,
+                    noise=None):
     """Run one MIZ model year for a ``(K, nx)`` ensemble in fused blocks.
 
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
@@ -534,6 +594,14 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     2.2x faster at K = 8192). Default ``None`` picks automatically: 'xk'
     for wide ensembles (and whenever table parameters are swept) when it
     fits, 'kx' otherwise.
+
+    ``noise`` is an optional ``(nt, K)`` per-step per-member forcing
+    offset table (the OU weather noise of the fused
+    :func:`~energybalancemodel_jl_tpu.stochastic.transitions` engine) —
+    step ``t`` of member ``k`` sees forcing ``f[t] + par['F'][k] +
+    noise[t, k]``. 'xk' only (a step's noise row is a dynamic LANE slice
+    in 'kx', which Mosaic cannot lower); a zero table reproduces the
+    deterministic year bitwise.
     """
     import dataclasses
 
@@ -548,9 +616,17 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
         jnp.dtype(carry["Ei"].dtype).itemsize, planes=XK_PLANES_MIZ,
         table_swept=_table_swept(par),
+        noise_nt=st.nt if noise is not None else 0,
     )
     if layout == "xk":
-        return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
+        return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret,
+                            noise)
+    if noise is not None:
+        raise ValueError(
+            "layout='kx' cannot carry a per-step per-member noise table "
+            "(a step's noise row is a dynamic lane slice there); use "
+            "layout='xk'"
+        )
     if layout != "kx":
         raise ValueError(f"layout must be 'kx'|'xk', got {layout!r}")
 
@@ -685,7 +761,8 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     return new_carry, seasonal, jnp.min(conv), None
 
 
-def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
+def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
+                 noise=None):
     """Transposed-layout launch path of :func:`pallas_miz_year`
     (``layout='xk'``): grid on sublanes, members on lanes."""
     import dataclasses
@@ -695,7 +772,8 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     itemsize = jnp.dtype(dtype).itemsize
     K, nx = carry["Ei"].shape
     nxs = _round_up(nx, 8)  # grid rows on sublanes (f32 tile height 8)
-    unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_MIZ)
+    unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_MIZ,
+                     noise_nt=st.nt if noise is not None else 0)
     if unfit is not None:
         raise ValueError(unfit)
     Kt = block_k
@@ -745,16 +823,32 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
 
     cin = jnp.stack([pad_kx_t(carry[k]) for k in CARRY_KEYS])  # (6, nxs, Kp)
     f = jnp.asarray(fyear, dtype=dtype)
+    noise_p = _pad_noise_xk(noise, nt, K, Kp, dtype)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     blk6 = pl.BlockSpec((6, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     blk10 = pl.BlockSpec((10, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
-    def launch(cin_s, pars_s):
+    def launch(cin_s, pars_s, noise_s):
         ks = cin_s.shape[2]
+        kernel = _kernel_xk if noise_s is None else _kernel_xk_noisy
+        in_specs = [smem, smem]
+        inputs = [f, cosv]
+        if noise_s is not None:
+            in_specs.append(pl.BlockSpec(
+                (noise_s.shape[0], Kt), lambda i: (0, i),
+                memory_space=pltpu.VMEM))
+            inputs.append(noise_s)
+        in_specs += [
+            blk6,
+            pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N_PAR + 5, Kt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [cin_s, cols, pars_s]
         return pl.pallas_call(
             functools.partial(
-                _kernel_xk, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+                kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
             ),
             grid=(ks // Kt,),
             out_shape=(
@@ -764,14 +858,7 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
                 jax.ShapeDtypeStruct((10, nxs, ks), dtype),
                 jax.ShapeDtypeStruct((1, ks // Kt), dtype),
             ),
-            in_specs=[
-                smem,
-                smem,
-                blk6,
-                pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((N_PAR + 5, Kt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 blk6,
                 blk10,
@@ -784,12 +871,14 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
             interpret=interpret,
-        )(f, cosv, cin_s, cols, pars_s)
+        )(*inputs)
 
     parts = [
         launch(
             lax.slice_in_dim(cin, s, s + n, axis=2),
             lax.slice_in_dim(pars_t, s, s + n, axis=1),
+            None if noise_p is None
+            else lax.slice_in_dim(noise_p, s, s + n, axis=1),
         )
         for s, n in _member_slabs(Kp, Kt)
     ]
@@ -942,10 +1031,12 @@ def _classic_kernel(
     jax.jit, static_argnames=("st", "cfg", "block_k", "interpret", "layout")
 )
 def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
-                        interpret: bool = False, layout: str = None):
+                        interpret: bool = False, layout: str = None,
+                        noise=None):
     """Fused whole-year WE15 integration (classic twin of
-    :func:`pallas_miz_year`, same signature, sweep surface, and ``layout``
-    options: any non-table parameter leaf may be ``(K,)``-swept)."""
+    :func:`pallas_miz_year`, same signature, sweep surface, ``layout``
+    options, and optional ``(nt, K)`` ``noise`` table: any non-table
+    parameter leaf may be ``(K,)``-swept)."""
     import dataclasses
 
     from ..models import classic
@@ -956,9 +1047,17 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
         jnp.dtype(carry["E"].dtype).itemsize, planes=XK_PLANES_CLASSIC,
         table_swept=_table_swept(par),
+        noise_nt=st.nt if noise is not None else 0,
     )
     if layout == "xk":
-        return _classic_year_xk(carry, par, fyear, st, cfg, block_k, interpret)
+        return _classic_year_xk(carry, par, fyear, st, cfg, block_k,
+                                interpret, noise)
+    if noise is not None:
+        raise ValueError(
+            "layout='kx' cannot carry a per-step per-member noise table "
+            "(a step's noise row is a dynamic lane slice there); use "
+            "layout='xk'"
+        )
     if layout != "kx":
         raise ValueError(f"layout must be 'kx'|'xk', got {layout!r}")
 
@@ -1093,10 +1192,14 @@ def _classic_kernel_xk(
     wint_ref,   # VMEM (3, nxs, Kt)
     summ_ref,   # VMEM (3, nxs, Kt)
     avg_ref,    # VMEM (3, nxs, Kt)
-    *, nt: int, w0: int, s0: int, dt: float, cfg,
+    *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
 ):
     """Transposed twin of :func:`_classic_kernel` (grid on sublanes,
-    members on lanes; ``classic.step`` with ``grid_axis=0``)."""
+    members on lanes; ``classic.step`` with ``grid_axis=0``).
+
+    ``noise_ref`` (via :func:`_classic_kernel_xk_noisy`): optional
+    ``(nt_pad, Kt)`` per-step per-member forcing-offset table — see
+    :func:`_kernel_xk`."""
     from ..models import classic
 
     dtype = cin_ref.dtype
@@ -1128,10 +1231,13 @@ def _classic_kernel_xk(
         avg_ref[i] = jnp.zeros((nxs, Kt), dtype)
 
     def body(t, carry):
+        f_t = f_ref[t] + pars_ref[_C_F_OFF:_C_F_OFF + 1, :]
+        if noise_ref is not None:
+            f_t = f_t + noise_ref[pl.ds(t, 1), :]
         xs = Collection(
             S_i=colA - (tab["S1"] * cosv_ref[t]) * colX,
             S_ip1=colA - (tab["S1"] * cosv_ref[t + 1]) * colX,  # wraparound (:61)
-            f=f_ref[t] + pars_ref[_C_F_OFF:_C_F_OFF + 1, :],
+            f=f_t,
         )
         carry, out = classic.step(carry, xs, stat, par, cfg)
         for i, k in enumerate(C_OUT_VARS):
@@ -1156,7 +1262,8 @@ def _classic_kernel_xk(
         avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
 
 
-def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
+def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
+                     interpret: bool, noise=None):
     """Transposed-layout launch path of :func:`pallas_classic_year`
     (``layout='xk'``)."""
     import dataclasses
@@ -1168,7 +1275,8 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
     itemsize = jnp.dtype(dtype).itemsize
     K, nx = carry["E"].shape
     nxs = _round_up(nx, 8)
-    unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_CLASSIC)
+    unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_CLASSIC,
+                     noise_nt=st.nt if noise is not None else 0)
     if unfit is not None:
         raise ValueError(unfit)
     Kt = block_k
@@ -1223,17 +1331,34 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
 
     cin = jnp.stack([pad_kx_t(carry[k]) for k in C_CARRY_KEYS])  # (2, nxs, Kp)
     f = jnp.asarray(fyear, dtype=dtype)
+    noise_p = _pad_noise_xk(noise, nt, K, Kp, dtype)
 
     nv = len(C_OUT_VARS)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     blk2 = pl.BlockSpec((2, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     blk3 = pl.BlockSpec((nv, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
-    def launch(cin_s, pars_s):
+    def launch(cin_s, pars_s, noise_s):
         ks = cin_s.shape[2]
+        kernel = (_classic_kernel_xk if noise_s is None
+                  else _classic_kernel_xk_noisy)
+        in_specs = [smem, smem]
+        inputs = [f, cosv]
+        if noise_s is not None:
+            in_specs.append(pl.BlockSpec(
+                (noise_s.shape[0], Kt), lambda i: (0, i),
+                memory_space=pltpu.VMEM))
+            inputs.append(noise_s)
+        in_specs += [
+            blk2,
+            pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(C_PAR_NAMES) + 6, Kt), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ]
+        inputs += [cin_s, cols, pars_s]
         return pl.pallas_call(
             functools.partial(
-                _classic_kernel_xk, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+                kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
             ),
             grid=(ks // Kt,),
             out_shape=(
@@ -1242,25 +1367,20 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool):
                 jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
                 jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
             ),
-            in_specs=[
-                smem,
-                smem,
-                blk2,
-                pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((len(C_PAR_NAMES) + 6, Kt), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(blk2, blk3, blk3, blk3),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
             interpret=interpret,
-        )(f, cosv, cin_s, cols, pars_s)
+        )(*inputs)
 
     parts = [
         launch(
             lax.slice_in_dim(cin, s, s + n, axis=2),
             lax.slice_in_dim(pars_t, s, s + n, axis=1),
+            None if noise_p is None
+            else lax.slice_in_dim(noise_p, s, s + n, axis=1),
         )
         for s, n in _member_slabs(Kp, Kt)
     ]

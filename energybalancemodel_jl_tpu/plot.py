@@ -724,14 +724,26 @@ def plot_transitions(
     for ref, name, style in ((res.area_a, "attractor a", "--"),
                              (res.area_b, "attractor b", ":")):
         ref = np.asarray(ref, dtype=np.float64)
-        ax.axhline(float(np.mean(ref)), color="black", linewidth=1.0,
-                   linestyle=style, label=name)
+        if getattr(res, "ramped", False):
+            # evolving sigma-zero companion references: one line per year
+            ax.plot(yrs, ref, color="black", linewidth=1.0,
+                    linestyle=style, label=name)
+        else:
+            ax.axhline(float(np.mean(ref)), color="black", linewidth=1.0,
+                       linestyle=style, label=name)
     n_esc = int(np.count_nonzero(esc))
     ax.set_xlabel("year")
     ax.set_ylabel(f"ice area ({res.season})")
+    if np.ndim(res.sigma) > 0:
+        s = np.asarray(res.sigma, dtype=np.float64)
+        sig = f"sigma in [{s.min():g}, {s.max():g}]"
+    else:
+        sig = f"sigma={float(res.sigma):g}"
+    kind = "Rate-induced tipping" if getattr(res, "ramped", False) \
+        else "Noise-induced transitions"
     ax.set_title(title or (
-        f"Noise-induced transitions: {n_esc}/{areas.shape[1]} escaped "
-        f"(sigma={res.sigma:g}, tau={res.tau:g})"))
+        f"{kind}: {n_esc}/{areas.shape[1]} escaped "
+        f"({sig}, tau={res.tau:g})"))
     ax.legend(loc="best", fontsize=8)
     return fig
 

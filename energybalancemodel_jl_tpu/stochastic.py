@@ -7,7 +7,15 @@ are to weather noise. This module adds the classical stochastic-EBM
 question (Benzi/Sutera-style): perturb the radiative forcing with an
 Ornstein–Uhlenbeck "weather noise" process and measure how often, and how
 fast, trajectories cross the basin boundary (the saddle :func:`ebm.edge`/
-:func:`ebm.edge_state` locate deterministically).
+:func:`ebm.edge_state` locate deterministically). With a RAMPED forcing
+(the reference's own 5-segment :class:`~energybalancemodel_jl_tpu.forcing.
+Forcing`, /root/reference/src/infrastructure.jl:208-307) the same driver
+measures rate-induced/noise-advanced tipping: each member-year is
+classified against two SIGMA-ZERO companion trajectories integrated under
+the identical ramp (the evolving on-/off-branch references — the same
+idea as :func:`~energybalancemodel_jl_tpu.fold.fold`'s evolving
+classifier), so ``first_passage`` reads off how many years EARLIER than
+the deterministic run the noise tips each member.
 
 Design: the noise NEVER touches the model step. Each year the driver draws
 the OU path ``eta_1..eta_nt`` (per member) and adds it to that year's
@@ -25,27 +33,38 @@ correlation time ``tau`` (years) and STATIONARY standard deviation
 resolution ``nt`` (refining the grid does not change the climate noise).
 ``tau = 0`` degenerates to iid per-step noise of std ``sigma`` — note its
 integrated effect then vanishes as ``nt`` grows; physical weather noise
-has ``tau`` of days-to-weeks (0.01–0.05 yr).
+has ``tau`` of days-to-weeks (0.01–0.05 yr). ``sigma`` may be a ``(K,)``
+vector — per-member noise amplitudes, the one-program sigma sweep the
+Kramers escape-rate validation uses (``tests/test_stochastic_oracle.py``).
 
 Reproducibility: member ``k``'s draws come from ``fold_in(key(seed), k)``
-folded again with the ABSOLUTE year index, so the realization depends only
-on ``(seed, member, year)`` — splitting the run into dispatch chunks
-(``years_per_dispatch``, the remote-TPU watchdog guard) is bitwise
-invariant, and resuming from ``TransitionResult.state``/``.eta`` with the
-continuation seed reproduces the uninterrupted tail.
+folded again with the ABSOLUTE year index (``year0 + elapsed``), so the
+realization depends only on ``(seed, member, absolute year)`` — splitting
+the run into dispatch chunks (``years_per_dispatch``, the remote-TPU
+watchdog guard) is bitwise invariant, and a run can be split ACROSS calls
+bit-exactly: ``transitions(..., years=N)`` equals ``transitions(...,
+years=M)`` continued by ``transitions(..., years=N-M, year0=M,
+init=r.state, eta0=r.eta)`` with the same seed (``TestYear0Resume``).
 
 TPU mapping: one member's noisy year is the same program as the
-deterministic one; K members run as a lockstep vmapped batch (the MXU/VPU
-sees the identical fused year graph), the OU generation is a trivial
-length-``nt`` scan per year, and ``mesh=`` shards members across chips
-with zero hot-loop collectives (noise keys are per-member, so sharding
-cannot change the draws).
+deterministic one; K members run as a lockstep vmapped batch, the OU
+generation is a trivial length-``nt`` scan per year, and ``mesh=`` shards
+members across chips with zero hot-loop collectives (noise keys are
+per-member, so sharding cannot change the draws). On TPU the default
+``engine='auto'`` resolves to ``'fused'``: the whole noisy year runs in
+ONE Pallas kernel launch per member block — the per-step OU row rides as
+an ``(nt_pad, block_k)`` VMEM table read by dynamic sublane slice
+(``ops/pallas_year.py``), so escape-statistics ensembles run at the fused
+engines' throughput instead of the XLA scan graph's (~6x, BENCH_NOTES
+"Stochastic layer").
 """
 from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Sequence, Union
+import time
+import warnings
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +80,24 @@ from .utils.numerics import hemispheric_mean
 
 __all__ = ["transitions", "TransitionResult"]
 
+# Dispatch chunking (same policy as equilibrate, equilibrium.py:81-88):
+# adaptive mode starts at _CHUNK_START years per dispatch and resizes each
+# chunk toward _CHUNK_TARGET_S wall seconds — comfortably under the
+# remote-TPU execution watchdog (a single >~2 min dispatch kills the TPU
+# worker; ~30 s dispatches are safe). Unlike equilibrate's while_loop the
+# chunk length is a STATIC scan length here, so adaptive sizes are
+# quantized to powers of two (<= _CHUNK_MAX) to bound recompiles at
+# ~log2(_CHUNK_MAX) program variants.
+_CHUNK_START = 4
+_CHUNK_TARGET_S = 15.0
+_CHUNK_MAX = 4096
+
+
+def _quantize_chunk(target: float) -> int:
+    """Largest power of two <= max(target, 1), capped at _CHUNK_MAX."""
+    return 1 << int(np.clip(np.floor(np.log2(max(target, 1.0))),
+                            0, np.log2(_CHUNK_MAX)))
+
 
 @dataclasses.dataclass
 class TransitionResult:
@@ -69,13 +106,27 @@ class TransitionResult:
     ``areas`` is the per-year seasonal ice area of every member, shape
     ``(years, K)``; ``labels`` the per-year classification against the two
     attractor reference areas (0 = nearer ``a``, 1 = nearer ``b``, -1 =
-    non-finite year). ``first_passage`` is each member's first year
-    (1-based) whose label differs from the starting attractor's — NaN
-    where no transition happened within ``years`` (censored) or the member
-    went non-finite first. ``state``/``eta`` are the final carries and OU
-    values — pass them as ``init=``/``eta0=`` (with a fresh ``seed``) to
-    extend a run. ``tracked`` holds the per-year hemispheric means
-    requested via ``track=``, each ``(years, K)``.
+    non-finite year; an exactly equidistant year is labeled as the START
+    attractor, so a tie never counts as a first passage).
+    ``first_passage`` is each member's first year (1-based) whose label
+    differs from the starting attractor's — NaN where no transition
+    happened within ``years`` (censored) or the member went non-finite
+    first. ``state``/``eta`` are the final carries and OU values — pass
+    them as ``init=``/``eta0=`` with ``year0=<years run so far>`` and the
+    SAME seed to continue the run bit-exactly, or with a fresh seed to
+    extend it with new weather. ``tracked`` holds the per-year hemispheric
+    means requested via ``track=``, each ``(years, K)``.
+
+    Constant forcing: ``area_a``/``area_b`` are the static attractor
+    reference areas (``(1,)`` or ``(K,)``). Ramped forcing
+    (``ramped=True``): they are the PER-YEAR areas of the two sigma-zero
+    companion trajectories, shape ``(years,)``, and ``ref_state`` holds
+    the companions' final carries (resume material for ``ref_init=``).
+    ``degenerate=True`` flags that the two reference areas came within
+    ~4x the observed year-to-year area fluctuation somewhere in the run —
+    there the nearest-area labels are noise and the escape statistics
+    should not be trusted (for ramps this always happens after the
+    deterministic run itself tips and the references merge).
     """
 
     areas: np.ndarray
@@ -88,12 +139,17 @@ class TransitionResult:
     area_a: np.ndarray
     area_b: np.ndarray
     start: str
-    sigma: float
+    sigma: Union[float, np.ndarray]
     tau: float
     years: int
     season: str
     seed: int
     newton_ok: bool
+    year0: int = 0
+    engine: str = "scan"
+    ramped: bool = False
+    degenerate: bool = False
+    ref_state: Optional[Tuple[Collection, Collection]] = None
 
     @property
     def escaped(self) -> np.ndarray:
@@ -134,24 +190,20 @@ class TransitionResult:
         n_esc = int(np.count_nonzero(self.escaped & self.finite))
         bad = int(np.count_nonzero(~self.finite))
         extra = f", {bad} non-finite" if bad else ""
+        if np.ndim(self.sigma) > 0:
+            s = np.asarray(self.sigma, dtype=np.float64)
+            sig = f"sigma in [{s.min():g}, {s.max():g}]"
+        else:
+            sig = f"sigma={float(self.sigma):g}"
+        kind = "ramped " if self.ramped else ""
         return (f"TransitionResult({n_esc}/{K} members escaped "
-                f"'{self.start}' in {self.years} years, sigma={self.sigma:g}"
+                f"'{self.start}' in {self.years} {kind}years, {sig}"
                 f", tau={self.tau:g}{extra})")
 
 
-@functools.lru_cache(maxsize=32)
-def _transition_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-                        season: str, track):
-    """Jitted noisy-year chunk: ``k`` OU-forced years advancing a lockstep
-    ensemble, emitting each year's seasonal ice area (and tracked
-    hemispheric means). The linearization-free twin of
-    :func:`lyapunov._lyapunov_loop_fn`: carry/par/forcing/noise state are
-    ARGUMENTS so one compilation serves every chunk; the noise realization
-    is keyed on (member key, ABSOLUTE year), so chunk boundaries cannot
-    change the draws."""
-    year = make_year_fn(model_name, st, cfg, dtype_name, False)
-    dtype = jnp.dtype(dtype_name)
-    nt = st.nt
+def _area_fn(st: SpaceTime, dtype):
+    """Seasonal ice area of a (K, nx)-leaved seasonal Collection — shared
+    by both engine loop fns so fused and scan classify identically."""
     x = jnp.asarray(st.x, dtype=dtype)
 
     def area_of(coll):
@@ -161,9 +213,29 @@ def _transition_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             field = (coll["E"] < 0.0).astype(dtype)
         return 2.0 * jnp.pi * hemispheric_mean(field, x)
 
-    @functools.partial(jax.jit, static_argnums=(6,))
-    def run(carry, eta, keys, par_j, frow_j, year0, k, rho, scale):
-        def one_year(state, yi):
+    return x, area_of
+
+
+@functools.lru_cache(maxsize=32)
+def _transition_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
+                        season: str, track):
+    """Jitted noisy-year chunk (XLA scan engine): ``k`` OU-forced years
+    advancing a lockstep ensemble, emitting each year's seasonal ice area
+    (and tracked hemispheric means). Carry/par/forcing/noise state are
+    ARGUMENTS so one compilation serves every chunk; the noise realization
+    is keyed on (member key, ABSOLUTE year), so chunk boundaries cannot
+    change the draws. ``frows`` is the chunk's ``(k, nt)`` per-year base
+    forcing table (a ramp's rows differ per year; a constant forcing
+    repeats one row) and ``f_off`` the ``(K,)`` per-member offset."""
+    year = make_year_fn(model_name, st, cfg, dtype_name, False)
+    dtype = jnp.dtype(dtype_name)
+    nt = st.nt
+    x, area_of = _area_fn(st, dtype)
+
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale):
+        def one_year(state, inp):
+            yi, frow = inp
             carry, eta = state
             draw = lambda key: jax.random.normal(
                 jax.random.fold_in(key, yi), (nt,), dtype)
@@ -174,7 +246,8 @@ def _transition_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                 return e, e
 
             eta, etas = lax.scan(ou, eta, jnp.swapaxes(xi, 0, 1))
-            fyear = frow_j + etas[..., None]  # (nt, K, 1)
+            fyear = (frow[:, None, None] + f_off[None, :, None]) \
+                + etas[..., None]  # (nt, K, 1)
             carry, seasonal, conv, _ = year(carry, par_j, fyear)
             if conv is None:
                 conv = jnp.ones((), dtype)
@@ -186,7 +259,65 @@ def _transition_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
             return (carry, eta), (area, means, conv)
 
         (carry, eta), (areas, means, convs) = lax.scan(
-            one_year, (carry, eta), year0 + jnp.arange(k, dtype=jnp.int32))
+            one_year, (carry, eta),
+            (year0 + jnp.arange(k, dtype=jnp.int32), frows))
+        return carry, eta, areas, means, jnp.min(convs)
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
+def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
+                              dtype_name: str, season: str, track,
+                              interpret: bool, block_k: int):
+    """Fused-engine twin of :func:`_transition_loop_fn`: each scanned year
+    launches the whole-year Pallas kernel ('xk' layout) with the year's OU
+    path as its ``(nt, K)`` noise table — the per-step noise row is a
+    dynamic sublane slice in VMEM, so the entire noisy year (physics,
+    Newton solves, seasonal storage) runs in one kernel launch per member
+    block at the deterministic fused engines' throughput. Draw keying,
+    OU recursion, forcing grouping ``(frow + F) + eta``, and the area/
+    track reductions are IDENTICAL to the scan engine — same seed, same
+    weather, engine-parity-level same trajectories."""
+    from .ops.pallas_year import pallas_classic_year, pallas_miz_year
+
+    kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
+    dtype = jnp.dtype(dtype_name)
+    nt = st.nt
+    x, area_of = _area_fn(st, dtype)
+
+    @functools.partial(jax.jit, static_argnums=(7,))
+    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale):
+        par_k = Collection(dict(par_j))
+        par_k["F"] = f_off  # (K,) constant per-member offset lane
+
+        def one_year(state, inp):
+            yi, frow = inp
+            carry, eta = state
+            draw = lambda key: jax.random.normal(
+                jax.random.fold_in(key, yi), (nt,), dtype)
+            xi = jax.vmap(draw)(keys)  # (K, nt)
+
+            def ou(e, z):
+                e = rho * e + scale * z
+                return e, e
+
+            eta, etas = lax.scan(ou, eta, jnp.swapaxes(xi, 0, 1))  # (nt, K)
+            carry, seasonal, conv, _ = kern(
+                carry, par_k, frow, st, cfg, block_k=block_k,
+                interpret=interpret, layout="xk", noise=etas)
+            if conv is None:  # classic kernel has no Newton flag
+                conv = jnp.ones((), dtype)
+            coll = getattr(seasonal, season)
+            area = area_of(coll)
+            means = tuple(
+                hemispheric_mean(jnp.nan_to_num(coll[v]), x) for v in track
+            )
+            return (carry, eta), (area, means, conv)
+
+        (carry, eta), (areas, means, convs) = lax.scan(
+            one_year, (carry, eta),
+            (year0 + jnp.arange(k, dtype=jnp.int32), frows))
         return carry, eta, areas, means, jnp.min(convs)
 
     return run
@@ -238,6 +369,35 @@ def _ref_area(obj, model, st, par, forcing, season, dtype):
         seasonal_ice_area(getattr(seasonal, season), st), dtype=np.float64))
 
 
+def _solo_state(obj, name: str) -> Collection:
+    """Extract a SOLO state Collection from an equilibrate result or a
+    bare state (ramp companion references must be single trajectories)."""
+    state = Collection(getattr(obj, "state", obj))
+    batched = [k for k, v in state.items() if np.ndim(v) > 1]
+    if batched:
+        raise ValueError(
+            f"ramped transitions need SOLO attractor references; reference "
+            f"{name!r} has member-batched state leaves {batched} (pass a "
+            f"single-member equilibrate result or one member's state)")
+    return state
+
+
+def _forcing_rows(forcing: Forcing, st: SpaceTime, year0: int,
+                  years: int) -> np.ndarray:
+    """(years, nt) float64 base-forcing table for absolute years
+    ``year0 .. year0+years-1`` — built from the same ``(i + 0.5) * dt``
+    time series as ``Forcing.table`` (infrastructure.jl:130), so row ``y``
+    is bitwise-identical to ``forcing.table(st)[year0 + y]`` wherever the
+    latter exists; a run outlasting the ramp holds the final level (the
+    branch-free where-chain clamps)."""
+    nt = st.nt
+    if forcing.constant:
+        return np.full((years, nt), float(forcing.base), dtype=np.float64)
+    T = (np.arange(year0 * nt, (year0 + years) * nt, dtype=np.float64)
+         + 0.5) * st.dt
+    return np.asarray(forcing(T), dtype=np.float64).reshape(years, nt)
+
+
 def transitions(
     model: str,
     st: SpaceTime,
@@ -245,19 +405,23 @@ def transitions(
     par: Collection,
     a,
     b,
-    sigma: float,
+    sigma,
     tau: float = 0.02,
     years: int = 100,
     K: Optional[int] = None,
     start: str = "a",
     init: Optional[Collection] = None,
     eta0: Optional[np.ndarray] = None,
+    year0: int = 0,
     track: Sequence[str] = (),
     season: str = "avg",
     seed: int = 0,
     dtype=None,
     newton_max_iter: int = 30,
+    engine: str = "auto",
+    block_k: int = 128,
     years_per_dispatch: Optional[int] = None,
+    ref_init: Optional[tuple] = None,
     mesh=None,
     progress: bool = False,
 ) -> TransitionResult:
@@ -265,12 +429,24 @@ def transitions(
 
     Runs ``K`` members from the ``start`` attractor (``"a"`` or ``"b"``;
     ``init=`` overrides the actual starting state) under OU weather noise
-    of stationary std ``sigma`` (W/m^2) and correlation time ``tau``
-    (years) added to the constant forcing, classifying each member-year's
-    seasonal ice area against the two attractors' reference areas.
-    ``a``/``b`` are :func:`~energybalancemodel_jl_tpu.equilibrium.equilibrate`
-    results (or bare state Collections, re-run for one deterministic year
-    to obtain their seasonal stores — solo ``par`` only).
+    of stationary std ``sigma`` (W/m^2, scalar or per-member ``(K,)``)
+    and correlation time ``tau`` (years) added to the forcing,
+    classifying each member-year's seasonal ice area against the two
+    attractors' reference areas. ``a``/``b`` are
+    :func:`~energybalancemodel_jl_tpu.equilibrium.equilibrate` results
+    (or bare state Collections, re-run for one deterministic year to
+    obtain their seasonal stores — solo ``par`` only).
+
+    Constant ``forcing`` poses the autonomous escape problem. A 5-segment
+    ramp :class:`~energybalancemodel_jl_tpu.forcing.Forcing` poses the
+    RATE-INDUCED tipping problem instead: two sigma-zero companion
+    trajectories start from ``a``'s and ``b``'s states under the same
+    ramp and serve as per-year evolving classification references, so
+    ``first_passage`` measures how much EARLIER than the deterministic
+    run the noise tips each member (``examples/rate_induced_tipping.py``).
+    Ramped runs need solo ``par`` (no ``(K,)`` leaves) and solo
+    references; ``ref_init=(state_a, state_b)`` overrides the companions'
+    starting states (resume material from ``TransitionResult.ref_state``).
 
     ``par`` leaves of shape ``(K,)`` (including the virtual ``"F"``
     forcing offset) sweep parameters across members in lockstep — one
@@ -278,38 +454,57 @@ def transitions(
     ``a``/``b`` results, e.g. from an ensemble ``equilibrate``, so every
     member is classified against its own attractor pair). ``track`` names
     seasonal variables whose hemispheric means are recorded per year
-    (cheap: scalars, not fields). ``years_per_dispatch`` bounds one device
-    dispatch (remote-TPU watchdog); chunking is bitwise-invariant because
-    the noise is keyed on the absolute year. ``mesh`` (1-D
-    ``jax.sharding.Mesh``) shards members across chips; the draws are
-    per-member keyed, so sharded == unsharded exactly.
+    (cheap: scalars, not fields).
+
+    ``engine``: ``'scan'`` is the XLA year graph; ``'fused'`` runs each
+    noisy year in one whole-year Pallas kernel launch ('xk' layout, the
+    OU path as an in-VMEM noise table) at the deterministic fused
+    engines' throughput — ``'auto'`` picks it on TPU (f32, no mesh, VMEM
+    fit). Both engines draw the same weather from the same seed; their
+    trajectories agree at engine-parity level (f32 step-level chaos — the
+    areas and escape statistics match, pointwise state may wander,
+    ``TestFusedEngine``).
+
+    ``years_per_dispatch`` bounds one device dispatch; the DEFAULT
+    (``None``) is adaptive: chunks start at {start} years and resize
+    toward ~{target:.0f} s of wall time (power-of-two sizes, so at most
+    ~{log} program variants compile) — a default call at production scale
+    stays under the remote-TPU execution watchdog. Chunking is
+    bitwise-invariant because the noise is keyed on the absolute year.
+    ``year0`` offsets the absolute year (draw keys AND ramp rows) — the
+    bit-exact split/continue contract (module docstring). ``mesh`` (1-D
+    ``jax.sharding.Mesh``) shards members across chips (scan engine);
+    the draws are per-member keyed, so sharded == unsharded exactly.
 
     Escape statistics (:class:`TransitionResult`): ``escape_fraction``,
     ``mean_first_passage`` (escaped members only, censoring-biased), and
     the censoring-aware ``escape_rate`` (escapes per member-year).
     Members that go non-finite are excluded from the statistics and
-    flagged in ``finite``. Runs the XLA year graph (noise rows change
-    every step, which the fused Pallas kernels' separable-insolation
-    layout does not carry); expect deterministic-ensemble throughput.
+    flagged in ``finite``. If the two reference areas ever come within
+    ~4x the observed year-to-year area fluctuation the result is flagged
+    ``degenerate`` (nearest-area labels are then noise) and a warning is
+    issued.
     """
     spec = get_model(model)
     if not isinstance(forcing, Forcing):
         forcing = Forcing(float(forcing))
-    if not forcing.constant:
-        raise ValueError(
-            "transitions needs constant base forcing (an autonomous escape "
-            "problem); sweep levels across members via par['F']")
+    ramped = not forcing.constant
     if start not in ("a", "b"):
         raise ValueError(f"start must be 'a' or 'b', got {start!r}")
-    sigma = float(sigma)
-    tau = float(tau)
-    if sigma < 0.0:
+    sigma_arr = np.asarray(sigma, dtype=np.float64)
+    if sigma_arr.ndim > 1:
+        raise ValueError("sigma must be a scalar or a (K,) vector")
+    if np.any(sigma_arr < 0.0):
         raise ValueError("sigma must be >= 0")
+    tau = float(tau)
     if tau < 0.0:
         raise ValueError("tau must be >= 0")
     years = int(years)
     if years < 1:
         raise ValueError("years must be >= 1")
+    year0 = int(year0)
+    if year0 < 0:
+        raise ValueError("year0 must be >= 0")
     if dtype is None:
         dtype = default_dtype()
     dtype = jnp.dtype(dtype)
@@ -320,25 +515,48 @@ def transitions(
     par = Collection(par)
     par.pop("__K__", None)
     sizes = {np.shape(v)[0] for v in par.values() if np.ndim(v) > 0}
+    if sigma_arr.ndim == 1:
+        sizes |= {sigma_arr.shape[0]}
     if init is not None:
         sizes |= {np.shape(v)[0] for v in Collection(init).values()
                   if np.ndim(v) > 1}
     # member count: explicit K, else inferred from swept par/init leaves
     if sizes and K is not None and int(K) not in sizes:
         raise ValueError(
-            f"K={K} conflicts with per-member par/init leaves of size "
-            f"{sorted(sizes)}")
+            f"K={K} conflicts with per-member par/init/sigma leaves of "
+            f"size {sorted(sizes)}")
     if len(sizes) > 1:
         raise ValueError(f"inconsistent ensemble sizes {sorted(sizes)}")
     K = int(K) if K is not None else (sizes.pop() if sizes else 1)
 
-    area_a = _ref_area(a, model, st, par, forcing, season, dtype)
-    area_b = _ref_area(b, model, st, par, forcing, season, dtype)
-    for name, arr in (("a", area_a), ("b", area_b)):
-        if arr.size not in (1, K):
+    if ramped:
+        swept = sorted(k for k, v in par.items() if np.ndim(v) > 0)
+        if swept:
             raise ValueError(
-                f"attractor {name}'s reference area is {arr.size}-member "
-                f"but the run has K={K}")
+                f"ramped transitions cannot sweep par leaves {swept} "
+                f"across members (the sigma-zero companion references "
+                f"would need one deterministic run per member); sweep "
+                f"with separate calls, or per-member sigma")
+        if ref_init is not None:
+            if len(ref_init) != 2:
+                raise ValueError("ref_init must be (state_a, state_b)")
+            state_a = _solo_state(ref_init[0], "ref_init[0]")
+            state_b = _solo_state(ref_init[1], "ref_init[1]")
+        else:
+            state_a = _solo_state(a, "a")
+            state_b = _solo_state(b, "b")
+        area_a = area_b = None
+    else:
+        if ref_init is not None:
+            raise ValueError("ref_init= is for ramped forcing only (the "
+                             "sigma-zero companion trajectories)")
+        area_a = _ref_area(a, model, st, par, forcing, season, dtype)
+        area_b = _ref_area(b, model, st, par, forcing, season, dtype)
+        for name, arr in (("a", area_a), ("b", area_b)):
+            if arr.size not in (1, K):
+                raise ValueError(
+                    f"attractor {name}'s reference area is {arr.size}-member "
+                    f"but the run has K={K}")
 
     if init is None:
         src = a if start == "a" else b
@@ -352,62 +570,145 @@ def transitions(
             f"than K={K}")
 
     track = tuple(track)
+    bad_track = [v for v in track if v not in spec.solution_vars]
+    if bad_track:
+        raise ValueError(
+            f"track names {bad_track} not in the {spec.name} seasonal "
+            f"store {tuple(spec.solution_vars)}")
     cfg = default_step_config(dtype.name, newton_max_iter=newton_max_iter)
 
     F_off = par.pop("F", None)
+    ramp_shift = 0.0
     if F_off is not None and np.ndim(F_off) == 0:
-        forcing = Forcing(float(forcing.base) + float(np.asarray(F_off)))
+        # scalar offset: fold into the base forcing exactly as integrate's
+        # virtual-F path does (float64 host arithmetic); under a ramp the
+        # fold lands on the tabulated rows instead
+        if forcing.constant:
+            forcing = Forcing(float(forcing.base) + float(np.asarray(F_off)))
+        else:
+            ramp_shift = float(np.asarray(F_off))
         F_off = None
+
+    # ramped runs append two sigma-zero companion members (the evolving
+    # classification references) to the lockstep batch
+    K_run = K + 2 if ramped else K
 
     carry = spec.init_carry(init, st, dtype)
     carry = Collection({
         k: (v if jnp.ndim(v) > 1 else jnp.broadcast_to(v, (K,) + v.shape))
         for k, v in carry.items()
     })
-    par_j = Collection({
-        k: (jnp.asarray(v, dtype)[:, None] if np.ndim(v) == 1
-            else jnp.asarray(v, dtype))
-        for k, v in par.items()
-    })
-    # (nt, 1, 1) unless a per-member F offset forces the K axis — the noise
-    # rows carry the member axis, so broadcasting fills it for free
-    frow = np.asarray(forcing.table(st)[0], dtype=np.float64)[:, None, None]
-    if F_off is not None:
-        frow = frow + np.asarray(F_off, dtype=np.float64)[None, :, None]
-    frow_j = jnp.asarray(frow, dtype=dtype)
+    if ramped:
+        carry_a = spec.init_carry(state_a, st, dtype)
+        carry_b = spec.init_carry(state_b, st, dtype)
+        carry = Collection({
+            k: jnp.concatenate(
+                [carry[k], carry_a[k][None], carry_b[k][None]], axis=0)
+            for k in carry
+        })
 
-    bad_track = [v for v in track if v not in spec.solution_vars]
-    if bad_track:
-        raise ValueError(
-            f"track names {bad_track} not in the {spec.name} seasonal "
-            f"store {tuple(spec.solution_vars)}")
+    # engine resolution (same policy family as integrate/equilibrate):
+    # the fused noisy kernel needs a model with a whole-year kernel, f32
+    # (no practical Mosaic f64 path), the 'xk' VMEM fit WITH the noise
+    # table, and no mesh (members stay on one chip's kernel; shard with
+    # the scan engine). On CPU interpret mode is slow — stay on XLA.
+    from .ops.pallas_year import default_interpret, fused_unfit
+
+    if engine == "auto":
+        use_fused = (
+            jax.default_backend() == "tpu"
+            and spec.name in ("MIZ", "Classic")
+            and dtype != jnp.float64
+            and mesh is None
+            and fused_unfit(spec.name, st, dtype, par, block_k,
+                            noise=True) is None
+        )
+        engine = "fused" if use_fused else "scan"
+    elif engine == "fused":
+        if spec.name not in ("MIZ", "Classic"):
+            raise ValueError(
+                f"engine='fused' has no whole-year kernel for model "
+                f"{spec.name!r}; use engine='scan'")
+        if mesh is not None:
+            raise ValueError(
+                "engine='fused' does not take a mesh; use engine='scan' "
+                "to shard members across chips")
+        if dtype == jnp.float64 and jax.default_backend() == "tpu":
+            raise ValueError(
+                "engine='fused' has no float64 path on TPU; use "
+                "engine='scan'")
+        unfit = fused_unfit(spec.name, st, dtype, par, block_k, noise=True)
+        if unfit:
+            raise ValueError(unfit)
+    elif engine != "scan":
+        raise ValueError(f"engine must be auto|scan|fused, got {engine!r}")
+
+    if engine == "fused":
+        # kernel form: scalar or (K_run,) leaves, no broadcast axis
+        par_run = Collection({
+            k: jnp.asarray(v, dtype) for k, v in par.items()})
+    else:
+        par_run = Collection({
+            k: (jnp.asarray(v, dtype)[:, None] if np.ndim(v) == 1
+                else jnp.asarray(v, dtype))
+            for k, v in par.items()
+        })
+    if F_off is not None and np.ndim(F_off) == 1:
+        f_off = jnp.asarray(np.asarray(F_off, dtype=np.float64), dtype)
+    else:
+        f_off = jnp.zeros((K,), dtype)
+    if ramped:
+        f_off = jnp.concatenate([f_off, jnp.zeros((2,), dtype)])
+
+    frows_all = _forcing_rows(forcing, st, year0, years)
+    if ramp_shift:
+        frows_all = frows_all + ramp_shift
 
     base_key = jax.random.PRNGKey(int(seed))
     keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
-        jnp.arange(K, dtype=jnp.uint32))
+        jnp.arange(K_run, dtype=jnp.uint32))
 
     if eta0 is None:
-        eta = jnp.zeros((K,), dtype)
+        eta = jnp.zeros((K_run,), dtype)
     else:
         eta0 = np.asarray(eta0, dtype=np.float64)
         if eta0.shape not in ((), (K,)):
             raise ValueError(f"eta0 must be scalar or ({K},), got "
                              f"{eta0.shape}")
-        eta = jnp.broadcast_to(jnp.asarray(eta0, dtype), (K,))
+        eta0 = np.broadcast_to(eta0, (K,))
+        if ramped:
+            eta0 = np.concatenate([eta0, np.zeros(2)])
+        eta = jnp.asarray(eta0, dtype)
 
     dt = 1.0 / st.nt
     if tau > 0.0:
         rho = float(np.exp(-dt / tau))
-        scale = sigma * float(np.sqrt(max(0.0, 1.0 - rho * rho)))
+        s_fac = float(np.sqrt(max(0.0, 1.0 - rho * rho)))
     else:
-        rho, scale = 0.0, sigma
+        rho, s_fac = 0.0, 1.0
+    scale_np = np.broadcast_to(sigma_arr * s_fac, (K,)).astype(np.float64)
+    if ramped:
+        scale_np = np.concatenate([scale_np, np.zeros(2)])
+    if sigma_arr.ndim == 0:
+        # solo sigma stays a scalar operand (the round-3 trace) unless the
+        # ramp companions need the per-member zero lanes
+        scale = jnp.asarray(float(scale_np[0]), dtype) if not ramped \
+            else jnp.asarray(scale_np, dtype)
+    else:
+        scale = jnp.asarray(scale_np, dtype)
 
-    run = _transition_loop_fn(spec.name, st, cfg, dtype.name, season, track)
+    if engine == "fused":
+        run = _transition_fused_loop_fn(
+            spec.name, st, cfg, dtype.name, season, track,
+            default_interpret(), int(block_k))
+    else:
+        run = _transition_loop_fn(spec.name, st, cfg, dtype.name, season,
+                                  track)
 
     if mesh is not None:
-        if K % mesh.size != 0:
+        if K_run % mesh.size != 0:
             raise ValueError(
-                f"ensemble size {K} is not divisible by the mesh size "
+                f"ensemble size {K_run} is not divisible by the mesh size "
                 f"{mesh.size}")
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as _P
@@ -423,60 +724,132 @@ def transitions(
         # an extent==K test would collide when K matches nt/nx, CLAUDE.md)
         carry = jax.tree_util.tree_map(
             lambda v: _put(v, 0) if np.ndim(v) >= 2 else v, carry)
-        par_j = jax.tree_util.tree_map(
-            lambda v: _put(v, 0) if np.ndim(v) >= 2 else v, par_j)
-        if frow_j.shape[1] == K:  # only the F-offset layout has a K axis
-            frow_j = _put(frow_j, 1)
+        par_run = jax.tree_util.tree_map(
+            lambda v: _put(v, 0) if np.ndim(v) >= 2 else v, par_run)
+        f_off = _put(f_off, 0)
         eta = _put(eta, 0)
         keys = _put(keys, 0)
+        if np.ndim(scale) == 1:
+            scale = _put(scale, 0)
 
     prog = None
     if progress:
         from .utils.progress import Progress
 
-        prog = Progress(years, title=f"Transitions (sigma={sigma:g})",
+        sig_txt = (f"{float(np.min(sigma_arr)):g}..{float(np.max(sigma_arr)):g}"
+                   if sigma_arr.ndim else f"{float(sigma_arr):g}")
+        prog = Progress(years, title=f"Transitions (sigma={sig_txt})",
                         infofeed=lambda msg: msg)
 
-    chunk = years if years_per_dispatch is None \
-        else max(1, int(years_per_dispatch))
+    adaptive = years_per_dispatch is None
+    chunk = _CHUNK_START if adaptive else max(1, int(years_per_dispatch))
     areas_h, means_h, done = [], [], 0
     ok = 1.0
     while done < years:
         k = min(chunk, years - done)
+        frows_j = jnp.asarray(frows_all[done:done + k], dtype)
+        t0 = time.perf_counter()
         carry, eta, areas, means, conv = run(
-            carry, eta, keys, par_j, frow_j,
-            jnp.asarray(done, jnp.int32), k, rho, scale)
+            carry, eta, keys, par_run, f_off, frows_j,
+            jnp.asarray(year0 + done, jnp.int32), k, rho, scale)
         areas_h.append(areas)
         means_h.append(means)
-        ok = min(ok, float(conv))
+        ok = min(ok, float(conv))  # device fetch — syncs, so wall = real
+        wall = time.perf_counter() - t0
         done += k
+        if adaptive:
+            # first chunk's wall includes compile; it only makes the next
+            # chunk conservative, and the one after measures pure run rate
+            chunk = _quantize_chunk(_CHUNK_TARGET_S * k / max(wall, 1e-6))
         if prog is not None:
             prog.update(done, feedargs=(f"{done}/{years} years",))
 
     carry, eta, areas = jax.device_get(
         (carry, eta, jnp.concatenate(areas_h, axis=0)))
-    areas = np.asarray(areas, dtype=np.float64)  # (years, K)
+    areas = np.asarray(areas, dtype=np.float64)  # (years, K_run)
     tracked = Collection({
         v: np.concatenate(
             [np.asarray(m[i], dtype=np.float64) for m in means_h], axis=0)
         for i, v in enumerate(track)
     })
 
+    ref_state = None
+    if ramped:
+        area_a = areas[:, K]      # (years,) evolving on-'a' reference
+        area_b = areas[:, K + 1]  # (years,) evolving on-'b' reference
+        ref_state = (
+            Collection({k: np.asarray(v[K]) for k, v in carry.items()}),
+            Collection({k: np.asarray(v[K + 1]) for k, v in carry.items()}),
+        )
+        areas = areas[:, :K]
+        tracked = Collection({k: v[:, :K] for k, v in tracked.items()})
+
     finite_y = np.isfinite(areas)
-    d_a = np.abs(areas - area_a[None, :]) if area_a.size == K \
-        else np.abs(areas - area_a.reshape(1, 1))
-    d_b = np.abs(areas - area_b[None, :]) if area_b.size == K \
-        else np.abs(areas - area_b.reshape(1, 1))
-    labels = np.where(finite_y, (d_b < d_a).astype(np.int8),
-                      np.int8(-1)).astype(np.int8)
+    if ramped:
+        d_a = np.abs(areas - area_a[:, None])
+        d_b = np.abs(areas - area_b[:, None])
+    else:
+        d_a = np.abs(areas - area_a[None, :]) if area_a.size == K \
+            else np.abs(areas - area_a.reshape(1, 1))
+        d_b = np.abs(areas - area_b[None, :]) if area_b.size == K \
+            else np.abs(areas - area_b.reshape(1, 1))
+    # nearest-area labels, ties broken toward the START attractor so an
+    # exactly equidistant year (plausible with cell-quantized classic
+    # areas) never counts as a first passage (advisor r3)
+    if start == "a":
+        other = d_b < d_a
+        labels = np.where(finite_y, other.astype(np.int8), np.int8(-1))
+    else:
+        other = d_a < d_b
+        labels = np.where(finite_y, np.where(other, 0, 1).astype(np.int8),
+                          np.int8(-1))
+    labels = labels.astype(np.int8)
 
     fp, finite = _first_passage(labels, 0 if start == "a" else 1)
 
+    # classification degeneracy guard: when the two reference areas sit
+    # within a few times the observed year-to-year area fluctuation,
+    # nearest-area labels are coin flips (advisor-flagged MIZ
+    # no-hysteresis regime; ramps after the deterministic tip)
+    degenerate = False
+    if years >= 3:
+        gap = np.abs(np.asarray(area_a, dtype=np.float64)
+                     - np.asarray(area_b, dtype=np.float64))
+        with np.errstate(invalid="ignore"):
+            fluct = np.abs(np.diff(areas, axis=0))
+            fluct = float(np.nanmedian(fluct)) if np.isfinite(fluct).any() \
+                else 0.0
+        # <=, not <: identical references (gap 0) are degenerate even
+        # when the quantized areas never fluctuate (fluct 0)
+        if float(np.nanmin(gap)) <= 4.0 * fluct:
+            degenerate = True
+            warnings.warn(
+                f"transitions: attractor reference areas come within "
+                f"{float(np.nanmin(gap)):.3g} of each other while member "
+                f"areas fluctuate ~{fluct:.3g} per year — nearest-area "
+                f"labels are degenerate there and the escape statistics "
+                f"should not be trusted (result.degenerate=True)")
+
+    state = Collection({k: np.asarray(v) for k, v in carry.items()})
+    eta_np = np.asarray(eta, dtype=np.float64)
+    if ramped:
+        state = Collection({k: v[:K] for k, v in state.items()})
+        eta_np = eta_np[:K]
+
     return TransitionResult(
         areas=areas, labels=labels, first_passage=fp, finite=finite,
-        state=Collection({k: np.asarray(v) for k, v in carry.items()}),
-        eta=np.asarray(eta, dtype=np.float64), tracked=tracked,
-        area_a=area_a, area_b=area_b, start=start, sigma=sigma, tau=tau,
-        years=years, season=season, seed=int(seed),
-        newton_ok=bool(ok >= 0.5),
+        state=state, eta=eta_np, tracked=tracked,
+        area_a=np.asarray(area_a, dtype=np.float64),
+        area_b=np.asarray(area_b, dtype=np.float64),
+        start=start,
+        sigma=(float(sigma_arr) if sigma_arr.ndim == 0
+               else np.asarray(sigma_arr)),
+        tau=tau, years=years, season=season, seed=int(seed),
+        newton_ok=bool(ok >= 0.5), year0=year0, engine=engine,
+        ramped=ramped, degenerate=degenerate, ref_state=ref_state,
     )
+
+
+transitions.__doc__ = transitions.__doc__.format(
+    start=_CHUNK_START, target=_CHUNK_TARGET_S,
+    log=int(np.log2(_CHUNK_MAX)) + 1)

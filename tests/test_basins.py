@@ -652,3 +652,22 @@ class TestUnstableBranch:
         with pytest.raises(ValueError, match="polish_max_nfev"):
             ebm.unstable_branch("Classic", ST, [10.0], par, SADDLE,
                                 polish_max_nfev=0)
+
+
+def test_polish_scale_guard():
+    """The dense Gauss-Newton polish must refuse production-scale grids
+    with a clear message instead of silently attempting an hours-long
+    multi-GB dense Jacobian (advisor r3)."""
+    from energybalancemodel_jl_tpu.basins import _polish_fixed_point
+
+    st = ebm.SpaceTime.sin(128, 500, 1)  # nt*nx*dim = 4.9e7 > the 3e7 cap
+    par = ebm.Collection(ebm.default_parameters("MIZ"))
+    state = ebm.zeros_init(st)
+    with pytest.raises(ValueError, match="practical envelope"):
+        _polish_fixed_point("MIZ", st, ebm.Forcing(0.0), par, state,
+                            None, 200)
+    # the pure residual evaluation (max_nfev=0) is one forward year and
+    # stays allowed at any size
+    _, resid, nfev = _polish_fixed_point("MIZ", st, ebm.Forcing(0.0), par,
+                                         state, None, 0)
+    assert nfev == 0 and np.isfinite(resid)

@@ -1097,8 +1097,8 @@ class TestFusedFitPredicate:
         from energybalancemodel_jl_tpu.ops import pallas_year as py
 
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(py, "_xk_fits", lambda *a: "forced unfit")
-        monkeypatch.setattr(py, "_kx_fits", lambda *a: "forced unfit")
+        monkeypatch.setattr(py, "_xk_fits", lambda *a, **k: "forced unfit")
+        monkeypatch.setattr(py, "_kx_fits", lambda *a, **k: "forced unfit")
         st = ebm.SpaceTime.sin(16, 30, 1)
         sols = ebm.integrate(
             "MIZ", st, ebm.Forcing(0.0), ebm.default_parameters("MIZ"),

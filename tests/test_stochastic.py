@@ -202,8 +202,15 @@ class TestValidationAndIO:
     def test_validation_errors(self, bistable):
         st, par, F, a, b = bistable
         ramp = ebm.Forcing(0.0, 5.0, -5.0, (1, 1), (1.0, -1.0))
-        with pytest.raises(ValueError, match="constant"):
-            transitions("Classic", st, ramp, par, a, b, sigma=1.0)
+        # ramps are supported (round 4) but cannot sweep par across members
+        par_ramp = ebm.Collection(par)
+        par_ramp["D"] = np.array([0.5, 0.6])
+        with pytest.raises(ValueError, match="ramped"):
+            transitions("Classic", st, ramp, par_ramp, a, b, sigma=1.0)
+        # ... and ref_init is ramp-only
+        with pytest.raises(ValueError, match="ref_init"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0,
+                        ref_init=(a.state, b.state))
         with pytest.raises(ValueError, match="start"):
             transitions("Classic", st, F, par, a, b, sigma=1.0, start="c")
         with pytest.raises(ValueError, match="season"):
@@ -272,3 +279,289 @@ class TestValidationAndIO:
         import matplotlib.pyplot as plt
 
         plt.close(fig)
+
+
+class TestYear0Resume:
+    def test_split_run_is_bitwise(self, bistable):
+        """The round-4 continuation contract: years=4 equals 2 + 2 with
+        year0=2, the SAME seed, and the first half's state/eta — draws are
+        keyed on the absolute year, so the tail reproduces bit-exactly."""
+        st, par, F, a, b = bistable
+        kw = dict(sigma=6.0, tau=0.05, K=3, seed=9, track=("E",))
+        full = transitions("Classic", st, F, par, a, b, years=4, **kw)
+        head = transitions("Classic", st, F, par, a, b, years=2, **kw)
+        tail = transitions("Classic", st, F, par, a, b, years=2, year0=2,
+                           init=head.state, eta0=head.eta, **kw)
+        np.testing.assert_array_equal(
+            np.concatenate([head.areas, tail.areas]), full.areas)
+        np.testing.assert_array_equal(
+            np.concatenate([head.tracked["E"], tail.tracked["E"]]),
+            full.tracked["E"])
+        np.testing.assert_array_equal(tail.eta, full.eta)
+        for k in full.state:
+            np.testing.assert_array_equal(tail.state[k], full.state[k])
+
+
+class TestPerMemberSigma:
+    def test_sigma_vector_zero_member_is_deterministic(self, bistable):
+        """sigma=(K,) sweeps noise amplitudes across lockstep members; a
+        zero entry reproduces the deterministic trajectory exactly."""
+        st, par, F, a, b = bistable
+        res = transitions("Classic", st, F, par, a, b,
+                          sigma=np.array([0.0, 6.0, 12.0]), tau=0.05,
+                          years=3, seed=2, track=("E",))
+        assert res.areas.shape == (3, 3)
+        det = transitions("Classic", st, F, par, a, b, sigma=0.0,
+                          years=3, K=1, seed=2, track=("E",))
+        np.testing.assert_array_equal(res.tracked["E"][:, 0],
+                                      det.tracked["E"][:, 0])
+        # noisy members actually differ from the deterministic one
+        assert not np.array_equal(res.tracked["E"][:, 1],
+                                  res.tracked["E"][:, 0])
+        assert isinstance(res.sigma, np.ndarray)
+        assert "sigma in [0, 12]" in repr(res)
+
+    def test_round_trip_vector_sigma(self, bistable, tmp_path):
+        st, par, F, a, b = bistable
+        res = transitions("Classic", st, F, par, a, b,
+                          sigma=np.array([1.0, 2.0]), years=2, seed=0)
+        path = str(tmp_path / "vs.h5")
+        ebm.save(res, path)
+        back = ebm.load(path)
+        np.testing.assert_array_equal(back.sigma, res.sigma)
+        np.testing.assert_array_equal(back.areas, res.areas)
+
+
+class TestDegeneracyGuard:
+    def test_coincident_references_flag(self, bistable):
+        """Passing the SAME attractor twice makes the reference gap zero —
+        every label is a coin flip and the result must say so."""
+        st, par, F, a, b = bistable
+        with pytest.warns(UserWarning, match="degenerate"):
+            res = transitions("Classic", st, F, par, a, a, sigma=8.0,
+                              tau=0.05, years=4, K=3, seed=1)
+        assert res.degenerate
+
+    def test_distinct_references_do_not_flag(self, bistable):
+        st, par, F, a, b = bistable
+        res = transitions("Classic", st, F, par, a, b, sigma=6.0,
+                          tau=0.05, years=4, K=3, seed=1)
+        assert not res.degenerate
+
+
+class TestTieBreak:
+    def test_equidistant_year_labels_start(self):
+        """An exactly equidistant area must be labeled as the START
+        attractor for either start — a tie is never a first passage
+        (advisor r3)."""
+        from energybalancemodel_jl_tpu.stochastic import _first_passage
+
+        # reproduce the label computation on synthetic areas
+        areas = np.array([[2.0]])  # exactly between refs at 1 and 3
+        d_a = np.abs(areas - 1.0)
+        d_b = np.abs(areas - 3.0)
+        lab_a = (d_b < d_a).astype(np.int8)          # start='a' branch
+        lab_b = np.where(d_a < d_b, 0, 1).astype(np.int8)  # start='b'
+        assert lab_a[0, 0] == 0  # tie -> a
+        assert lab_b[0, 0] == 1  # tie -> b
+        fp_a, _ = _first_passage(lab_a, 0)
+        fp_b, _ = _first_passage(lab_b, 1)
+        assert np.isnan(fp_a[0]) and np.isnan(fp_b[0])
+
+
+class TestRamp:
+    def _ramp(self):
+        # hold 10 (1 yr), warm to 11 (1 yr), hold 1 yr, cool at -1/yr to
+        # -5 (16 yr): the warm branch dies below F ~ 5 (CLAUDE.md), so the
+        # deterministic run tips mid-ramp
+        return ebm.Forcing(10.0, 11.0, -5.0, (1, 1), (1.0, -1.0))
+
+    def test_sigma_zero_members_ride_the_reference(self, bistable):
+        st, par, F, a, b = bistable
+        ramp = self._ramp()
+        with np.errstate(invalid="ignore"):
+            res = transitions("Classic", st, ramp, par, a, b, sigma=0.0,
+                              years=8, K=2, seed=0)
+        assert res.ramped
+        assert res.area_a.shape == (8,)
+        assert res.ref_state is not None
+        # zero-noise members ARE the on-'a' companion (same program,
+        # zero noise) — bitwise
+        for k in range(2):
+            np.testing.assert_array_equal(res.areas[:, k], res.area_a)
+        assert not np.any(res.escaped)
+
+    def test_noise_advances_tipping(self, bistable):
+        """The rate-induced-tipping headline: under the down-ramp the
+        deterministic run tips when the warm branch dies; noisy members
+        tip EARLIER. The post-tip reference merge must trip the
+        degeneracy flag."""
+        st, par, F, a, b = bistable
+        ramp = self._ramp()
+        years = 25
+        with pytest.warns(UserWarning, match="degenerate"):
+            res = transitions("Classic", st, ramp, par, a, b, sigma=10.0,
+                              tau=0.05, years=years, K=8, seed=3)
+        # deterministic tipping year: the on-'a' companion lands on the
+        # snowball area (largest jump of the reference trajectory)
+        det_tip = int(np.argmax(np.abs(np.diff(res.area_a)))) + 1
+        assert det_tip > 2  # the ramp takes a while to kill the branch
+        assert np.any(res.escaped)
+        fp = res.first_passage[res.escaped]
+        assert np.min(fp) <= det_tip
+        assert res.degenerate  # references merge after the det tip
+
+    def test_ramp_chunking_bitwise_invariant(self, bistable):
+        st, par, F, a, b = bistable
+        ramp = self._ramp()
+        kw = dict(sigma=8.0, tau=0.05, years=6, K=3, seed=1)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            r1 = transitions("Classic", st, ramp, par, a, b, **kw)
+            r2 = transitions("Classic", st, ramp, par, a, b,
+                             years_per_dispatch=2, **kw)
+        np.testing.assert_array_equal(r1.areas, r2.areas)
+        np.testing.assert_array_equal(r1.area_a, r2.area_a)
+        np.testing.assert_array_equal(r1.area_b, r2.area_b)
+
+    def test_ramp_ref_resume(self, bistable):
+        """Ramp split/continue: ref_init + year0 reproduce the
+        uninterrupted companions bit-exactly."""
+        st, par, F, a, b = bistable
+        ramp = self._ramp()
+        kw = dict(sigma=8.0, tau=0.05, K=2, seed=4)
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            full = transitions("Classic", st, ramp, par, a, b, years=6, **kw)
+            head = transitions("Classic", st, ramp, par, a, b, years=3, **kw)
+            tail = transitions("Classic", st, ramp, par, a, b, years=3,
+                               year0=3, init=head.state, eta0=head.eta,
+                               ref_init=head.ref_state, **kw)
+        np.testing.assert_array_equal(
+            np.concatenate([head.areas, tail.areas]), full.areas)
+        np.testing.assert_array_equal(
+            np.concatenate([head.area_a, tail.area_a]), full.area_a)
+        for k in full.ref_state[0]:
+            np.testing.assert_array_equal(tail.ref_state[0][k],
+                                          full.ref_state[0][k])
+
+    def test_ramp_round_trip(self, bistable, tmp_path):
+        st, par, F, a, b = bistable
+        ramp = self._ramp()
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            res = transitions("Classic", st, ramp, par, a, b, sigma=8.0,
+                              years=4, K=2, seed=0)
+        path = str(tmp_path / "ramp.h5")
+        ebm.save(res, path)
+        back = ebm.load(path)
+        assert back.ramped
+        np.testing.assert_array_equal(back.area_a, res.area_a)
+        for k in res.ref_state[0]:
+            np.testing.assert_array_equal(back.ref_state[0][k],
+                                          res.ref_state[0][k])
+        np.testing.assert_array_equal(back.areas, res.areas)
+
+
+class TestFusedEngine:
+    def test_fused_matches_scan_miz(self):
+        """engine='fused' (interpret off-TPU) draws the SAME weather as
+        the scan engine and produces the same areas at cross-graph
+        tolerance (f64: the 'xk' separable insolation rebuild is ~1 ulp
+        off the XLA table on CPU)."""
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        warm = ebm.equilibrate("MIZ", st, 25.0, par, ebm.zeros_init(st),
+                               max_years=4, tol=0.0)
+        cold = ebm.equilibrate("MIZ", st, -15.0, par, ebm.zeros_init(st),
+                               max_years=4, tol=0.0)
+        kw = dict(sigma=1.0, tau=0.05, years=2, K=3, seed=6, track=("T",))
+        rs = transitions("MIZ", st, 5.0, par, warm.state, cold.state,
+                         engine="scan", **kw)
+        rf = transitions("MIZ", st, 5.0, par, warm.state, cold.state,
+                         engine="fused", **kw)
+        assert rf.engine == "fused" and rs.engine == "scan"
+        np.testing.assert_allclose(rf.areas, rs.areas, atol=5e-3)
+        np.testing.assert_allclose(rf.tracked["T"], rs.tracked["T"],
+                                   atol=1e-4)
+        np.testing.assert_array_equal(rf.labels, rs.labels)
+
+    def test_fused_sigma_zero_matches_deterministic_kernel(self):
+        """sigma=0 through the fused engine equals the deterministic fused
+        year bitwise (the noise table is exactly zero)."""
+        import jax.numpy as jnp
+
+        from energybalancemodel_jl_tpu.models.base import (
+            default_step_config, get_model)
+        from energybalancemodel_jl_tpu.ops.pallas_year import pallas_miz_year
+        from energybalancemodel_jl_tpu.utils.collection import Collection
+
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        warm = ebm.equilibrate("MIZ", st, 25.0, par, ebm.zeros_init(st),
+                               max_years=3, tol=0.0)
+        cold = ebm.equilibrate("MIZ", st, -15.0, par, ebm.zeros_init(st),
+                               max_years=3, tol=0.0)
+        res = transitions("MIZ", st, 5.0, par, warm.state, cold.state,
+                          sigma=0.0, engine="fused", years=1, K=2, seed=0)
+        spec = get_model("MIZ")
+        import numpy as _np
+
+        dtype = jnp.dtype("float64")
+        cfg = default_step_config(dtype.name, newton_max_iter=30)
+        carry = spec.init_carry(warm.state, st, dtype)
+        carry = Collection({k: jnp.broadcast_to(v, (2,) + v.shape)
+                            for k, v in carry.items()})
+        parj = Collection({k: jnp.asarray(v, dtype) for k, v in par.items()})
+        parj["F"] = jnp.zeros((2,), dtype)
+        fyear = jnp.full((st.nt,), 5.0, dtype)
+        det = pallas_miz_year(carry, parj, fyear, st, cfg, interpret=True,
+                              layout="xk")
+        for k in det[0]:
+            _np.testing.assert_array_equal(res.state[k],
+                                           _np.asarray(det[0][k]))
+
+    def test_fused_chunking_bitwise_invariant(self):
+        st = ebm.SpaceTime.sin(40, 200, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        warm = ebm.equilibrate("MIZ", st, 25.0, par, ebm.zeros_init(st),
+                               max_years=3, tol=0.0)
+        cold = ebm.equilibrate("MIZ", st, -15.0, par, ebm.zeros_init(st),
+                               max_years=3, tol=0.0)
+        kw = dict(sigma=1.5, tau=0.05, K=2, seed=2, engine="fused")
+        r1 = transitions("MIZ", st, 5.0, par, warm.state, cold.state,
+                         years=4, **kw)
+        r2 = transitions("MIZ", st, 5.0, par, warm.state, cold.state,
+                         years=4, years_per_dispatch=2, **kw)
+        np.testing.assert_array_equal(r1.areas, r2.areas)
+        np.testing.assert_array_equal(r1.eta, r2.eta)
+        for k in r1.state:
+            np.testing.assert_array_equal(r1.state[k], r2.state[k])
+
+    def test_fused_classic_parity(self, bistable):
+        st, par, F, a, b = bistable
+        kw = dict(sigma=6.0, tau=0.05, years=3, K=2, seed=5, track=("E",))
+        rs = transitions("Classic", st, F, par, a, b, engine="scan", **kw)
+        rf = transitions("Classic", st, F, par, a, b, engine="fused", **kw)
+        np.testing.assert_allclose(rf.tracked["E"], rs.tracked["E"],
+                                   atol=1e-6)
+        np.testing.assert_array_equal(rf.labels, rs.labels)
+
+    def test_fused_validation(self, bistable):
+        import jax
+        from jax.sharding import Mesh
+
+        st, par, F, a, b = bistable
+        mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("members",))
+        with pytest.raises(ValueError, match="mesh"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, K=2,
+                        years=1, engine="fused", mesh=mesh)
+        with pytest.raises(ValueError, match="engine"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, years=1,
+                        engine="warp")
