@@ -21,6 +21,23 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+_SLOW_FILE = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def _slow_nodeids():
+    """The measured slow tier (data-driven, not hand-curated): nodeids
+    whose wall time pushed the full suite past the 10-minute push tier.
+    Regenerate with scripts/update_slow_marks.py from a
+    ``pytest --durations=0`` log after the suite's shape changes; tests
+    not in the file (e.g. newly added ones) default to the fast tier."""
+    try:
+        with open(_SLOW_FILE) as f:
+            return {ln.strip() for ln in f
+                    if ln.strip() and not ln.startswith("#")}
+    except FileNotFoundError:
+        return set()
+
+
 def pytest_collection_modifyitems(config, items):
     # XLA:CPU segfaults when compiling a large while_loop/shard_map graph
     # late in the run (after ~150 prior in-process compilations; the same
@@ -28,6 +45,10 @@ def pytest_collection_modifyitems(config, items):
     # bug). The tests are order-independent — compile the biggest graphs
     # first. Stable sort keeps the rest of the order unchanged.
     items.sort(key=lambda it: 0 if "test_spatial" in it.nodeid else 1)
+    slow = _slow_nodeids()
+    for it in items:
+        if it.nodeid in slow:
+            it.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture(scope="module", autouse=True)
