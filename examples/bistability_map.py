@@ -12,9 +12,12 @@ integrations read off by eye (plot_seasonal workflows,
 The classic model carries the textbook ice-albedo ("snowball") bistability:
 descending from a warm state, the planet stays warm far below the forcing
 at which an ice-covered planet would thaw, and once fully frozen the return
-leg cannot escape within the window. (The MIZ model's ice thermodynamics
-damps this at default parameters — measured leg gaps stay below 0.1 over
-F in [-6, 8] for D in [0.05, 0.7].)
+leg cannot escape within the window. (The MIZ model shares it once the
+forcing path reaches the snowball at all: the round-2 claim that MIZ has
+no window came from a box that stopped at F=-6, above the freeze-over.
+The round-4 hunt — scripts/miz_saddle_hunt.py, pinned in
+tests/test_miz_bistability.py — measures D=0.6 bistable over F in
+[-16, +8] and beyond at nx=40 f64, with D <= 0.2 genuinely monostable.)
 
 Run: python examples/bistability_map.py
 """

@@ -58,15 +58,20 @@ def hysteresis_scan(st, D_vals, F_path, tol, max_years, dtype):
 
 
 def saddle_at(st, D, F, tol, max_years, dtype, fast):
-    """Produce the saddle between the two coexisting attractors at (D, F)."""
+    """Produce the saddle between the two coexisting attractors at (D, F).
+
+    ``st`` here is the DIAGNOSTIC grid (default nx=24): the dense TRF
+    polish costs one reverse year per state coordinate (the basins.py
+    scale guard), and the saddle's existence/spectrum is grid-robust —
+    the scan grid pins the window, this pins the object."""
     par = ebm.Collection(ebm.default_parameters("MIZ"))
     par["D"] = float(D)
 
     # the two attractors: warm-branch state continued down from high F,
     # cold-branch state continued up from deep freeze (warm starts keep
     # each solve inside its own basin)
-    warm_path = np.array([8.0, float(F)])
-    cold_path = np.array([-24.0, float(F)])
+    warm_path = np.array([max(8.0, float(F) + 12.0), float(F)])
+    cold_path = np.array([min(-24.0, float(F) - 12.0), float(F)])
     kw = dict(tol=tol, max_years=max_years, dtype=dtype)
     warm = ebm.continuation("MIZ", st, warm_path, par, ebm.zeros_init(st),
                             **kw)
@@ -75,9 +80,10 @@ def saddle_at(st, D, F, tol, max_years, dtype, fast):
     a = warm.results[-1].state
     b = cold.results[-1].state
 
+    wa = float(np.asarray(warm.ice_area()).reshape(len(warm_path), -1)[-1, 0])
+    ca = float(np.asarray(cold.ice_area()).reshape(len(cold_path), -1)[-1, 0])
     print(f"  attractors at D={D:g}, F={F:g}: "
-          f"warm area {float(np.asarray(warm.ice_area())[-1, 0]):.3f}, "
-          f"cold area {float(np.asarray(cold.ice_area())[-1, 0]):.3f}")
+          f"warm area {wa:.3f}, cold area {ca:.3f}")
 
     saddle = ebm.edge_state("MIZ", st, par, a, b, forcing=float(F),
                             stages=3 if fast else 6,
@@ -112,11 +118,16 @@ def main():
     tol = 0.5
     max_years = 150 if fast else 400
 
-    # stage A: D from the single-column limit up through the default
+    # stage A: D from the single-column limit up through the default.
+    # First full run (nx=40, f64, F in [+8, -24]) measured: D >= 0.3
+    # bistable over huge windows reaching past F=+8 (default D=0.6:
+    # [-16, +8]); D <= 0.2 monostable everywhere in the box. This pass
+    # resolves the onset (0.2 < D* <= 0.3) and closes the window's upper
+    # edge (the snowball thaw fold) by extending the path to F=+28.
     D_vals = (np.array([0.0, 0.05, 0.3, 0.6]) if fast else
-              np.array([0.0, 0.01, 0.02, 0.05, 0.1, 0.2, 0.3, 0.45, 0.6]))
+              np.array([0.0, 0.05, 0.1, 0.15, 0.2, 0.25, 0.3, 0.45, 0.6]))
     F_path = (np.linspace(8.0, -24.0, 9) if fast else
-              np.linspace(8.0, -24.0, 17))
+              np.linspace(28.0, -24.0, 27))
     print(f"stage A: hysteresis scan nx={nx} nt={nt} dtype={dtype} "
           f"K={len(D_vals)} levels={2 * len(F_path)} "
           f"backend={jax.default_backend()}", flush=True)
@@ -147,18 +158,23 @@ def main():
         "wall_s": time.time() - t0,
     }
 
-    # stage B: saddle at the deepest window (widest D window, centre F)
+    # stage B: saddle at the reference's own default D when it carries a
+    # window (the headline result), else at the widest window
     if window:
-        D_star = max(window, key=lambda d: window[d][1] - window[d][0])
+        D_star = (0.6 if any(abs(d - 0.6) < 1e-9 for d in window) else
+                  max(window, key=lambda d: window[d][1] - window[d][0]))
         lo, hi = window[D_star]
         F_star = 0.5 * (lo + hi)
-        print(f"\nstage B: saddle at D={D_star:g}, F={F_star:g}", flush=True)
+        nx_b = 16 if fast else 24
+        st_b = ebm.SpaceTime.sin(nx_b, nt, 1)
+        print(f"\nstage B: saddle at D={D_star:g}, F={F_star:g} "
+              f"(diagnostic nx={nx_b})", flush=True)
         try:
-            par, saddle = saddle_at(st, D_star, F_star, tol, max_years,
+            par, saddle = saddle_at(st_b, D_star, F_star, tol, max_years,
                                     dtype, fast)
             lam = np.abs(np.asarray(saddle.stability.eigenvalues))
             artifact["saddle"] = {
-                "D": float(D_star), "F": float(F_star),
+                "D": float(D_star), "F": float(F_star), "nx": nx_b,
                 "resid": float(saddle.resid),
                 "abs_eigenvalues": np.sort(lam)[::-1][:6].tolist(),
                 "is_saddle": bool(np.max(lam) > 1.0),
