@@ -14,10 +14,12 @@ This script tests exactly that frontier:
            with D as a (K,) par leaf over an extended forcing path
            (F: +8 .. -24), leg-vs-leg ice-area gap per (D, F) cell;
   stage B  (only where stage A finds a window) saddle production —
-           `edge_state` between the two coexisting attractors at the
-           deepest-window (D, F), `stability(side="right")` saddleness
-           check (leading |lambda| > 1), and an `unstable_branch` trace
-           across the window.
+           `edge_state` between the two coexisting attractors — the
+           boundary CROSSING + its transverse escape growth. (Round-4
+           measurement: the MIZ snowball boundary is razor-thin, no
+           year-map fixed point is numerically reachable there —
+           `unstable_branch` is classic-only in practice; see
+           examples/miz_hysteresis.py and tests/test_miz_bistability.py.)
 
 Run on TPU (fused engines pick up automatically):
     PYTHONPATH=/root/repo:$PYTHONPATH python scripts/miz_saddle_hunt.py
@@ -85,13 +87,19 @@ def saddle_at(st, D, F, tol, max_years, dtype, fast):
     print(f"  attractors at D={D:g}, F={F:g}: "
           f"warm area {wa:.3f}, cold area {ca:.3f}")
 
+    # The MIZ snowball boundary is RAZOR-thin (measured round 4, see
+    # examples/miz_hysteresis.py): no year-map fixed point is numerically
+    # reachable — the polish floors at ||year(x)-x|| ~ 1e2 enthalpy units
+    # and measured escape growths reach ~1e11/yr through the thin-ice
+    # channel. The honest deliverable is the boundary CROSSING (area
+    # strictly between the attractors) + its transverse escape growth.
     saddle = ebm.edge_state("MIZ", st, par, a, b, forcing=float(F),
-                            stages=3 if fast else 6,
-                            tol=5.0, dtype=dtype)
-    lam = np.abs(np.asarray(saddle.stability.eigenvalues))
-    print(f"  edge_state resid {float(saddle.resid):.3g}, "
-          f"|lambda| leading {np.sort(lam)[::-1][:3]}")
-    return par, saddle
+                            stages=3, tol=np.inf, dtype=dtype)
+    g = float(np.max(np.atleast_1d(np.abs(
+        np.asarray(saddle.stability.growth)))))
+    print(f"  boundary crossing area {saddle.area:.3f}, stationarity "
+          f"floor {float(saddle.resid):.3g}, escape growth {g:.3g}/yr")
+    return par, saddle, (wa, ca), g
 
 
 def main():
@@ -165,19 +173,26 @@ def main():
                   max(window, key=lambda d: window[d][1] - window[d][0]))
         lo, hi = window[D_star]
         F_star = 0.5 * (lo + hi)
-        nx_b = 16 if fast else 24
+        # nx=16: the grid where the boundary bisection stays interior
+        # (nx=12 and nx=24 midpoints slide onto the snowball — measured)
+        nx_b = 16
         st_b = ebm.SpaceTime.sin(nx_b, nt, 1)
         print(f"\nstage B: saddle at D={D_star:g}, F={F_star:g} "
               f"(diagnostic nx={nx_b})", flush=True)
         try:
-            par, saddle = saddle_at(st_b, D_star, F_star, tol, max_years,
-                                    dtype, fast)
-            lam = np.abs(np.asarray(saddle.stability.eigenvalues))
+            par, saddle, (wa, ca), g = saddle_at(
+                st_b, D_star, F_star, tol, max_years, dtype, fast)
+            lo, hi = min(wa, ca), max(wa, ca)
             artifact["saddle"] = {
                 "D": float(D_star), "F": float(F_star), "nx": nx_b,
-                "resid": float(saddle.resid),
-                "abs_eigenvalues": np.sort(lam)[::-1][:6].tolist(),
-                "is_saddle": bool(np.max(lam) > 1.0),
+                "kind": "boundary crossing (razor-thin: no reachable "
+                        "year-map fixed point, see miz_hysteresis.py)",
+                "area": float(saddle.area),
+                "attractor_areas": [lo, hi],
+                "stationarity_floor": float(saddle.resid),
+                "escape_growth_per_yr": g,
+                "is_unstable_boundary_object": bool(
+                    g > 1.0 and lo + 0.1 < saddle.area < hi - 0.1),
             }
         except Exception as e:  # keep the scan artifact either way
             print(f"  stage B failed: {e!r}")

@@ -96,11 +96,20 @@ class TestSnowballWindow:
 
 
 class TestSnowballSaddle:
-    def test_edge_state_is_a_saddle(self):
+    def test_edge_state_is_an_unstable_boundary_object(self):
         """The edge state between the coexisting attractors at (D=0.6,
-        F=0) is a genuine saddle: its ice area lies strictly between the
-        attractors' and the year-map spectrum at the state (side='right')
-        carries at least one |lambda| > 1 escape mode."""
+        F=0) is a genuine UNSTABLE boundary object: its ice area lies
+        strictly between the attractors' and the year-map spectrum at the
+        state (side='right') carries at least one |lambda| > 1 escape
+        mode. It is NOT a year-map fixed point — measured at this config
+        the polish floors at ||year(x)-x|| ~ 1e2 enthalpy units (vs the
+        classic boundary saddle's ~0.7) and boundary states escape within
+        ~1-2 years: the MIZ snowball boundary is razor-thin through the
+        thin-ice channel (per-step gain dTb/dEi ~ (Ti-Tw)/(Lf h)), so the
+        middle branch is characterized by the boundary crossing
+        (examples/miz_hysteresis.py), not by `unstable_branch`
+        continuation (which is classic-only in practice — its polish
+        lands on attractors here)."""
         st = _st()
         par = _par(0.6)
         warm, cold = _attractors(st, par, 0.0)
