@@ -54,9 +54,10 @@ per-member, so sharding cannot change the draws). On TPU the default
 ``engine='auto'`` resolves to ``'fused'``: the whole noisy year runs in
 ONE Pallas kernel launch per member block — the per-step OU row rides as
 an ``(nt_pad, block_k)`` VMEM table read by dynamic sublane slice
-(``ops/pallas_year.py``), so escape-statistics ensembles run at the fused
-engines' throughput instead of the XLA scan graph's (~6x, BENCH_NOTES
-"Stochastic layer").
+(``ops/pallas_year.py``), so escape-statistics ensembles run at
+fused-kernel throughput instead of the XLA scan graph's (measured
+on-chip: 5.0e8 vs 9.3e7 model-yr/day at K=8192 = 5.4x; BENCH_NOTES
+"Stochastic + Lyapunov layers").
 """
 from __future__ import annotations
 
