@@ -116,6 +116,12 @@ N_PAR = len(PAR_NAMES) + 2
 TABLE_PARAMS = frozenset({"S0", "S1", "S2", "a0", "a2"})
 # extra per-member parameter rows of the 'xk' kernels, after PAR_NAMES
 XK_TABLE_ROWS = ("S0", "S1", "S2", "a0", "a2")
+# in-kernel-OU parameter rows (MIZ 'xk' ou mode): appended after the table
+# rows — OU decay rho (broadcast scalar), per-member noise scale, and the
+# year-start eta
+_XK_OU_RHO = N_PAR + len(XK_TABLE_ROWS)
+_XK_OU_SCALE = _XK_OU_RHO + 1
+_XK_OU_ETA0 = _XK_OU_RHO + 2
 
 # Largest padded member count per pallas_call. The whole-year kernel's
 # scoped-VMEM demand (~16.2 MB) exceeds XLA's conservative 16 MB
@@ -277,6 +283,7 @@ def _kernel_xk(
     avg_ref,    # VMEM (10, nxs, Kt) annual mean
     conv_ref,   # SMEM (1, n_blocks) convergence flags (see _kernel)
     *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
+    ou: bool = False, eta_ref=None,
 ):
     """Transposed twin of :func:`_kernel` — same physics (``miz.step`` with
     ``grid_axis=0``), same storage semantics, different data layout.
@@ -289,7 +296,18 @@ def _kernel_xk(
     access family the pre-round-3 'kx' insolation table used. With the
     table absent the traced graph is unchanged, and a zero table adds
     ``+ 0.0`` to the forcing scalar only (bitwise no-op for every finite
-    non-negative-zero forcing)."""
+    non-negative-zero forcing).
+
+    ``ou=True`` (via :func:`_kernel_xk_ou`) reinterprets the table as
+    WHITE noise ``xi`` and runs the OU recurrence ``eta' = rho eta +
+    scale xi_t`` IN-KERNEL (per-member rows ``_XK_OU_RHO``/``_XK_OU_SCALE``
+    /``_XK_OU_ETA0`` of ``pars_ref``; the year-end ``eta`` row is written
+    to ``eta_ref``). Feeding the kernel white noise instead of the
+    XLA-precomputed OU path removes a measured ~200 ms/yr per-year
+    scan-emission penalty at nt=2000/K=8192 (BENCH_NOTES round-4
+    "Noise-operand anatomy") — the recurrence itself is two VPU ops per
+    step. ``scale = 0`` with ``eta0 = 0`` keeps ``eta`` exactly 0.0, so
+    the sigma=0 run stays bitwise-identical to the deterministic year."""
     from ..models import miz
 
     dtype = cin_ref.dtype
@@ -318,15 +336,32 @@ def _kernel_xk(
     carry0 = Collection({k: cin_ref[j] for j, k in enumerate(CARRY_KEYS)})
     for i in range(len(OUT_VARS)):
         avg_ref[i] = jnp.zeros((nxs, Kt), dtype)
+    if ou:
+        ou_rho = pars_ref[_XK_OU_RHO:_XK_OU_RHO + 1, :]
+        ou_scale = pars_ref[_XK_OU_SCALE:_XK_OU_SCALE + 1, :]
+        # carried as a FULL (8, Kt) sublane tile (all rows identical —
+        # a (1, Kt) fori carry is sub-tile-height); measured round 4:
+        # tile height does NOT change the recurrence's ~200 ms/yr cost,
+        # see BENCH_NOTES "Noise-operand anatomy"
+        eta_init = jnp.broadcast_to(
+            pars_ref[_XK_OU_ETA0:_XK_OU_ETA0 + 1, :], (8, Kt))
 
     def body(t, state):
-        carry, conv = state
+        # the eta slot exists only in ou mode, keeping the deterministic
+        # and plain-noisy traced graphs exactly as before round 4
+        if ou:
+            carry, conv, eta = state
+        else:
+            carry, conv = state
         c = cosv_ref[t]
         # same products, same evaluation order as the statics table build
         # ((S0 - (S1 x) cos) - S2 x^2) — bitwise-identical columns
         insol = (tab["S0"] * mask - (tab["S1"] * colX) * c) - tab["S2"] * colX2
         f_t = f_ref[t] + pars_ref[_F_OFF:_F_OFF + 1, :]
-        if noise_ref is not None:
+        if ou:
+            eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
+            f_t = f_t + eta[0:1, :]
+        elif noise_ref is not None:
             f_t = f_t + noise_ref[pl.ds(t, 1), :]
         xs = Collection(insol=insol, f=f_t)
         carry, out = miz.step(carry, xs, stat, par, cfg)
@@ -345,16 +380,23 @@ def _kernel_xk(
             for i, k in enumerate(OUT_VARS):
                 summ_ref[i] = out[k]
 
-        return carry, conv
+        return (carry, conv, eta) if ou else (carry, conv)
 
-    carry, conv = jax.lax.fori_loop(
-        0, nt, body, (carry0, jnp.ones((), dtype))
-    )
+    if ou:
+        carry, conv, eta = jax.lax.fori_loop(
+            0, nt, body, (carry0, jnp.ones((), dtype), eta_init)
+        )
+    else:
+        carry, conv = jax.lax.fori_loop(
+            0, nt, body, (carry0, jnp.ones((), dtype))
+        )
     for j, k in enumerate(CARRY_KEYS):
         cout_ref[j] = carry[k]
     for i in range(len(OUT_VARS)):
         avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
     conv_ref[0, pl.program_id(0)] = conv
+    if ou:
+        eta_ref[...] = eta[0:1, :]
 
 
 def _kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref, pars_ref,
@@ -366,11 +408,32 @@ def _kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref, pars_ref,
                noise_ref=noise_ref, **kw)
 
 
+def _kernel_xk_ou(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref, pars_ref,
+                  cout_ref, wint_ref, summ_ref, avg_ref, conv_ref, eta_ref,
+                  **kw):
+    """In-kernel-OU launch adapter: the table is WHITE noise, the OU
+    recurrence runs inside the time loop (rows ``_XK_OU_RHO``/``_SCALE``/
+    ``_ETA0`` of ``pars_ref``), and the year-end eta row is the extra
+    ``eta_ref`` output."""
+    _kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+               cout_ref, wint_ref, summ_ref, avg_ref, conv_ref,
+               noise_ref=noise_ref, ou=True, eta_ref=eta_ref, **kw)
+
+
 def _classic_kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref,
                              pars_ref, *out_refs, **kw):
     """Classic twin of :func:`_kernel_xk_noisy`."""
     _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
                        *out_refs, noise_ref=noise_ref, **kw)
+
+
+def _classic_kernel_xk_ou(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref,
+                          pars_ref, cout_ref, wint_ref, summ_ref, avg_ref,
+                          eta_ref, **kw):
+    """Classic twin of :func:`_kernel_xk_ou`."""
+    _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+                       cout_ref, wint_ref, summ_ref, avg_ref,
+                       noise_ref=noise_ref, ou=True, eta_ref=eta_ref, **kw)
 
 
 # plane counts of the transposed layout's VMEM working-set estimate
@@ -577,7 +640,7 @@ def _check_kx_fits(nx: int, K: int, block_k: int, itemsize: int,
 )
 def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
                     interpret: bool = False, layout: str = None,
-                    noise=None):
+                    noise=None, noise_ou=None):
     """Run one MIZ model year for a ``(K, nx)`` ensemble in fused blocks.
 
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
@@ -602,6 +665,17 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     noise[t, k]``. 'xk' only (a step's noise row is a dynamic LANE slice
     in 'kx', which Mosaic cannot lower); a zero table reproduces the
     deterministic year bitwise.
+
+    ``noise_ou=(rho, scale, eta0)`` (requires ``noise``) reinterprets the
+    table as WHITE noise and runs the OU recurrence in-kernel — member
+    ``k``'s step ``t`` forcing offset is ``eta[t, k]`` with ``eta[t] =
+    rho eta[t-1] + scale noise[t]``, seeded from ``eta0`` (``(K,)``);
+    ``scale`` may be per-member. The 4th return value is then the
+    year-end ``eta`` row (``(K,)``) instead of ``None``. This keeps the
+    expensive per-year operand at white noise (a fused producer) instead
+    of an XLA-scan-produced OU path — measured ~200 ms/yr cheaper at
+    nt=2000/K=8192 (BENCH_NOTES round-4 "Noise-operand anatomy").
+    ``scale = 0`` + ``eta0 = 0`` is bitwise the deterministic year.
     """
     import dataclasses
 
@@ -618,9 +692,11 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         table_swept=_table_swept(par),
         noise_nt=st.nt if noise is not None else 0,
     )
+    if noise_ou is not None and noise is None:
+        raise ValueError("noise_ou requires the white-noise table (noise=)")
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret,
-                            noise)
+                            noise, noise_ou)
     if noise is not None:
         raise ValueError(
             "layout='kx' cannot carry a per-step per-member noise table "
@@ -762,7 +838,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
 
 
 def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
-                 noise=None):
+                 noise=None, noise_ou=None):
     """Transposed-layout launch path of :func:`pallas_miz_year`
     (``layout='xk'``): grid on sublanes, members on lanes."""
     import dataclasses
@@ -789,11 +865,17 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
 
     geom = diffusion_bands(st)
     stat_min = Collection(Tm_pow_m2=par["Tm"] ** par["m2"])
-    pars = jnp.concatenate(
-        [_miz_par_stack(par, stat_min, K, dtype),
-         jnp.stack([_member_column(par[n], K) for n in XK_TABLE_ROWS], axis=1)],
-        axis=1,
-    )  # (K, N_PAR + 5)
+    pars_parts = [
+        _miz_par_stack(par, stat_min, K, dtype),
+        jnp.stack([_member_column(par[n], K) for n in XK_TABLE_ROWS], axis=1),
+    ]
+    if noise_ou is not None:
+        rho_ou, scale_ou, eta0_ou = (jnp.asarray(v, dtype) for v in noise_ou)
+        pars_parts.append(jnp.stack(
+            [_member_column(rho_ou, K), _member_column(scale_ou, K),
+             _member_column(eta0_ou, K)], axis=1))
+    pars = jnp.concatenate(pars_parts, axis=1)  # (K, N_PAR + 5 [+ 3])
+    n_rows = pars.shape[1]
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
 
     x = jnp.asarray(st.x, dtype=dtype)
@@ -831,7 +913,12 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
 
     def launch(cin_s, pars_s, noise_s):
         ks = cin_s.shape[2]
-        kernel = _kernel_xk if noise_s is None else _kernel_xk_noisy
+        if noise_s is None:
+            kernel = _kernel_xk
+        elif noise_ou is not None:
+            kernel = _kernel_xk_ou
+        else:
+            kernel = _kernel_xk_noisy
         in_specs = [smem, smem]
         inputs = [f, cosv]
         if noise_s is not None:
@@ -842,31 +929,37 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
         in_specs += [
             blk6,
             pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N_PAR + 5, Kt), lambda i: (0, i),
+            pl.BlockSpec((n_rows, Kt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
         inputs += [cin_s, cols, pars_s]
+        out_shape = [
+            jax.ShapeDtypeStruct((6, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((10, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((10, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((10, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((1, ks // Kt), dtype),
+        ]
+        out_specs = [
+            blk6,
+            blk10,
+            blk10,
+            blk10,
+            pl.BlockSpec((1, ks // Kt), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        if noise_ou is not None:
+            out_shape.append(jax.ShapeDtypeStruct((1, ks), dtype))
+            out_specs.append(pl.BlockSpec((1, Kt), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(
                 kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
             ),
             grid=(ks // Kt,),
-            out_shape=(
-                jax.ShapeDtypeStruct((6, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((10, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((10, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((10, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((1, ks // Kt), dtype),
-            ),
+            out_shape=tuple(out_shape),
             in_specs=in_specs,
-            out_specs=(
-                blk6,
-                blk10,
-                blk10,
-                blk10,
-                pl.BlockSpec((1, ks // Kt), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ),
+            out_specs=tuple(out_specs),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
@@ -882,10 +975,19 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
         )
         for s, n in _member_slabs(Kp, Kt)
     ]
+    eta_end = None
     if len(parts) == 1:
-        cout, wint, summ, avg, conv = parts[0]
+        if noise_ou is not None:
+            cout, wint, summ, avg, conv, eta_end = parts[0]
+        else:
+            cout, wint, summ, avg, conv = parts[0]
     else:
-        couts, wints, summs, avgs, convs = zip(*parts)
+        cols_out = zip(*parts)
+        if noise_ou is not None:
+            couts, wints, summs, avgs, convs, etas_out = cols_out
+            eta_end = jnp.concatenate(etas_out, axis=-1)
+        else:
+            couts, wints, summs, avgs, convs = cols_out
         cout, wint, summ, avg = (
             jnp.concatenate(vs, axis=-1) for vs in (couts, wints, summs, avgs)
         )
@@ -902,7 +1004,9 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
         summer=Collection({k: unpack(summ, i) for i, k in enumerate(OUT_VARS)}),
         avg=Collection({k: unpack(avg, i) for i, k in enumerate(OUT_VARS)}),
     )
-    return new_carry, seasonal, jnp.min(conv), None
+    if eta_end is not None:
+        eta_end = eta_end[0, :K]
+    return new_carry, seasonal, jnp.min(conv), eta_end
 
 
 # ---------------------------------------------------------------------------
@@ -921,6 +1025,10 @@ C_PAR_NAMES = (
 )
 _C_F_OFF = len(C_PAR_NAMES)  # per-member constant forcing offset lane
 _C_XK_TAB = len(C_PAR_NAMES) + 1  # first XK_TABLE_ROWS row ('xk' layout only)
+# in-kernel-OU rows (classic 'xk' ou mode; see _XK_OU_RHO)
+_C_OU_RHO = _C_XK_TAB + len(XK_TABLE_ROWS)
+_C_OU_SCALE = _C_OU_RHO + 1
+_C_OU_ETA0 = _C_OU_RHO + 2
 
 
 def _classic_par_stack(par, stat, st, K, dtype):
@@ -1032,11 +1140,12 @@ def _classic_kernel(
 )
 def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
                         interpret: bool = False, layout: str = None,
-                        noise=None):
+                        noise=None, noise_ou=None):
     """Fused whole-year WE15 integration (classic twin of
     :func:`pallas_miz_year`, same signature, sweep surface, ``layout``
-    options, and optional ``(nt, K)`` ``noise`` table: any non-table
-    parameter leaf may be ``(K,)``-swept)."""
+    options, optional ``(nt, K)`` ``noise`` table, and in-kernel-OU
+    ``noise_ou=(rho, scale, eta0)`` mode: any non-table parameter leaf
+    may be ``(K,)``-swept)."""
     import dataclasses
 
     from ..models import classic
@@ -1049,9 +1158,11 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         table_swept=_table_swept(par),
         noise_nt=st.nt if noise is not None else 0,
     )
+    if noise_ou is not None and noise is None:
+        raise ValueError("noise_ou requires the white-noise table (noise=)")
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k,
-                                interpret, noise)
+                                interpret, noise, noise_ou)
     if noise is not None:
         raise ValueError(
             "layout='kx' cannot carry a per-step per-member noise table "
@@ -1193,12 +1304,16 @@ def _classic_kernel_xk(
     summ_ref,   # VMEM (3, nxs, Kt)
     avg_ref,    # VMEM (3, nxs, Kt)
     *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
+    ou: bool = False, eta_ref=None,
 ):
     """Transposed twin of :func:`_classic_kernel` (grid on sublanes,
     members on lanes; ``classic.step`` with ``grid_axis=0``).
 
     ``noise_ref`` (via :func:`_classic_kernel_xk_noisy`): optional
-    ``(nt_pad, Kt)`` per-step per-member forcing-offset table — see
+    ``(nt_pad, Kt)`` per-step per-member forcing-offset table; with
+    ``ou=True`` (via :func:`_classic_kernel_xk_ou`) it is WHITE noise and
+    the OU recurrence runs in-kernel (rows ``_C_OU_RHO``/``_SCALE``/
+    ``_ETA0``, year-end eta written to ``eta_ref``) — see
     :func:`_kernel_xk`."""
     from ..models import classic
 
@@ -1229,10 +1344,21 @@ def _classic_kernel_xk(
     carry0 = Collection({k: cin_ref[j] for j, k in enumerate(C_CARRY_KEYS)})
     for i in range(len(C_OUT_VARS)):
         avg_ref[i] = jnp.zeros((nxs, Kt), dtype)
+    if ou:
+        ou_rho = pars_ref[_C_OU_RHO:_C_OU_RHO + 1, :]
+        ou_scale = pars_ref[_C_OU_SCALE:_C_OU_SCALE + 1, :]
+        carry0 = (carry0, pars_ref[_C_OU_ETA0:_C_OU_ETA0 + 1, :])
 
-    def body(t, carry):
+    def body(t, state):
+        if ou:
+            carry, eta = state
+        else:
+            carry = state
         f_t = f_ref[t] + pars_ref[_C_F_OFF:_C_F_OFF + 1, :]
-        if noise_ref is not None:
+        if ou:
+            eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
+            f_t = f_t + eta
+        elif noise_ref is not None:
             f_t = f_t + noise_ref[pl.ds(t, 1), :]
         xs = Collection(
             S_i=colA - (tab["S1"] * cosv_ref[t]) * colX,
@@ -1253,9 +1379,12 @@ def _classic_kernel_xk(
             for i, k in enumerate(C_OUT_VARS):
                 summ_ref[i] = out[k]
 
-        return carry
+        return (carry, eta) if ou else carry
 
     carry = _time_loop(nt, body, carry0)
+    if ou:
+        carry, eta = carry
+        eta_ref[...] = eta
     for j, k in enumerate(C_CARRY_KEYS):
         cout_ref[j] = carry[k]
     for i in range(len(C_OUT_VARS)):
@@ -1263,7 +1392,7 @@ def _classic_kernel_xk(
 
 
 def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
-                     interpret: bool, noise=None):
+                     interpret: bool, noise=None, noise_ou=None):
     """Transposed-layout launch path of :func:`pallas_classic_year`
     (``layout='xk'``)."""
     import dataclasses
@@ -1296,11 +1425,17 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
     )
     stat_min["dc"] = stat_min["dt_tau"] * stat_min["cg_tau"]
 
-    pars = jnp.concatenate(
-        [_classic_par_stack(par, stat_min, st, K, dtype),
-         jnp.stack([_member_column(par[n], K) for n in XK_TABLE_ROWS], axis=1)],
-        axis=1,
-    )  # (K, len(C_PAR_NAMES)+6)
+    pars_parts = [
+        _classic_par_stack(par, stat_min, st, K, dtype),
+        jnp.stack([_member_column(par[n], K) for n in XK_TABLE_ROWS], axis=1),
+    ]
+    if noise_ou is not None:
+        rho_ou, scale_ou, eta0_ou = (jnp.asarray(v, dtype) for v in noise_ou)
+        pars_parts.append(jnp.stack(
+            [_member_column(rho_ou, K), _member_column(scale_ou, K),
+             _member_column(eta0_ou, K)], axis=1))
+    pars = jnp.concatenate(pars_parts, axis=1)  # (K, len(C_PAR_NAMES)+6[+3])
+    n_rows = pars.shape[1]
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
 
     x = jnp.asarray(st.x, dtype=dtype)
@@ -1340,8 +1475,12 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
 
     def launch(cin_s, pars_s, noise_s):
         ks = cin_s.shape[2]
-        kernel = (_classic_kernel_xk if noise_s is None
-                  else _classic_kernel_xk_noisy)
+        if noise_s is None:
+            kernel = _classic_kernel_xk
+        elif noise_ou is not None:
+            kernel = _classic_kernel_xk_ou
+        else:
+            kernel = _classic_kernel_xk_noisy
         in_specs = [smem, smem]
         inputs = [f, cosv]
         if noise_s is not None:
@@ -1352,23 +1491,29 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         in_specs += [
             blk2,
             pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((len(C_PAR_NAMES) + 6, Kt), lambda i: (0, i),
+            pl.BlockSpec((n_rows, Kt), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ]
         inputs += [cin_s, cols, pars_s]
+        out_shape = [
+            jax.ShapeDtypeStruct((2, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
+            jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
+        ]
+        out_specs = [blk2, blk3, blk3, blk3]
+        if noise_ou is not None:
+            out_shape.append(jax.ShapeDtypeStruct((1, ks), dtype))
+            out_specs.append(pl.BlockSpec((1, Kt), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(
                 kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
             ),
             grid=(ks // Kt,),
-            out_shape=(
-                jax.ShapeDtypeStruct((2, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
-                jax.ShapeDtypeStruct((nv, nxs, ks), dtype),
-            ),
+            out_shape=tuple(out_shape),
             in_specs=in_specs,
-            out_specs=(blk2, blk3, blk3, blk3),
+            out_specs=tuple(out_specs),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
@@ -1384,11 +1529,23 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         )
         for s, n in _member_slabs(Kp, Kt)
     ]
-    cout, wint, summ, avg = (
-        parts[0] if len(parts) == 1 else tuple(
-            jnp.concatenate(vs, axis=-1) for vs in zip(*parts)
+    eta_end = None
+    if noise_ou is not None:
+        if len(parts) == 1:
+            cout, wint, summ, avg, eta_end = parts[0]
+        else:
+            couts, wints, summs, avgs, etas_out = zip(*parts)
+            cout, wint, summ, avg = (
+                jnp.concatenate(vs, axis=-1)
+                for vs in (couts, wints, summs, avgs))
+            eta_end = jnp.concatenate(etas_out, axis=-1)
+        eta_end = eta_end[0, :K]
+    else:
+        cout, wint, summ, avg = (
+            parts[0] if len(parts) == 1 else tuple(
+                jnp.concatenate(vs, axis=-1) for vs in zip(*parts)
+            )
         )
-    )
 
     def unpack(block, i):
         return block[i, :nx, :K].T
@@ -1401,4 +1558,4 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         summer=Collection({k: unpack(summ, i) for i, k in enumerate(C_OUT_VARS)}),
         avg=Collection({k: unpack(avg, i) for i, k in enumerate(C_OUT_VARS)}),
     )
-    return new_carry, seasonal, None, None
+    return new_carry, seasonal, None, eta_end

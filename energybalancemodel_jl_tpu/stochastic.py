@@ -52,12 +52,14 @@ generation is a trivial length-``nt`` scan per year, and ``mesh=`` shards
 members across chips with zero hot-loop collectives (noise keys are
 per-member, so sharding cannot change the draws). On TPU the default
 ``engine='auto'`` resolves to ``'fused'``: the whole noisy year runs in
-ONE Pallas kernel launch per member block — the per-step OU row rides as
-an ``(nt_pad, block_k)`` VMEM table read by dynamic sublane slice
-(``ops/pallas_year.py``), so escape-statistics ensembles run at
-fused-kernel throughput instead of the XLA scan graph's (measured
-on-chip: 5.0e8 vs 9.3e7 model-yr/day at K=8192 = 5.4x; BENCH_NOTES
-"Stochastic + Lyapunov layers").
+ONE Pallas kernel launch per member block — the kernel reads the year's
+WHITE-noise draws from an ``(nt_pad, block_k)`` VMEM table by dynamic
+sublane slice and runs the OU recurrence in-kernel
+(``ops/pallas_year.py`` ``noise_ou``), so escape-statistics ensembles
+run at fused-kernel throughput instead of the XLA scan graph's
+(measured same-process on-chip at K=8192: 7.3-7.5e8 model-yr/day, ~8x
+the scan engine; the 1.75x residual vs the deterministic kernel is
+decomposed and priced in BENCH_NOTES "Noise-operand anatomy").
 """
 from __future__ import annotations
 
@@ -297,16 +299,18 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
             carry, eta = state
             draw = lambda key: jax.random.normal(
                 jax.random.fold_in(key, yi), (nt,), dtype)
-            xi = jax.vmap(draw)(keys)  # (K, nt)
-
-            def ou(e, z):
-                e = rho * e + scale * z
-                return e, e
-
-            eta, etas = lax.scan(ou, eta, jnp.swapaxes(xi, 0, 1))  # (nt, K)
-            carry, seasonal, conv, _ = kern(
+            # same draws as the scan engine, generated directly in the
+            # kernel's (nt, K) table layout; the OU recurrence runs
+            # IN-KERNEL (noise_ou) — feeding the kernel the white noise
+            # instead of an XLA-scan-produced OU path is ~200 ms/yr
+            # cheaper at nt=2000/K=8192 (BENCH_NOTES round-4
+            # "Noise-operand anatomy"), and the kernel hands back the
+            # year-end eta row as its 4th return
+            xi_t = jax.vmap(draw, out_axes=1)(keys)  # (nt, K)
+            carry, seasonal, conv, eta = kern(
                 carry, par_k, frow, st, cfg, block_k=block_k,
-                interpret=interpret, layout="xk", noise=etas)
+                interpret=interpret, layout="xk", noise=xi_t,
+                noise_ou=(rho, scale, eta))
             if conv is None:  # classic kernel has no Newton flag
                 conv = jnp.ones((), dtype)
             coll = getattr(seasonal, season)
