@@ -1130,3 +1130,96 @@ class TestFusedFitPredicate:
             n_members=4, dtype=jnp.float64, progress=False,
         )
         assert out.seasonal.avg["E"].shape == (4, 1, st.nx)
+
+
+class TestInKernelOU:
+    """The round-4 ``noise_ou`` kernel mode: the OU recurrence computed
+    IN-KERNEL from a white-noise table must match feeding the kernel the
+    XLA-precomputed OU path as a plain ``noise`` table (same per-step
+    forcing offsets, so identical trajectories up to the two graphs'
+    contraction-level rounding), and the 4th return value must be the
+    year-end eta row. Both MIZ and classic 'xk' kernels."""
+
+    def _ou_inputs(self, st, k, seed=3):
+        rng = np.random.default_rng(seed)
+        xi = jnp.asarray(rng.normal(size=(st.nt, k)), DTYPE)  # (nt, K)
+        rho = jnp.asarray(0.97, DTYPE)
+        scale = jnp.asarray(np.linspace(0.5, 2.0, k), DTYPE)  # per-member
+        eta0 = jnp.asarray(rng.normal(size=(k,)), DTYPE)
+
+        def ou(e, z):
+            e = rho * e + scale * z
+            return e, e
+
+        eta_end, etas = jax.lax.scan(ou, eta0, xi)
+        return xi, etas, eta_end, rho, scale, eta0
+
+    def test_miz_ou_mode_matches_precomputed_table(self):
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        xi, etas, eta_end, rho, scale, eta0 = self._ou_inputs(st, 4)
+        c_tab, s_tab, conv_tab, none4 = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=etas)
+        assert none4 is None
+        c_ou, s_ou, conv_ou, eta_ret = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=xi, noise_ou=(rho, scale, eta0))
+        assert eta_ret is not None and eta_ret.shape == (4,)
+        np.testing.assert_allclose(np.asarray(eta_ret),
+                                   np.asarray(eta_end), rtol=1e-5)
+        for key in c_tab:
+            np.testing.assert_allclose(
+                np.asarray(c_ou[key]), np.asarray(c_tab[key]),
+                atol=1e-3, err_msg=key)
+        np.testing.assert_allclose(
+            np.asarray(s_ou.avg["E"]), np.asarray(s_tab.avg["E"]), atol=1e-3)
+
+    def test_classic_ou_mode_matches_precomputed_table(self):
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            pallas_classic_year,
+        )
+
+        st = ebm.SpaceTime.sin(16, 48, 1)
+        par = Collection(
+            {k_: jnp.asarray(v, DTYPE)
+             for k_, v in ebm.default_parameters("Classic").items()}
+        )
+        k = 4
+        par["D"] = jnp.asarray(np.linspace(0.55, 0.65, k), DTYPE)
+        spec = get_model("Classic")
+        E0 = np.full(st.nx, 30.0)
+        init = Collection(E=E0, Tg=E0 / float(par["cw"]))
+        carry = spec.init_carry(init, st, DTYPE)
+        carry = Collection(
+            {k_: jnp.broadcast_to(v, (k,) + v.shape)
+             for k_, v in carry.items()}
+        )
+        fyear = jnp.zeros(st.nt, dtype=DTYPE)
+        xi, etas, eta_end, rho, scale, eta0 = self._ou_inputs(st, k)
+        c_tab, s_tab, _, _ = pallas_classic_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=etas)
+        c_ou, s_ou, _, eta_ret = pallas_classic_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=xi, noise_ou=(rho, scale, eta0))
+        assert eta_ret is not None and eta_ret.shape == (k,)
+        np.testing.assert_allclose(np.asarray(eta_ret),
+                                   np.asarray(eta_end), rtol=1e-5)
+        # classic at nt=48 sits below its nt~1000 stability floor
+        # (dt*M/cw > 1, CLAUDE.md), so the two graphs' FMA-contraction
+        # differences amplify along the year — the per-step forcing
+        # equivalence is pinned by the bitwise-tight eta match above;
+        # the trajectory check is a coarse same-dynamics guard
+        np.testing.assert_allclose(
+            np.asarray(c_ou["E"]), np.asarray(c_tab["E"]),
+            rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(
+            np.asarray(s_ou.avg["T"]), np.asarray(s_tab.avg["T"]),
+            rtol=1e-3, atol=1e-2)
+
+    def test_ou_without_table_raises(self):
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        with pytest.raises(ValueError, match="noise_ou requires"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            interpret=True, layout="xk",
+                            noise_ou=(0.9, 1.0, jnp.zeros((4,), DTYPE)))
