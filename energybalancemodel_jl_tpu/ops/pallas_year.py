@@ -146,7 +146,10 @@ def _member_slabs(Kp: int, Kt: int):
 def _pad_noise_xk(noise, nt: int, K: int, Kp: int, dtype):
     """Validate and pad an ``(nt, K)`` noise table to ``(nt_pad8, Kp)`` for
     the 'xk' launchers (zero padding: padded steps are never read, padded
-    members see zero noise on top of their zero state + edge params)."""
+    members see zero noise on top of their zero state + edge params).
+    In the in-kernel-OU mode the table is WHITE noise; padded members'
+    zero draws combine with their ZERO-padded scale/eta0 parameter rows
+    (:func:`_zero_pad_ou_rows`) so their eta stays exactly 0."""
     if noise is None:
         return None
     noise = jnp.asarray(noise, dtype=dtype)
@@ -155,6 +158,18 @@ def _pad_noise_xk(noise, nt: int, K: int, Kp: int, dtype):
             f"noise must have shape (nt, K) = ({nt}, {K}), got "
             f"{noise.shape}")
     return jnp.pad(noise, ((0, _round_up(nt, 8) - nt), (0, Kp - K)))
+
+
+def _zero_pad_ou_rows(pars_t, K: int, scale_row: int, eta0_row: int):
+    """Zero the OU scale/eta0 parameter rows on padded member lanes
+    (columns ``K:``) of an edge-padded ``(n_rows, Kp)`` stack — padded
+    lanes then hold eta == 0 exactly for the whole year (rho may stay
+    edge-padded: it only ever multiplies that zero)."""
+    lane = jnp.arange(pars_t.shape[1]) < K
+    for row in (scale_row, eta0_row):
+        pars_t = pars_t.at[row].set(
+            jnp.where(lane, pars_t[row], jnp.zeros((), pars_t.dtype)))
+    return pars_t
 
 
 def _kernel(
@@ -339,12 +354,11 @@ def _kernel_xk(
     if ou:
         ou_rho = pars_ref[_XK_OU_RHO:_XK_OU_RHO + 1, :]
         ou_scale = pars_ref[_XK_OU_SCALE:_XK_OU_SCALE + 1, :]
-        # carried as a FULL (8, Kt) sublane tile (all rows identical —
-        # a (1, Kt) fori carry is sub-tile-height); measured round 4:
-        # tile height does NOT change the recurrence's ~200 ms/yr cost,
-        # see BENCH_NOTES "Noise-operand anatomy"
-        eta_init = jnp.broadcast_to(
-            pars_ref[_XK_OU_ETA0:_XK_OU_ETA0 + 1, :], (8, Kt))
+        # (1, Kt) fori carry, same convention as the classic kernel
+        # (_classic_kernel_xk) — sub-tile-height carries lower fine in
+        # Mosaic, and round 4 measured the recurrence's ~200 ms/yr cost
+        # independent of tile height (BENCH_NOTES "Noise-operand anatomy")
+        eta_init = pars_ref[_XK_OU_ETA0:_XK_OU_ETA0 + 1, :]
 
     def body(t, state):
         # the eta slot exists only in ou mode, keeping the deterministic
@@ -360,7 +374,7 @@ def _kernel_xk(
         f_t = f_ref[t] + pars_ref[_F_OFF:_F_OFF + 1, :]
         if ou:
             eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
-            f_t = f_t + eta[0:1, :]
+            f_t = f_t + eta
         elif noise_ref is not None:
             f_t = f_t + noise_ref[pl.ds(t, 1), :]
         xs = Collection(insol=insol, f=f_t)
@@ -396,7 +410,7 @@ def _kernel_xk(
         avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
     conv_ref[0, pl.program_id(0)] = conv
     if ou:
-        eta_ref[...] = eta[0:1, :]
+        eta_ref[...] = eta
 
 
 def _kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref, pars_ref,
@@ -877,6 +891,11 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
     pars = jnp.concatenate(pars_parts, axis=1)  # (K, N_PAR + 5 [+ 3])
     n_rows = pars.shape[1]
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
+    if noise_ou is not None and Kp > K:
+        # padded lanes must see ZERO noise (scale = eta0 = 0), not the last
+        # real member's decaying eta forcing over a zero state — padded-lane
+        # dynamics feed the block-wide Newton convergence min (advisor r4)
+        pars_t = _zero_pad_ou_rows(pars_t, K, _XK_OU_SCALE, _XK_OU_ETA0)
 
     x = jnp.asarray(st.x, dtype=dtype)
     t = jnp.asarray(st.t, dtype=dtype)
@@ -1437,6 +1456,9 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
     pars = jnp.concatenate(pars_parts, axis=1)  # (K, len(C_PAR_NAMES)+6[+3])
     n_rows = pars.shape[1]
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
+    if noise_ou is not None and Kp > K:
+        # zero noise on padded lanes (see _miz_year_xk; advisor r4)
+        pars_t = _zero_pad_ou_rows(pars_t, K, _C_OU_SCALE, _C_OU_ETA0)
 
     x = jnp.asarray(st.x, dtype=dtype)
     t = jnp.asarray(st.t, dtype=dtype)

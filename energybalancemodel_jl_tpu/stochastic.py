@@ -274,14 +274,16 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
                               dtype_name: str, season: str, track,
                               interpret: bool, block_k: int):
     """Fused-engine twin of :func:`_transition_loop_fn`: each scanned year
-    launches the whole-year Pallas kernel ('xk' layout) with the year's OU
-    path as its ``(nt, K)`` noise table — the per-step noise row is a
-    dynamic sublane slice in VMEM, so the entire noisy year (physics,
-    Newton solves, seasonal storage) runs in one kernel launch per member
-    block at the deterministic fused engines' throughput. Draw keying,
-    OU recursion, forcing grouping ``(frow + F) + eta``, and the area/
-    track reductions are IDENTICAL to the scan engine — same seed, same
-    weather, engine-parity-level same trajectories."""
+    launches the whole-year Pallas kernel ('xk' layout) with the year's
+    WHITE-noise draws as its ``(nt, K)`` table and the OU recurrence
+    running IN-KERNEL (``noise_ou=(rho, scale, eta0)``; the kernel hands
+    back the year-end eta row) — the per-step noise row is a dynamic
+    sublane slice in VMEM, so the entire noisy year (physics, Newton
+    solves, seasonal storage) runs in one kernel launch per member block
+    at the deterministic fused engines' throughput. Draw keying, OU
+    recursion arithmetic, forcing grouping ``(frow + F) + eta``, and the
+    area/track reductions are IDENTICAL to the scan engine — same seed,
+    same weather, engine-parity-level same trajectories."""
     from .ops.pallas_year import pallas_classic_year, pallas_miz_year
 
     kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
