@@ -172,6 +172,122 @@ def _zero_pad_ou_rows(pars_t, K: int, scale_row: int, eta0_row: int):
     return pars_t
 
 
+def _pad_keys_xk(noise_keys, K: int, Kp: int):
+    """Validate and pad a ``(K, 2)`` uint32 key-data table to ``(2, Kp)``
+    (keys on sublane rows, members on lanes) for the generating 'xk'
+    launchers. Padded lanes replicate the last member's key — their draws
+    are generated but multiply the ZERO-padded OU scale
+    (:func:`_zero_pad_ou_rows`), so padded-lane forcing stays exactly
+    deterministic."""
+    if noise_keys is None:
+        return None
+    noise_keys = jnp.asarray(noise_keys)
+    if noise_keys.dtype != jnp.uint32 or noise_keys.shape != (K, 2):
+        raise ValueError(
+            f"noise_keys must be a ({K}, 2) uint32 key-data array, got "
+            f"{noise_keys.dtype} {noise_keys.shape}")
+    return jnp.pad(noise_keys, ((0, Kp - K), (0, 0)), mode="edge").T
+
+
+def _validate_noise_args(dtype, noise, noise_ou, noise_keys, ou_assoc):
+    """Shared argument validation of the noise-mode kwargs (miz and
+    classic whole-year entry points)."""
+    if noise is not None and noise_keys is not None:
+        raise ValueError(
+            "noise= (explicit table) and noise_keys= (in-kernel "
+            "generation) are mutually exclusive")
+    if noise_keys is not None and jnp.dtype(dtype) != jnp.float32:
+        raise ValueError(
+            "noise_keys generates float32 draws (the jax.random.normal "
+            "f32 pipeline); run the ensemble in float32 or pass an "
+            "explicit noise= table")
+    if noise_ou is not None and noise is None and noise_keys is None:
+        raise ValueError(
+            "noise_ou requires the white-noise table (noise=) or "
+            "in-kernel generation keys (noise_keys=)")
+    if ou_assoc and (noise_ou is None or noise_keys is None):
+        raise ValueError(
+            "ou_assoc=True precomputes the OU path over the generated "
+            "scratch — it requires noise_keys= and noise_ou=")
+
+
+# row-chunk height of the in-kernel draw generation sweep: bounds the
+# transient uint32 intermediates to ~6 x (chunk, Kt) words (~3 MB at 1024)
+# regardless of nt, so high-nt configs cannot blow the scoped-VMEM budget
+# during the pre-loop fill
+_GEN_CHUNK = 1024
+
+
+def _u32_const(v: int):
+    import numpy as _np
+
+    return _np.uint32(v)
+
+
+def _gen_noise_xk(noise_ref, keys_ref, nt_pad: int):
+    """Fill the ``(nt_pad, Kt)`` noise scratch with the member-keyed
+    white draws, bitwise ``jax.random.normal(key_k, (nt,), f32)``.
+
+    Row ``t`` of lane ``k`` is draw ``t`` of the stream keyed by
+    ``keys_ref[:, k]`` — the partitionable-threefry layout (counter words
+    ``(0, t)``, output ``o0 ^ o1``; ops/prng.py). Rows at or beyond the
+    true ``nt`` hold well-defined never-read values. The fill runs in
+    ``_GEN_CHUNK``-row chunks to bound transient VMEM — as a STATIC
+    (unrolled) chunk loop with static row offsets: a ``fori_loop`` body
+    is a different fusion context whose FMA-contraction decisions drift
+    from the XLA oracle graph's by 1-2 ulp (measured in interpret mode),
+    which would break the bitwise-``jax.random.normal`` contract."""
+    from . import prng
+
+    Kt = noise_ref.shape[1]
+    k1 = keys_ref[0:1, :]  # (1, Kt) uint32, broadcast down the chunk
+    k2 = keys_ref[1:2, :]
+    chunk = min(nt_pad, _GEN_CHUNK)
+    t_rel = lax.broadcasted_iota(jnp.uint32, (chunk, Kt), 0)
+    zero = jnp.zeros((chunk, Kt), jnp.uint32)
+    for i in range(nt_pad // chunk):
+        o0, o1 = prng.threefry2x32(k1, k2, zero, t_rel + _u32_const(
+            i * chunk))
+        noise_ref[i * chunk:(i + 1) * chunk, :] = prng.normal_from_bits(
+            o0 ^ o1)
+
+
+def _assoc_ou_path(noise_ref, rho, scale, eta0, nt_pad: int):
+    """Transform the white-noise scratch into the OU path in-place via a
+    log-depth Hillis–Steele scan over the time (sublane) axis.
+
+    Computes ``eta_t = rho^{t+1} eta0 + sum_{j<=t} rho^{t-j} scale xi_j``
+    — the same recurrence the serial in-loop mode evaluates, but as a
+    tree reduction: ~ceil(log2 nt) full-tile passes (a few ms) instead of
+    an ``nt``-step serial chain (~200 ms/yr at nt=2000/K=8192, BENCH_NOTES
+    round-4 "Noise-operand anatomy" — the cost is the dependency chain,
+    not the flops). The tree regrouping rounds differently from the
+    serial chain at ~1 ulp per term — `ou_impl='assoc'` is therefore an
+    ENGINE-PARITY-level twin of the serial mode, not a bitwise one;
+    ``scale = 0`` + ``eta0 = 0`` still yields eta == 0.0 exactly (every
+    term is an exact zero product). ``rho``/``scale``/``eta0`` are
+    ``(1, Kt)`` per-member rows.
+
+    The down-shift is a static-slice concatenation (zero/one identity
+    fill), which Mosaic lowers as sublane shifts and interpret mode runs
+    natively — no dynamic indexing, no mask selects."""
+    Kt = noise_ref.shape[1]
+    # weather increments w_t = scale * xi_t
+    y = scale * noise_ref[...]
+    # p_t accumulates rho^{t+1} for the eta0 relaxation term
+    p = jnp.broadcast_to(rho, (nt_pad, Kt))
+    r_d = rho  # rho^d, advanced by squaring: exact power-of-two exponents
+    d = 1
+    while d < nt_pad:
+        y = y + r_d * jnp.concatenate(
+            [jnp.zeros((d, Kt), y.dtype), y[:-d]], axis=0)
+        p = p * jnp.concatenate(
+            [jnp.ones((d, Kt), p.dtype), p[:-d]], axis=0)
+        r_d = r_d * r_d
+        d *= 2
+    noise_ref[...] = y + p * eta0
+
+
 def _kernel(
     f_ref,      # SMEM (nt,) shared forcing (per-member offsets ride in pars)
     cosv_ref,   # SMEM (nt,) cos(2 pi t) — with separable=True the kernel
@@ -298,7 +414,7 @@ def _kernel_xk(
     avg_ref,    # VMEM (10, nxs, Kt) annual mean
     conv_ref,   # SMEM (1, n_blocks) convergence flags (see _kernel)
     *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
-    ou: bool = False, eta_ref=None,
+    ou: bool = False, eta_ref=None, keys_ref=None, assoc: bool = False,
 ):
     """Transposed twin of :func:`_kernel` — same physics (``miz.step`` with
     ``grid_axis=0``), same storage semantics, different data layout.
@@ -322,7 +438,17 @@ def _kernel_xk(
     scan-emission penalty at nt=2000/K=8192 (BENCH_NOTES round-4
     "Noise-operand anatomy") — the recurrence itself is two VPU ops per
     step. ``scale = 0`` with ``eta0 = 0`` keeps ``eta`` exactly 0.0, so
-    the sigma=0 run stays bitwise-identical to the deterministic year."""
+    the sigma=0 run stays bitwise-identical to the deterministic year.
+
+    ``keys_ref`` (via the ``_gen`` adapters): the noise table is not an
+    operand at all — ``noise_ref`` is a VMEM SCRATCH buffer the kernel
+    fills itself from the ``(2, Kt)`` per-member uint32 key rows, bitwise
+    ``jax.random.normal`` (:func:`_gen_noise_xk`; kills the measured
+    +250 ms/yr fresh-operand materialization). ``assoc=True`` (ou only)
+    additionally replaces the serial in-loop recurrence with a log-depth
+    scan over the scratch (:func:`_assoc_ou_path`) — the loop then reads
+    the precomputed eta path like the plain-noisy mode and carries no
+    eta; year-end eta is the path's last real row."""
     from ..models import miz
 
     dtype = cin_ref.dtype
@@ -359,11 +485,18 @@ def _kernel_xk(
         # Mosaic, and round 4 measured the recurrence's ~200 ms/yr cost
         # independent of tile height (BENCH_NOTES "Noise-operand anatomy")
         eta_init = pars_ref[_XK_OU_ETA0:_XK_OU_ETA0 + 1, :]
+    if keys_ref is not None:
+        _gen_noise_xk(noise_ref, keys_ref, noise_ref.shape[0])
+    serial_ou = ou and not assoc
+    if ou and assoc:
+        _assoc_ou_path(noise_ref, ou_rho, ou_scale, eta_init,
+                       noise_ref.shape[0])
 
     def body(t, state):
-        # the eta slot exists only in ou mode, keeping the deterministic
-        # and plain-noisy traced graphs exactly as before round 4
-        if ou:
+        # the eta slot exists only in serial-ou mode, keeping the
+        # deterministic and plain-noisy traced graphs exactly as before
+        # round 4 (assoc mode reads the precomputed path like plain noise)
+        if serial_ou:
             carry, conv, eta = state
         else:
             carry, conv = state
@@ -372,7 +505,7 @@ def _kernel_xk(
         # ((S0 - (S1 x) cos) - S2 x^2) — bitwise-identical columns
         insol = (tab["S0"] * mask - (tab["S1"] * colX) * c) - tab["S2"] * colX2
         f_t = f_ref[t] + pars_ref[_F_OFF:_F_OFF + 1, :]
-        if ou:
+        if serial_ou:
             eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
             f_t = f_t + eta
         elif noise_ref is not None:
@@ -394,9 +527,9 @@ def _kernel_xk(
             for i, k in enumerate(OUT_VARS):
                 summ_ref[i] = out[k]
 
-        return (carry, conv, eta) if ou else (carry, conv)
+        return (carry, conv, eta) if serial_ou else (carry, conv)
 
-    if ou:
+    if serial_ou:
         carry, conv, eta = jax.lax.fori_loop(
             0, nt, body, (carry0, jnp.ones((), dtype), eta_init)
         )
@@ -409,8 +542,10 @@ def _kernel_xk(
     for i in range(len(OUT_VARS)):
         avg_ref[i] = avg_ref[i] / jnp.asarray(float(nt), dtype)
     conv_ref[0, pl.program_id(0)] = conv
-    if ou:
+    if serial_ou:
         eta_ref[...] = eta
+    elif ou:
+        eta_ref[...] = noise_ref[pl.ds(nt - 1, 1), :]
 
 
 def _kernel_xk_noisy(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref, pars_ref,
@@ -448,6 +583,51 @@ def _classic_kernel_xk_ou(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref,
     _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
                        cout_ref, wint_ref, summ_ref, avg_ref,
                        noise_ref=noise_ref, ou=True, eta_ref=eta_ref, **kw)
+
+
+def _kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
+                         pars_ref, cout_ref, wint_ref, summ_ref, avg_ref,
+                         conv_ref, noise_ref, **kw):
+    """Generating-launch adapter (MIZ, plain noise): the per-member key
+    rows ride as the third input and the noise table is the trailing
+    VMEM SCRATCH the kernel fills itself (:func:`_gen_noise_xk`)."""
+    _kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+               cout_ref, wint_ref, summ_ref, avg_ref, conv_ref,
+               noise_ref=noise_ref, keys_ref=keys_ref, **kw)
+
+
+def _kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
+                      pars_ref, cout_ref, wint_ref, summ_ref, avg_ref,
+                      conv_ref, eta_ref, noise_ref, *, assoc: bool = False,
+                      **kw):
+    """Generating in-kernel-OU launch adapter (MIZ): keys input + noise
+    scratch + the year-end eta output; ``assoc=True`` precomputes the
+    whole eta path by log-depth scan instead of the serial in-loop
+    recurrence (:func:`_assoc_ou_path`)."""
+    _kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+               cout_ref, wint_ref, summ_ref, avg_ref, conv_ref,
+               noise_ref=noise_ref, ou=True, eta_ref=eta_ref,
+               keys_ref=keys_ref, assoc=assoc, **kw)
+
+
+def _classic_kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref,
+                                 cols_ref, pars_ref, cout_ref, wint_ref,
+                                 summ_ref, avg_ref, noise_ref, **kw):
+    """Classic twin of :func:`_kernel_xk_gen_noisy`."""
+    _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+                       cout_ref, wint_ref, summ_ref, avg_ref,
+                       noise_ref=noise_ref, keys_ref=keys_ref, **kw)
+
+
+def _classic_kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
+                              pars_ref, cout_ref, wint_ref, summ_ref,
+                              avg_ref, eta_ref, noise_ref, *,
+                              assoc: bool = False, **kw):
+    """Classic twin of :func:`_kernel_xk_gen_ou`."""
+    _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
+                       cout_ref, wint_ref, summ_ref, avg_ref,
+                       noise_ref=noise_ref, ou=True, eta_ref=eta_ref,
+                       keys_ref=keys_ref, assoc=assoc, **kw)
 
 
 # plane counts of the transposed layout's VMEM working-set estimate
@@ -650,11 +830,14 @@ def _check_kx_fits(nx: int, K: int, block_k: int, itemsize: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret", "layout")
+    jax.jit,
+    static_argnames=("st", "cfg", "block_k", "interpret", "layout",
+                     "ou_assoc"),
 )
 def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
                     interpret: bool = False, layout: str = None,
-                    noise=None, noise_ou=None):
+                    noise=None, noise_ou=None, noise_keys=None,
+                    ou_assoc: bool = False):
     """Run one MIZ model year for a ``(K, nx)`` ensemble in fused blocks.
 
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
@@ -690,6 +873,17 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     of an XLA-scan-produced OU path — measured ~200 ms/yr cheaper at
     nt=2000/K=8192 (BENCH_NOTES round-4 "Noise-operand anatomy").
     ``scale = 0`` + ``eta0 = 0`` is bitwise the deterministic year.
+
+    ``noise_keys`` (``(K, 2)`` uint32 key data, f32 only, exclusive with
+    ``noise``): the kernel GENERATES the white-noise table itself —
+    member ``k``'s draws are bitwise ``jax.random.normal(keys[k], (nt,),
+    float32)`` (ops/prng.py replication), so no ``(nt, K)`` operand is
+    materialized at all (the measured +250 ms/yr term). Composes with
+    ``noise_ou``. ``ou_assoc=True`` (requires ``noise_keys`` +
+    ``noise_ou``) computes the whole eta path by log-depth scan before
+    the time loop instead of the serial in-loop recurrence — same
+    recurrence, tree-regrouped rounding (engine-parity-level, NOT
+    bitwise, vs the serial mode; sigma=0 stays bitwise-deterministic).
     """
     import dataclasses
 
@@ -700,18 +894,19 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     # ('pallas') are meaningless here — normalize to the inline PCR solve
     if cfg.solver != "pcr":
         cfg = dataclasses.replace(cfg, solver="pcr")
+    _validate_noise_args(carry["Ei"].dtype, noise, noise_ou, noise_keys,
+                         ou_assoc)
     layout = _resolve_layout(
         layout, carry["Ei"].shape[0], carry["Ei"].shape[1], block_k,
         jnp.dtype(carry["Ei"].dtype).itemsize, planes=XK_PLANES_MIZ,
         table_swept=_table_swept(par),
-        noise_nt=st.nt if noise is not None else 0,
+        noise_nt=st.nt if (noise is not None or noise_keys is not None)
+        else 0,
     )
-    if noise_ou is not None and noise is None:
-        raise ValueError("noise_ou requires the white-noise table (noise=)")
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret,
-                            noise, noise_ou)
-    if noise is not None:
+                            noise, noise_ou, noise_keys, ou_assoc)
+    if noise is not None or noise_keys is not None:
         raise ValueError(
             "layout='kx' cannot carry a per-step per-member noise table "
             "(a step's noise row is a dynamic lane slice there); use "
@@ -852,7 +1047,8 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
 
 
 def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
-                 noise=None, noise_ou=None):
+                 noise=None, noise_ou=None, noise_keys=None,
+                 ou_assoc: bool = False):
     """Transposed-layout launch path of :func:`pallas_miz_year`
     (``layout='xk'``): grid on sublanes, members on lanes."""
     import dataclasses
@@ -862,8 +1058,9 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
     itemsize = jnp.dtype(dtype).itemsize
     K, nx = carry["Ei"].shape
     nxs = _round_up(nx, 8)  # grid rows on sublanes (f32 tile height 8)
+    any_noise = noise is not None or noise_keys is not None
     unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_MIZ,
-                     noise_nt=st.nt if noise is not None else 0)
+                     noise_nt=st.nt if any_noise else 0)
     if unfit is not None:
         raise ValueError(unfit)
     Kt = block_k
@@ -925,14 +1122,24 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
     cin = jnp.stack([pad_kx_t(carry[k]) for k in CARRY_KEYS])  # (6, nxs, Kp)
     f = jnp.asarray(fyear, dtype=dtype)
     noise_p = _pad_noise_xk(noise, nt, K, Kp, dtype)
+    keys_p = _pad_keys_xk(noise_keys, K, Kp)
+    nt_pad = _round_up(nt, 8)
 
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     blk6 = pl.BlockSpec((6, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     blk10 = pl.BlockSpec((10, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
-    def launch(cin_s, pars_s, noise_s):
+    def launch(cin_s, pars_s, noise_s, keys_s):
         ks = cin_s.shape[2]
-        if noise_s is None:
+        kern_kw = {}
+        scratch_shapes = []
+        if keys_s is not None:
+            kernel = _kernel_xk_gen_ou if noise_ou is not None \
+                else _kernel_xk_gen_noisy
+            if noise_ou is not None:
+                kern_kw["assoc"] = ou_assoc
+            scratch_shapes = [pltpu.VMEM((nt_pad, Kt), dtype)]
+        elif noise_s is None:
             kernel = _kernel_xk
         elif noise_ou is not None:
             kernel = _kernel_xk_ou
@@ -945,6 +1152,10 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
                 (noise_s.shape[0], Kt), lambda i: (0, i),
                 memory_space=pltpu.VMEM))
             inputs.append(noise_s)
+        if keys_s is not None:
+            in_specs.append(pl.BlockSpec(
+                (2, Kt), lambda i: (0, i), memory_space=pltpu.VMEM))
+            inputs.append(keys_s)
         in_specs += [
             blk6,
             pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -973,12 +1184,13 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
                                           memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(
-                kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+                kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg, **kern_kw
             ),
             grid=(ks // Kt,),
             out_shape=tuple(out_shape),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
@@ -991,6 +1203,8 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
             lax.slice_in_dim(pars_t, s, s + n, axis=1),
             None if noise_p is None
             else lax.slice_in_dim(noise_p, s, s + n, axis=1),
+            None if keys_p is None
+            else lax.slice_in_dim(keys_p, s, s + n, axis=1),
         )
         for s, n in _member_slabs(Kp, Kt)
     ]
@@ -1155,34 +1369,40 @@ def _classic_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("st", "cfg", "block_k", "interpret", "layout")
+    jax.jit,
+    static_argnames=("st", "cfg", "block_k", "interpret", "layout",
+                     "ou_assoc"),
 )
 def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
                         interpret: bool = False, layout: str = None,
-                        noise=None, noise_ou=None):
+                        noise=None, noise_ou=None, noise_keys=None,
+                        ou_assoc: bool = False):
     """Fused whole-year WE15 integration (classic twin of
     :func:`pallas_miz_year`, same signature, sweep surface, ``layout``
-    options, optional ``(nt, K)`` ``noise`` table, and in-kernel-OU
-    ``noise_ou=(rho, scale, eta0)`` mode: any non-table parameter leaf
-    may be ``(K,)``-swept)."""
+    options, optional ``(nt, K)`` ``noise`` table, in-kernel-OU
+    ``noise_ou=(rho, scale, eta0)`` mode, in-kernel draw generation
+    ``noise_keys`` and log-depth ``ou_assoc`` — see the MIZ docstring:
+    any non-table parameter leaf may be ``(K,)``-swept)."""
     import dataclasses
 
     from ..models import classic
 
     if cfg.solver != "pcr":
         cfg = dataclasses.replace(cfg, solver="pcr")
+    _validate_noise_args(carry["E"].dtype, noise, noise_ou, noise_keys,
+                         ou_assoc)
     layout = _resolve_layout(
         layout, carry["E"].shape[0], carry["E"].shape[1], block_k,
         jnp.dtype(carry["E"].dtype).itemsize, planes=XK_PLANES_CLASSIC,
         table_swept=_table_swept(par),
-        noise_nt=st.nt if noise is not None else 0,
+        noise_nt=st.nt if (noise is not None or noise_keys is not None)
+        else 0,
     )
-    if noise_ou is not None and noise is None:
-        raise ValueError("noise_ou requires the white-noise table (noise=)")
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k,
-                                interpret, noise, noise_ou)
-    if noise is not None:
+                                interpret, noise, noise_ou, noise_keys,
+                                ou_assoc)
+    if noise is not None or noise_keys is not None:
         raise ValueError(
             "layout='kx' cannot carry a per-step per-member noise table "
             "(a step's noise row is a dynamic lane slice there); use "
@@ -1323,7 +1543,7 @@ def _classic_kernel_xk(
     summ_ref,   # VMEM (3, nxs, Kt)
     avg_ref,    # VMEM (3, nxs, Kt)
     *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
-    ou: bool = False, eta_ref=None,
+    ou: bool = False, eta_ref=None, keys_ref=None, assoc: bool = False,
 ):
     """Transposed twin of :func:`_classic_kernel` (grid on sublanes,
     members on lanes; ``classic.step`` with ``grid_axis=0``).
@@ -1333,7 +1553,9 @@ def _classic_kernel_xk(
     ``ou=True`` (via :func:`_classic_kernel_xk_ou`) it is WHITE noise and
     the OU recurrence runs in-kernel (rows ``_C_OU_RHO``/``_SCALE``/
     ``_ETA0``, year-end eta written to ``eta_ref``) — see
-    :func:`_kernel_xk`."""
+    :func:`_kernel_xk`. ``keys_ref``/``assoc`` (via the ``_gen``
+    adapters): in-kernel draw generation into the noise SCRATCH, and the
+    log-depth OU-path precompute — also per :func:`_kernel_xk`."""
     from ..models import classic
 
     dtype = cin_ref.dtype
@@ -1366,15 +1588,23 @@ def _classic_kernel_xk(
     if ou:
         ou_rho = pars_ref[_C_OU_RHO:_C_OU_RHO + 1, :]
         ou_scale = pars_ref[_C_OU_SCALE:_C_OU_SCALE + 1, :]
-        carry0 = (carry0, pars_ref[_C_OU_ETA0:_C_OU_ETA0 + 1, :])
+        eta_init = pars_ref[_C_OU_ETA0:_C_OU_ETA0 + 1, :]
+    if keys_ref is not None:
+        _gen_noise_xk(noise_ref, keys_ref, noise_ref.shape[0])
+    serial_ou = ou and not assoc
+    if ou and assoc:
+        _assoc_ou_path(noise_ref, ou_rho, ou_scale, eta_init,
+                       noise_ref.shape[0])
+    if serial_ou:
+        carry0 = (carry0, eta_init)
 
     def body(t, state):
-        if ou:
+        if serial_ou:
             carry, eta = state
         else:
             carry = state
         f_t = f_ref[t] + pars_ref[_C_F_OFF:_C_F_OFF + 1, :]
-        if ou:
+        if serial_ou:
             eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
             f_t = f_t + eta
         elif noise_ref is not None:
@@ -1398,12 +1628,14 @@ def _classic_kernel_xk(
             for i, k in enumerate(C_OUT_VARS):
                 summ_ref[i] = out[k]
 
-        return (carry, eta) if ou else carry
+        return (carry, eta) if serial_ou else carry
 
     carry = _time_loop(nt, body, carry0)
-    if ou:
+    if serial_ou:
         carry, eta = carry
         eta_ref[...] = eta
+    elif ou:
+        eta_ref[...] = noise_ref[pl.ds(nt - 1, 1), :]
     for j, k in enumerate(C_CARRY_KEYS):
         cout_ref[j] = carry[k]
     for i in range(len(C_OUT_VARS)):
@@ -1411,7 +1643,8 @@ def _classic_kernel_xk(
 
 
 def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
-                     interpret: bool, noise=None, noise_ou=None):
+                     interpret: bool, noise=None, noise_ou=None,
+                     noise_keys=None, ou_assoc: bool = False):
     """Transposed-layout launch path of :func:`pallas_classic_year`
     (``layout='xk'``)."""
     import dataclasses
@@ -1423,8 +1656,9 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
     itemsize = jnp.dtype(dtype).itemsize
     K, nx = carry["E"].shape
     nxs = _round_up(nx, 8)
+    any_noise = noise is not None or noise_keys is not None
     unfit = _xk_fits(nx, block_k, itemsize, XK_PLANES_CLASSIC,
-                     noise_nt=st.nt if noise is not None else 0)
+                     noise_nt=st.nt if any_noise else 0)
     if unfit is not None:
         raise ValueError(unfit)
     Kt = block_k
@@ -1489,15 +1723,25 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
     cin = jnp.stack([pad_kx_t(carry[k]) for k in C_CARRY_KEYS])  # (2, nxs, Kp)
     f = jnp.asarray(fyear, dtype=dtype)
     noise_p = _pad_noise_xk(noise, nt, K, Kp, dtype)
+    keys_p = _pad_keys_xk(noise_keys, K, Kp)
+    nt_pad = _round_up(nt, 8)
 
     nv = len(C_OUT_VARS)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     blk2 = pl.BlockSpec((2, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
     blk3 = pl.BlockSpec((nv, nxs, Kt), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
 
-    def launch(cin_s, pars_s, noise_s):
+    def launch(cin_s, pars_s, noise_s, keys_s):
         ks = cin_s.shape[2]
-        if noise_s is None:
+        kern_kw = {}
+        scratch_shapes = []
+        if keys_s is not None:
+            kernel = _classic_kernel_xk_gen_ou if noise_ou is not None \
+                else _classic_kernel_xk_gen_noisy
+            if noise_ou is not None:
+                kern_kw["assoc"] = ou_assoc
+            scratch_shapes = [pltpu.VMEM((nt_pad, Kt), dtype)]
+        elif noise_s is None:
             kernel = _classic_kernel_xk
         elif noise_ou is not None:
             kernel = _classic_kernel_xk_ou
@@ -1510,6 +1754,10 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
                 (noise_s.shape[0], Kt), lambda i: (0, i),
                 memory_space=pltpu.VMEM))
             inputs.append(noise_s)
+        if keys_s is not None:
+            in_specs.append(pl.BlockSpec(
+                (2, Kt), lambda i: (0, i), memory_space=pltpu.VMEM))
+            inputs.append(keys_s)
         in_specs += [
             blk2,
             pl.BlockSpec((nxs, 8), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -1530,12 +1778,13 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
                                           memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(
-                kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg
+                kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg, **kern_kw
             ),
             grid=(ks // Kt,),
             out_shape=tuple(out_shape),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
+            scratch_shapes=scratch_shapes,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=32 * 1024 * 1024
             ),
@@ -1548,6 +1797,8 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
             lax.slice_in_dim(pars_t, s, s + n, axis=1),
             None if noise_p is None
             else lax.slice_in_dim(noise_p, s, s + n, axis=1),
+            None if keys_p is None
+            else lax.slice_in_dim(keys_p, s, s + n, axis=1),
         )
         for s, n in _member_slabs(Kp, Kt)
     ]

@@ -272,18 +272,29 @@ def _transition_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
 @functools.lru_cache(maxsize=32)
 def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
                               dtype_name: str, season: str, track,
-                              interpret: bool, block_k: int):
+                              interpret: bool, block_k: int,
+                              noise_src: str = "table",
+                              ou_impl: str = "serial"):
     """Fused-engine twin of :func:`_transition_loop_fn`: each scanned year
     launches the whole-year Pallas kernel ('xk' layout) with the year's
-    WHITE-noise draws as its ``(nt, K)`` table and the OU recurrence
-    running IN-KERNEL (``noise_ou=(rho, scale, eta0)``; the kernel hands
-    back the year-end eta row) — the per-step noise row is a dynamic
-    sublane slice in VMEM, so the entire noisy year (physics, Newton
-    solves, seasonal storage) runs in one kernel launch per member block
-    at the deterministic fused engines' throughput. Draw keying, OU
-    recursion arithmetic, forcing grouping ``(frow + F) + eta``, and the
-    area/track reductions are IDENTICAL to the scan engine — same seed,
-    same weather, engine-parity-level same trajectories."""
+    WHITE-noise draws and the OU recurrence running IN-KERNEL
+    (``noise_ou=(rho, scale, eta0)``; the kernel hands back the year-end
+    eta row), so the entire noisy year (physics, Newton solves, seasonal
+    storage) runs in one kernel launch per member block at the
+    deterministic fused engines' throughput.
+
+    ``noise_src='keys'`` (f32; the default from :func:`transitions`)
+    passes only the year-folded per-member KEYS — the kernel generates
+    the draws itself, bitwise ``jax.random.normal`` (ops/prng.py), so no
+    ``(nt, K)`` operand is materialized (the measured +250 ms/yr term,
+    BENCH_NOTES round-4 "Noise-operand anatomy"); ``'table'`` keeps the
+    round-4 XLA-generated table (the f64 fallback and the A/B control).
+    ``ou_impl='assoc'`` precomputes the eta path in-kernel by log-depth
+    scan (kills the ~200 ms/yr serial-recurrence term; tree-regrouped
+    rounding — engine-parity-level, not bitwise, vs serial).
+    Draw keying, OU recursion, forcing grouping ``(frow + F) + eta``,
+    and the area/track reductions are IDENTICAL to the scan engine —
+    same seed, same weather, engine-parity-level same trajectories."""
     from .ops.pallas_year import pallas_classic_year, pallas_miz_year
 
     kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
@@ -299,20 +310,22 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
         def one_year(state, inp):
             yi, frow = inp
             carry, eta = state
-            draw = lambda key: jax.random.normal(
-                jax.random.fold_in(key, yi), (nt,), dtype)
-            # same draws as the scan engine, generated directly in the
-            # kernel's (nt, K) table layout; the OU recurrence runs
-            # IN-KERNEL (noise_ou) — feeding the kernel the white noise
-            # instead of an XLA-scan-produced OU path is ~200 ms/yr
-            # cheaper at nt=2000/K=8192 (BENCH_NOTES round-4
-            # "Noise-operand anatomy"), and the kernel hands back the
-            # year-end eta row as its 4th return
-            xi_t = jax.vmap(draw, out_axes=1)(keys)  # (nt, K)
-            carry, seasonal, conv, eta = kern(
-                carry, par_k, frow, st, cfg, block_k=block_k,
-                interpret=interpret, layout="xk", noise=xi_t,
-                noise_ou=(rho, scale, eta))
+            fold = lambda key: jax.random.fold_in(key, yi)
+            if noise_src == "keys":
+                yk = jax.vmap(fold)(keys)  # (K, 2) uint32 key data
+                carry, seasonal, conv, eta = kern(
+                    carry, par_k, frow, st, cfg, block_k=block_k,
+                    interpret=interpret, layout="xk", noise_keys=yk,
+                    noise_ou=(rho, scale, eta),
+                    ou_assoc=(ou_impl == "assoc"))
+            else:
+                draw = lambda key: jax.random.normal(fold(key), (nt,),
+                                                     dtype)
+                xi_t = jax.vmap(draw, out_axes=1)(keys)  # (nt, K)
+                carry, seasonal, conv, eta = kern(
+                    carry, par_k, frow, st, cfg, block_k=block_k,
+                    interpret=interpret, layout="xk", noise=xi_t,
+                    noise_ou=(rho, scale, eta))
             if conv is None:  # classic kernel has no Newton flag
                 conv = jnp.ones((), dtype)
             coll = getattr(seasonal, season)
@@ -426,6 +439,7 @@ def transitions(
     dtype=None,
     newton_max_iter: int = 30,
     engine: str = "auto",
+    ou_impl: Optional[str] = None,
     block_k: int = 128,
     years_per_dispatch: Optional[int] = None,
     ref_init: Optional[tuple] = None,
@@ -464,13 +478,24 @@ def transitions(
     (cheap: scalars, not fields).
 
     ``engine``: ``'scan'`` is the XLA year graph; ``'fused'`` runs each
-    noisy year in one whole-year Pallas kernel launch ('xk' layout, the
-    OU path as an in-VMEM noise table) at the deterministic fused
-    engines' throughput — ``'auto'`` picks it on TPU (f32, no mesh, VMEM
-    fit). Both engines draw the same weather from the same seed; their
-    trajectories agree at engine-parity level (f32 step-level chaos — the
-    areas and escape statistics match, pointwise state may wander,
-    ``TestFusedEngine``).
+    noisy year in one whole-year Pallas kernel launch ('xk' layout) at
+    the deterministic fused engines' throughput — ``'auto'`` picks it on
+    TPU (f32, no mesh, VMEM fit). At f32 the fused kernel GENERATES its
+    own draws from the per-member keys (bitwise ``jax.random.normal``,
+    ops/prng.py — no noise operand is materialized); at f64 it falls
+    back to the XLA-built white-noise table. Both engines draw the same
+    weather from the same seed; their trajectories agree at
+    engine-parity level (f32 step-level chaos — the areas and escape
+    statistics match, pointwise state may wander, ``TestFusedEngine``).
+
+    ``ou_impl``: how the fused kernel evaluates the OU recurrence —
+    ``'serial'`` (in-loop, bitwise the same weather as the scan engine)
+    or ``'assoc'`` (log-depth in-kernel scan over the generated draws:
+    the same recurrence tree-regrouped, ~1 ulp per term off the serial
+    path — engine-parity-level weather, measured faster at production
+    nt; requires the f32 keys mode). Default ``None`` reads
+    ``EBM_OU_IMPL`` (else 'serial'). The scan engine is always serial;
+    explicitly requesting ``'assoc'`` there raises.
 
     ``years_per_dispatch`` bounds one device dispatch; the DEFAULT
     (``None``) is adaptive: chunks start at {start} years and resize
@@ -650,7 +675,34 @@ def transitions(
     elif engine != "scan":
         raise ValueError(f"engine must be auto|scan|fused, got {engine!r}")
 
+    import os
+
+    explicit_ou_impl = ou_impl is not None
+    if ou_impl is None:
+        ou_impl = os.environ.get("EBM_OU_IMPL", "serial")
+    if ou_impl not in ("serial", "assoc"):
+        raise ValueError(f"ou_impl must be serial|assoc, got {ou_impl!r}")
+    if engine != "fused" and ou_impl == "assoc":
+        if explicit_ou_impl:
+            raise ValueError(
+                "ou_impl='assoc' is a fused-kernel mode (the scan engine "
+                "IS the serial reference weather); use engine='fused'")
+        ou_impl = "serial"  # env default quietly falls back off-TPU
+
     if engine == "fused":
+        # draw source: in-kernel generation from per-member keys (f32;
+        # bitwise jax.random.normal, no (nt, K) operand) with the
+        # XLA-built table as the f64 fallback and the A/B control
+        # (EBM_FUSED_NOISE=table)
+        noise_src = "keys" if dtype == jnp.float32 else "table"
+        env_src = os.environ.get("EBM_FUSED_NOISE")
+        if env_src in ("keys", "table") and dtype == jnp.float32:
+            noise_src = env_src
+        if ou_impl == "assoc" and noise_src != "keys":
+            raise ValueError(
+                "ou_impl='assoc' runs over the in-kernel-generated draw "
+                "scratch, which is float32-only; run the ensemble in "
+                "float32 (or use ou_impl='serial')")
         # kernel form: scalar or (K_run,) leaves, no broadcast axis
         par_run = Collection({
             k: jnp.asarray(v, dtype) for k, v in par.items()})
@@ -707,7 +759,7 @@ def transitions(
     if engine == "fused":
         run = _transition_fused_loop_fn(
             spec.name, st, cfg, dtype.name, season, track,
-            default_interpret(), int(block_k))
+            default_interpret(), int(block_k), noise_src, ou_impl)
     else:
         run = _transition_loop_fn(spec.name, st, cfg, dtype.name, season,
                                   track)

@@ -1223,3 +1223,159 @@ class TestInKernelOU:
             pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
                             interpret=True, layout="xk",
                             noise_ou=(0.9, 1.0, jnp.zeros((4,), DTYPE)))
+
+
+class TestInKernelDraws:
+    """The round-5 ``noise_keys`` kernel mode: the kernel GENERATES its
+    white-noise table from per-member keys (ops/prng.py threefry+erfinv
+    replication). Correctness contract: a keys-mode launch must be
+    BITWISE identical to a table-mode launch fed the XLA-side oracle
+    ``prng.normal_table`` of the same keys (any draw-bit difference would
+    diverge the chaotic trajectories). ``ou_assoc`` precomputes the eta
+    path by log-depth scan — engine-parity (not bitwise) vs serial, and
+    exactly deterministic at scale = eta0 = 0."""
+
+    def _keys(self, k, seed=7, year=2):
+        base = jax.random.PRNGKey(seed)
+        keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(k, dtype=jnp.uint32))
+        return jax.vmap(lambda key: jax.random.fold_in(key, year))(keys)
+
+    def test_miz_keys_mode_bitwise_vs_oracle_table(self):
+        from energybalancemodel_jl_tpu.ops import prng
+
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        yk = self._keys(4)
+        table = prng.normal_table(yk, st.nt)
+        rho = jnp.asarray(0.9, DTYPE)
+        scale = jnp.asarray(np.linspace(0.5, 2.0, 4), DTYPE)
+        eta0 = jnp.zeros((4,), DTYPE)
+        c_tab, s_tab, _, eta_tab = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=table, noise_ou=(rho, scale, eta0))
+        c_gen, s_gen, _, eta_gen = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk, noise_ou=(rho, scale, eta0))
+        for key in c_tab:
+            np.testing.assert_array_equal(
+                np.asarray(c_gen[key]), np.asarray(c_tab[key]),
+                err_msg=key)
+        np.testing.assert_array_equal(np.asarray(s_gen.avg["E"]),
+                                      np.asarray(s_tab.avg["E"]))
+        np.testing.assert_array_equal(np.asarray(eta_gen),
+                                      np.asarray(eta_tab))
+
+    def test_classic_keys_mode_bitwise_vs_oracle_table(self):
+        from energybalancemodel_jl_tpu.ops import prng
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            pallas_classic_year,
+        )
+
+        st = ebm.SpaceTime.sin(16, 48, 1)
+        par = Collection(
+            {k_: jnp.asarray(v, DTYPE)
+             for k_, v in ebm.default_parameters("Classic").items()})
+        spec = get_model("Classic")
+        E0 = np.full(st.nx, 30.0)
+        init = Collection(E=E0, Tg=E0 / float(par["cw"]))
+        carry = spec.init_carry(init, st, DTYPE)
+        carry = Collection(
+            {k_: jnp.broadcast_to(v, (4,) + v.shape)
+             for k_, v in carry.items()})
+        fyear = jnp.zeros(st.nt, dtype=DTYPE)
+        yk = self._keys(4, seed=1)
+        table = prng.normal_table(yk, st.nt)
+        rho = jnp.asarray(0.9, DTYPE)
+        scale = jnp.asarray(1.5, DTYPE)
+        eta0 = jnp.zeros((4,), DTYPE)
+        c_tab, s_tab, _, eta_tab = pallas_classic_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=table, noise_ou=(rho, scale, eta0))
+        c_gen, s_gen, _, eta_gen = pallas_classic_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk, noise_ou=(rho, scale, eta0))
+        for key in c_tab:
+            np.testing.assert_array_equal(
+                np.asarray(c_gen[key]), np.asarray(c_tab[key]),
+                err_msg=key)
+        np.testing.assert_array_equal(np.asarray(eta_gen),
+                                      np.asarray(eta_tab))
+
+    def test_miz_plain_noise_keys_mode(self):
+        """keys without noise_ou: the generated draws ARE the offsets."""
+        from energybalancemodel_jl_tpu.ops import prng
+
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        yk = self._keys(4, seed=5)
+        c_tab, _, _, none_tab = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=prng.normal_table(yk, st.nt))
+        c_gen, _, _, none_gen = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk)
+        assert none_tab is None and none_gen is None
+        for key in c_tab:
+            np.testing.assert_array_equal(
+                np.asarray(c_gen[key]), np.asarray(c_tab[key]),
+                err_msg=key)
+
+    def test_assoc_matches_serial_at_roundoff(self):
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        yk = self._keys(4)
+        rho = jnp.asarray(0.9, DTYPE)
+        scale = jnp.asarray(np.linspace(0.5, 2.0, 4), DTYPE)
+        eta0 = jnp.asarray([0.3, -0.2, 0.0, 1.0], DTYPE)
+        c_s, _, _, eta_s = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk, noise_ou=(rho, scale, eta0))
+        c_a, _, _, eta_a = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk, noise_ou=(rho, scale, eta0), ou_assoc=True)
+        # the tree-regrouped eta is a ~1 ulp twin of the serial chain
+        np.testing.assert_allclose(np.asarray(eta_a), np.asarray(eta_s),
+                                   rtol=1e-5, atol=1e-6)
+        for key in c_s:
+            np.testing.assert_allclose(
+                np.asarray(c_a[key]), np.asarray(c_s[key]),
+                atol=1e-3, err_msg=key)
+
+    def test_assoc_eta_path_matches_xla_scan(self):
+        """The log-depth in-kernel OU path == the XLA serial scan at
+        round-off, pinned directly through the plain-noise equivalence:
+        assoc eta output vs a numpy serial recurrence on oracle draws."""
+        from energybalancemodel_jl_tpu.ops import prng
+
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        yk = self._keys(4, seed=9)
+        xi = np.asarray(prng.normal_table(yk, st.nt), np.float64)
+        rho, eta0 = 0.93, np.array([0.5, -1.0, 0.0, 2.0])
+        scale = np.linspace(0.5, 2.0, 4)
+        eta = eta0.copy()
+        for t_ in range(st.nt):
+            eta = rho * eta + scale * xi[t_]
+        _, _, _, eta_a = pallas_miz_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk,
+            noise_ou=(jnp.asarray(rho, DTYPE), jnp.asarray(scale, DTYPE),
+                      jnp.asarray(eta0, DTYPE)),
+            ou_assoc=True)
+        np.testing.assert_allclose(np.asarray(eta_a), eta,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_error_paths(self):
+        st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
+        yk = self._keys(4)
+        table = jnp.zeros((st.nt, 4), DTYPE)
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            interpret=True, layout="xk", noise=table,
+                            noise_keys=yk)
+        with pytest.raises(ValueError, match="requires noise_keys"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            interpret=True, layout="xk", noise=table,
+                            noise_ou=(0.9, 1.0, jnp.zeros((4,), DTYPE)),
+                            ou_assoc=True)
+        with pytest.raises(ValueError, match="uint32 key-data"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            interpret=True, layout="xk",
+                            noise_keys=jnp.zeros((4, 2), jnp.int32))

@@ -565,3 +565,95 @@ class TestFusedEngine:
         with pytest.raises(ValueError, match="engine"):
             transitions("Classic", st, F, par, a, b, sigma=1.0, years=1,
                         engine="warp")
+
+
+class TestDrawGeneration:
+    """Round-5 in-kernel draw generation (f32 `noise_src='keys'`, the
+    fused default) and the log-depth `ou_impl='assoc'` OU path."""
+
+    @pytest.fixture(scope="class")
+    def setup32(self):
+        st, par, mk = _classic_setup()
+        F = 10.0
+        a = ebm.equilibrate("Classic", st, F, par, mk(30.0),
+                            max_years=120, tol=2.0)
+        b = ebm.equilibrate("Classic", st, F, par, mk(-30.0),
+                            max_years=120, tol=2.0)
+        assert a.converged and b.converged
+        return st, par, F, a, b
+
+    def test_keys_mode_bitwise_vs_table_mode(self, setup32, monkeypatch):
+        """The kernel-generated draws ARE jax.random.normal's: forcing
+        the round-4 XLA-table control via EBM_FUSED_NOISE must reproduce
+        the keys-mode trajectories bitwise (any draw-bit difference
+        would chaotically diverge them)."""
+        st, par, F, a, b = setup32
+        kw = dict(sigma=4.0, tau=0.05, years=4, K=5, seed=3,
+                  dtype="float32", engine="fused")
+        monkeypatch.setenv("EBM_FUSED_NOISE", "keys")
+        r_key = transitions("Classic", st, F, par, a, b, **kw)
+        monkeypatch.setenv("EBM_FUSED_NOISE", "table")
+        r_tab = transitions("Classic", st, F, par, a, b, **kw)
+        np.testing.assert_array_equal(r_key.areas, r_tab.areas)
+        np.testing.assert_array_equal(r_key.eta, r_tab.eta)
+        for k in r_key.state:
+            np.testing.assert_array_equal(r_key.state[k], r_tab.state[k])
+
+    def test_keys_mode_year0_resume_bit_exact(self, setup32):
+        """The split/continue contract survives in-kernel generation
+        (keys are year-folded per absolute year, same as the scan
+        engine's draws)."""
+        st, par, F, a, b = setup32
+        kw = dict(sigma=4.0, tau=0.05, K=4, seed=9, dtype="float32",
+                  engine="fused")
+        full = transitions("Classic", st, F, par, a, b, years=4, **kw)
+        head = transitions("Classic", st, F, par, a, b, years=2, **kw)
+        tail = transitions("Classic", st, F, par, a, b, years=2,
+                           year0=2, init=head.state, eta0=head.eta, **kw)
+        np.testing.assert_array_equal(full.areas[:2], head.areas)
+        np.testing.assert_array_equal(full.areas[2:], tail.areas)
+        np.testing.assert_array_equal(full.eta, tail.eta)
+
+    def test_assoc_engine_parity_and_sigma_zero(self, setup32):
+        st, par, F, a, b = setup32
+        kw = dict(sigma=4.0, tau=0.05, years=4, K=5, seed=3,
+                  dtype="float32", engine="fused")
+        r_ser = transitions("Classic", st, F, par, a, b,
+                            ou_impl="serial", **kw)
+        r_as = transitions("Classic", st, F, par, a, b,
+                           ou_impl="assoc", **kw)
+        assert np.isfinite(r_as.areas).all()
+        # same weather at tree-regrouping round-off: year-end etas agree
+        # tightly; areas at engine-parity tolerance
+        np.testing.assert_allclose(r_as.eta, r_ser.eta, rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(r_as.areas, r_ser.areas, atol=5e-3)
+        # sigma=0: both bitwise-deterministic (and hence equal)
+        k0 = dict(kw, sigma=0.0, years=2)
+        r0s = transitions("Classic", st, F, par, a, b,
+                          ou_impl="serial", **k0)
+        r0a = transitions("Classic", st, F, par, a, b,
+                          ou_impl="assoc", **k0)
+        np.testing.assert_array_equal(r0s.areas, r0a.areas)
+
+    def test_assoc_requires_fused_and_f32(self, setup32):
+        st, par, F, a, b = setup32
+        with pytest.raises(ValueError, match="fused-kernel mode"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, years=2,
+                        K=3, engine="scan", ou_impl="assoc")
+        with pytest.raises(ValueError, match="float32"):
+            transitions("Classic", st, F, par, a, b, sigma=1.0, years=2,
+                        K=3, engine="fused", ou_impl="assoc",
+                        dtype="float64")
+
+    def test_f64_fused_falls_back_to_table(self, setup32):
+        """f64 has no bitwise keys pipeline — the fused engine keeps the
+        XLA-table source and still matches the scan engine's weather."""
+        st, par, F, a, b = setup32
+        kw = dict(sigma=4.0, tau=0.05, years=2, K=3, seed=1,
+                  dtype="float64")
+        r_f = transitions("Classic", st, F, par, a, b, engine="fused",
+                          **kw)
+        r_s = transitions("Classic", st, F, par, a, b, engine="scan",
+                          **kw)
+        np.testing.assert_allclose(r_f.areas, r_s.areas, atol=1e-9)
