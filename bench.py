@@ -11,10 +11,13 @@ Environment knobs: EBM_BENCH_K (ensemble size, default 8192),
 EBM_BENCH_YEARS (timed years, default 48; fused mode rounds up to a whole number of EBM_BENCH_YPD-year dispatch chunks, default 24 — the measured amortization knee, BENCH_NOTES "years_per_dispatch amortization"), EBM_BENCH_DTYPE (float32|float64),
 EBM_BENCH_SOLVER (pcr_fused|pcr|thomas|pallas), EBM_BENCH_ENGINE
 (fused|batched|vmap; fused = whole-year Pallas kernel), EBM_BENCH_BLOCK_K,
-EBM_BENCH_MODE (integrate|equilibrate — equilibrate times the fixed-point
-driver: the fused kernel inside the convergence while_loop, measured
-faster per model-year than the integrate path since no host year loop
-remains; see BENCH_NOTES.md), EBM_BENCH_MODEL (MIZ|Classic — Classic
+EBM_BENCH_MODE (integrate|equilibrate|transitions — equilibrate times the
+fixed-point driver: the fused kernel inside the convergence while_loop,
+measured faster per model-year than the integrate path since no host year
+loop remains; transitions times the noisy path: OU-forced escape
+ensembles through the fused engine with in-kernel draw generation,
+EBM_BENCH_NOISE="sigma,tau" and EBM_OU_IMPL=serial|assoc knobs; see
+BENCH_NOTES.md), EBM_BENCH_MODEL (MIZ|Classic — Classic
 times the WE15 fused kernel on the same canonical grid/sweep; the
 headline metric stays MIZ).
 """
@@ -56,6 +59,8 @@ def main():
 
     if mode == "equilibrate":
         return bench_equilibrate(K, dtype)
+    if mode == "transitions":
+        return bench_transitions(K, dtype)
     if mode != "integrate":
         raise SystemExit(f"unknown EBM_BENCH_MODE {mode!r}")
 
@@ -255,6 +260,77 @@ def bench_equilibrate(K, dtype):
         f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s compile={compile_s:.1f}s "
         f"finite={finite} checksum={float(E.sum()):.6g} "
         f"device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+
+def bench_transitions(K, dtype):
+    """Noisy-path throughput (VERDICT r4 #6): OU-forced transitions
+    through the fused engine — in-kernel draw generation, the production
+    chunk shape (fixed years_per_dispatch), fixed seed. The checksum
+    (sum of all per-year areas + final etas) depends only on
+    (seed, config), so it is stable round over round; ``EBM_BENCH_NOISE``
+    = "sigma,tau" (default "2.0,0.02"), ``EBM_OU_IMPL`` picks the OU
+    evaluation (default = the transitions() default)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    import energybalancemodel_jl_tpu as ebm
+    from energybalancemodel_jl_tpu.utils.collection import Collection
+
+    years = int(os.environ.get("EBM_BENCH_YEARS", "48"))
+    ypd = max(1, int(os.environ.get("EBM_BENCH_YPD", "24")))
+    years = ((years + ypd - 1) // ypd) * ypd
+    sig_tau = os.environ.get("EBM_BENCH_NOISE", "2.0,0.02").split(",")
+    sigma, tau = float(sig_tau[0]), float(sig_tau[1])
+
+    st = ebm.SpaceTime.sin(180, 2000, 1)
+    par = Collection(ebm.default_parameters("MIZ"))
+    init = ebm.zeros_init(st)
+
+    t0 = time.time()
+    float(np.asarray(jnp.ones((8, 128), dtype) + 1.0).sum())
+    claim_s = time.time() - t0
+
+    # attractor references: 1-year equilibrate results OUTSIDE the timed
+    # region (their seasonal stores classify; throughput is the subject)
+    a = ebm.equilibrate("MIZ", st, ebm.Forcing(5.0), par, init, tol=0.0,
+                        max_years=1, dtype=dtype.name)
+    b = ebm.equilibrate("MIZ", st, ebm.Forcing(-15.0), par, init, tol=0.0,
+                        max_years=1, dtype=dtype.name)
+
+    common = dict(sigma=sigma, tau=tau, K=K, seed=0, dtype=dtype.name,
+                  engine="fused", years_per_dispatch=ypd)
+    # warmup: compiles the ypd-chunk graph (years == one chunk)
+    t0 = time.time()
+    ebm.transitions("MIZ", st, ebm.Forcing(0.0), par, a, b, years=ypd,
+                    **common)
+    compile_s = time.time() - t0
+
+    t0 = time.time()
+    res = ebm.transitions("MIZ", st, ebm.Forcing(0.0), par, a, b,
+                          years=years, **common)
+    elapsed = time.time() - t0
+
+    finite = bool(np.isfinite(res.areas).all())
+    checksum = float(np.nan_to_num(res.areas).sum() + res.eta.sum())
+    years_per_day = K * years / elapsed * 86400.0
+    baseline = 2.2e4
+
+    print(json.dumps({
+        "metric": "miz_noisy_model_years_per_day_per_chip",
+        "value": round(years_per_day, 1),
+        "unit": "model-years/day",
+        "vs_baseline": round(years_per_day / baseline, 2),
+    }))
+    print(
+        f"# mode=transitions K={K} years={years} ypd={ypd} sigma={sigma} "
+        f"tau={tau} dtype={dtype.name} engine={res.engine} "
+        f"elapsed={elapsed:.3f}s claim={claim_s:.1f}s "
+        f"compile={compile_s:.1f}s finite={finite} "
+        f"checksum={checksum:.6g} device={jax.devices()[0].platform}",
         file=sys.stderr,
     )
 

@@ -243,13 +243,12 @@ def _gen_noise_xk(noise_ref, keys_ref, nt_pad: int):
     k1 = keys_ref[0:1, :]  # (1, Kt) uint32, broadcast down the chunk
     k2 = keys_ref[1:2, :]
     chunk = min(nt_pad, _GEN_CHUNK)
-    t_rel = lax.broadcasted_iota(jnp.uint32, (chunk, Kt), 0)
-    zero = jnp.zeros((chunk, Kt), jnp.uint32)
-    for i in range(nt_pad // chunk):
-        o0, o1 = prng.threefry2x32(k1, k2, zero, t_rel + _u32_const(
-            i * chunk))
-        noise_ref[i * chunk:(i + 1) * chunk, :] = prng.normal_from_bits(
-            o0 ^ o1)
+    for t0 in range(0, nt_pad, chunk):
+        h = min(chunk, nt_pad - t0)  # ceil-div tail: EVERY row is filled
+        t_rel = lax.broadcasted_iota(jnp.uint32, (h, Kt), 0)
+        zero = jnp.zeros((h, Kt), jnp.uint32)
+        o0, o1 = prng.threefry2x32(k1, k2, zero, t_rel + _u32_const(t0))
+        noise_ref[t0:t0 + h, :] = prng.normal_from_bits(o0 ^ o1)
 
 
 def _assoc_ou_path(noise_ref, rho, scale, eta0, nt_pad: int):

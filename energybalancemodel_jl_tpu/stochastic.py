@@ -343,6 +343,61 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
     return run
 
 
+def _shard_fused_run(base_run, mesh, track):
+    """Mesh wrapper of the fused chunk fn (VERDICT r4 #2): pure-DP
+    ``shard_map`` over the member axis around the kernel launches — each
+    chip runs the whole-year kernel on its local member shard (per-shard
+    ``fused_unfit`` guarded by the caller), zero hot-loop collectives
+    except the final ``pmin`` of the Newton flag. Per-member draw keying
+    makes sharded == unsharded EXACT for Classic (``TestMeshFused``;
+    MIZ agrees to Newton sub-tolerance only — sharding regroups the
+    kernels' member blocks and the adaptive Newton loop iterates to
+    each block's max residual). Wrappers are cached per (chunk length,
+    sharded-leaf signature) so the adaptive chunk ladder reuses its
+    ~log2 variants."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    ax = mesh.axis_names[0]
+    cache = {}
+
+    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale):
+        mem = P(ax)
+        swept = tuple(sorted(n for n, v in par_j.items() if jnp.ndim(v)))
+        sig = (k, tuple(sorted(par_j)), swept, int(jnp.ndim(scale)))
+        fn = cache.get(sig)
+        if fn is None:
+            carry_specs = Collection({n: mem for n in carry})
+            par_specs = Collection({n: (mem if n in swept else P())
+                                    for n in par_j})
+            scale_spec = mem if jnp.ndim(scale) else P()
+
+            def local(carry, eta, keys, par_j, f_off, frows, year0, rho,
+                      scale):
+                carry, eta, areas, means, conv = base_run(
+                    carry, eta, keys, par_j, f_off, frows, year0, k, rho,
+                    scale)
+                return carry, eta, areas, means, jax.lax.pmin(conv, ax)
+
+            fn = shard_map(
+                local, mesh=mesh,
+                in_specs=(carry_specs, mem, mem, par_specs, mem, P(),
+                          P(), P(), scale_spec),
+                out_specs=(carry_specs, mem, P(None, ax),
+                           tuple(P(None, ax) for _ in track), P()),
+                # the kernel's out_shape carries no varying-mesh-axes
+                # annotation; per-shard independence is what this
+                # wrapper establishes (same as
+                # parallel.sharding.shard_map_fused_year_fn)
+                check_vma=False,
+            )
+            cache[sig] = fn
+        return fn(carry, eta, keys, par_j, f_off, frows, year0, rho,
+                  scale)
+
+    return run
+
+
 def _first_passage(labels: np.ndarray, start_label: int):
     """First-passage years from a ``(years, K)`` label history.
 
@@ -505,8 +560,14 @@ def transitions(
     bitwise-invariant because the noise is keyed on the absolute year.
     ``year0`` offsets the absolute year (draw keys AND ramp rows) — the
     bit-exact split/continue contract (module docstring). ``mesh`` (1-D
-    ``jax.sharding.Mesh``) shards members across chips (scan engine);
-    the draws are per-member keyed, so sharded == unsharded exactly.
+    ``jax.sharding.Mesh``) shards members across chips — BOTH engines:
+    the scan engine via jit sharding propagation, the fused engine via a
+    pure-DP ``shard_map`` around the kernel launches (each chip runs its
+    local member block; the VMEM fit is checked per shard). The draws
+    are per-member keyed, so sharded == unsharded exactly — bitwise for
+    the scan engine and fused Classic; fused MIZ agrees to Newton
+    sub-tolerance only (sharding regroups the kernels' member blocks,
+    and the adaptive Newton loop iterates to each BLOCK's max residual).
 
     Escape statistics (:class:`TransitionResult`): ``escape_fraction``,
     ``mean_first_passage`` (escaped members only, censoring-biased), and
@@ -641,19 +702,21 @@ def transitions(
 
     # engine resolution (same policy family as integrate/equilibrate):
     # the fused noisy kernel needs a model with a whole-year kernel, f32
-    # (no practical Mosaic f64 path), the 'xk' VMEM fit WITH the noise
-    # table, and no mesh (members stay on one chip's kernel; shard with
-    # the scan engine). On CPU interpret mode is slow — stay on XLA.
+    # (no practical Mosaic f64 path) and the 'xk' VMEM fit WITH the
+    # noise table — per SHARD when a mesh splits the members (the kernel
+    # then launches on each chip's local block via shard_map,
+    # _shard_fused_run). On CPU interpret mode is slow — stay on XLA.
     from .ops.pallas_year import default_interpret, fused_unfit
 
+    n_shards = mesh.size if mesh is not None else 1
     if engine == "auto":
         use_fused = (
             jax.default_backend() == "tpu"
             and spec.name in ("MIZ", "Classic")
             and dtype != jnp.float64
-            and mesh is None
+            and K_run % n_shards == 0
             and fused_unfit(spec.name, st, dtype, par, block_k,
-                            noise=True) is None
+                            K=K_run // n_shards, noise=True) is None
         )
         engine = "fused" if use_fused else "scan"
     elif engine == "fused":
@@ -661,15 +724,12 @@ def transitions(
             raise ValueError(
                 f"engine='fused' has no whole-year kernel for model "
                 f"{spec.name!r}; use engine='scan'")
-        if mesh is not None:
-            raise ValueError(
-                "engine='fused' does not take a mesh; use engine='scan' "
-                "to shard members across chips")
         if dtype == jnp.float64 and jax.default_backend() == "tpu":
             raise ValueError(
                 "engine='fused' has no float64 path on TPU; use "
                 "engine='scan'")
-        unfit = fused_unfit(spec.name, st, dtype, par, block_k, noise=True)
+        unfit = fused_unfit(spec.name, st, dtype, par, block_k,
+                            K=max(K_run // n_shards, 1), noise=True)
         if unfit:
             raise ValueError(unfit)
     elif engine != "scan":
@@ -760,6 +820,8 @@ def transitions(
         run = _transition_fused_loop_fn(
             spec.name, st, cfg, dtype.name, season, track,
             default_interpret(), int(block_k), noise_src, ou_impl)
+        if mesh is not None:
+            run = _shard_fused_run(run, mesh, track)
     else:
         run = _transition_loop_fn(spec.name, st, cfg, dtype.name, season,
                                   track)

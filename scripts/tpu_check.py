@@ -440,6 +440,122 @@ def s_transitions_fused():
           f"K=2048/16yr ok (escaped frac {frac:.2f})", flush=True)
 
 
+@stage("in-kernel draws: Mosaic threefry+erfinv BITWISE vs jax.random")
+def s_inkernel_draws():
+    # THE round-5 contract (VERDICT r4 #1): the draws the compiled Mosaic
+    # kernel generates must equal jax.random.normal's bit for bit ON THE
+    # CHIP (CPU interpret only proves the XLA:CPU contraction context;
+    # Mosaic's float pipeline is the open question). Two layers:
+    # (1) direct: a gen-only pallas kernel's (nt, 128) table vs the
+    #     vmapped jax.random.normal oracle, bitwise;
+    # (2) end-to-end: transitions keys-mode vs table-mode trajectories
+    #     bitwise (any draw bit would chaotically diverge them).
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from energybalancemodel_jl_tpu.ops.pallas_year import _gen_noise_xk
+
+    nt, Kt = 2000, 128
+    nt_pad = ((nt + 7) // 8) * 8
+    base = jax.random.PRNGKey(11)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(Kt, dtype=jnp.uint32))
+
+    def kern(keys_ref, out_ref):
+        _gen_noise_xk(out_ref, keys_ref, nt_pad)
+
+    tab = np.asarray(pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((nt_pad, Kt), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(keys.T))[:nt]
+    oracle = np.asarray(jax.vmap(
+        lambda k: jax.random.normal(k, (nt,), jnp.float32),
+        out_axes=1)(keys))
+    neq = int((tab.view(np.int32) != oracle.view(np.int32)).sum())
+    assert neq == 0, (
+        f"{neq}/{tab.size} generated draws differ from jax.random.normal "
+        f"on-chip — the Mosaic float pipeline contracts differently; "
+        f"max ulp {np.max(np.abs(tab.view(np.int32).astype(np.int64) - oracle.view(np.int32)))}")
+
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        E=np.full(st.nx, e), Tg=np.full(st.nx, e) / cw)
+    a = ebm.equilibrate("Classic", st, 10.0, par, mk(30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    b = ebm.equilibrate("Classic", st, 10.0, par, mk(-30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    kw = dict(sigma=8.0, tau=0.05, years=3, K=8, seed=4, dtype="float32")
+    os.environ["EBM_FUSED_NOISE"] = "keys"
+    r_k = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
+    os.environ["EBM_FUSED_NOISE"] = "table"
+    r_t = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
+    os.environ.pop("EBM_FUSED_NOISE", None)
+    assert r_k.engine == "fused" and r_t.engine == "fused"
+    np.testing.assert_array_equal(r_k.areas, r_t.areas)
+    np.testing.assert_array_equal(r_k.eta, r_t.eta)
+    print("      Mosaic draws bitwise == jax.random.normal "
+          "(direct table + trajectories)", flush=True)
+
+
+@stage("assoc OU path on-chip: sigma=0 bitwise det; serial parity")
+def s_assoc_ou():
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        E=np.full(st.nx, e), Tg=np.full(st.nx, e) / cw)
+    a = ebm.equilibrate("Classic", st, 10.0, par, mk(30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    b = ebm.equilibrate("Classic", st, 10.0, par, mk(-30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    kw = dict(sigma=8.0, tau=0.05, years=3, K=8, seed=4, dtype="float32")
+    r_s = ebm.transitions("Classic", st, 10.0, par, a, b,
+                          ou_impl="serial", **kw)
+    r_a = ebm.transitions("Classic", st, 10.0, par, a, b,
+                          ou_impl="assoc", **kw)
+    np.testing.assert_allclose(r_a.eta, r_s.eta, rtol=1e-4, atol=1e-5)
+    k0 = dict(kw, sigma=0.0, years=2)
+    r0s = ebm.transitions("Classic", st, 10.0, par, a, b,
+                          ou_impl="serial", **k0)
+    r0a = ebm.transitions("Classic", st, 10.0, par, a, b,
+                          ou_impl="assoc", **k0)
+    np.testing.assert_array_equal(r0s.areas, r0a.areas)
+    for k in r0s.state:
+        np.testing.assert_array_equal(np.asarray(r0s.state[k]),
+                                      np.asarray(r0a.state[k]))
+    print("      assoc: sigma=0 bitwise det; eta within tree round-off",
+          flush=True)
+
+
+@stage("fused transitions + mesh: sharded == unsharded (1-chip mesh)")
+def s_fused_mesh():
+    from jax.sharding import Mesh
+
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        E=np.full(st.nx, e), Tg=np.full(st.nx, e) / cw)
+    a = ebm.equilibrate("Classic", st, 10.0, par, mk(30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    b = ebm.equilibrate("Classic", st, 10.0, par, mk(-30.0),
+                        max_years=60, tol=2.0, dtype="float32")
+    kw = dict(sigma=8.0, tau=0.05, years=3, K=8, seed=4,
+              dtype="float32", engine="fused", track=("E",))
+    r0 = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("members",))
+    r1 = ebm.transitions("Classic", st, 10.0, par, a, b, mesh=mesh, **kw)
+    np.testing.assert_array_equal(r0.areas, r1.areas)
+    np.testing.assert_array_equal(r0.eta, r1.eta)
+    np.testing.assert_array_equal(r0.tracked["E"], r1.tracked["E"])
+    print("      fused+mesh bitwise == unsharded on-chip", flush=True)
+
+
 @stage("kx separable insolation rebuild is BITWISE vs table mode")
 def s_separable_bitwise():
     # the round-3 'kx' in-kernel insolation rebuild must reproduce the

@@ -1379,3 +1379,43 @@ class TestInKernelDraws:
             pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
                             interpret=True, layout="xk",
                             noise_keys=jnp.zeros((4, 2), jnp.int32))
+
+    def test_multi_chunk_generation_fills_every_row(self):
+        """nt above _GEN_CHUNK exercises the chunked fill's tail
+        (regression: a floor-divided chunk count left rows >= 1024
+        uninitialized at the canonical nt=2000)."""
+        from energybalancemodel_jl_tpu.ops import prng
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            _GEN_CHUNK, pallas_classic_year,
+        )
+
+        nt = _GEN_CHUNK + 512
+        st = ebm.SpaceTime.sin(8, nt, 1)
+        par = Collection(
+            {k_: jnp.asarray(v, DTYPE)
+             for k_, v in ebm.default_parameters("Classic").items()})
+        spec = get_model("Classic")
+        E0 = np.full(st.nx, 30.0)
+        init = Collection(E=E0, Tg=E0 / float(par["cw"]))
+        carry = spec.init_carry(init, st, DTYPE)
+        carry = Collection(
+            {k_: jnp.broadcast_to(v, (3,) + v.shape)
+             for k_, v in carry.items()})
+        fyear = jnp.zeros(st.nt, dtype=DTYPE)
+        yk = self._keys(3, seed=2)
+        rho = jnp.asarray(0.9, DTYPE)
+        scale = jnp.asarray(0.5, DTYPE)
+        eta0 = jnp.zeros((3,), DTYPE)
+        c_tab, _, _, eta_tab = pallas_classic_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise=prng.normal_table(yk, nt), noise_ou=(rho, scale, eta0))
+        c_gen, _, _, eta_gen = pallas_classic_year(
+            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
+            noise_keys=yk, noise_ou=(rho, scale, eta0))
+        assert np.isfinite(np.asarray(eta_gen)).all()
+        np.testing.assert_array_equal(np.asarray(eta_gen),
+                                      np.asarray(eta_tab))
+        for key in c_tab:
+            np.testing.assert_array_equal(
+                np.asarray(c_gen[key]), np.asarray(c_tab[key]),
+                err_msg=key)
