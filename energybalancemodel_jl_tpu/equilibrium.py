@@ -1150,7 +1150,7 @@ class StabilityResult:
 def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                        m: int, keys_order: Tuple[str, ...],
                        widths: Tuple[int, ...], project_keys: frozenset,
-                       side: str = "adjoint"):
+                       side: str = "adjoint", remat: bool = False):
     """Jitted power/subspace-iteration chunk for :func:`stability`. The
     linearization point (carry), parameters, forcing row, and frozen mask
     enter as ARGUMENTS, not closure constants, so ONE compilation serves
@@ -1158,7 +1158,14 @@ def _stability_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
     closure would retrace and recompile the reverse-mode year graph at
     every level (the same closure-churn pattern progress_steps once hit,
     CLAUDE.md)."""
-    year = make_year_fn(model_name, st, cfg, dtype_name, False)
+    # remat (ensembles only, mirroring lyapunov): the vjp power
+    # iteration then stores only the carry chain — per-step residuals
+    # scale with K and a wide-ensemble vjp OOMs at compile otherwise
+    # (156 GB at K=1024, measured on the lyapunov twin round 5). Solo
+    # runs keep the round-4 graph exactly (a checkpoint annotation
+    # perturbs FMA contraction at ~1e-12 between programs).
+    year = make_year_fn(model_name, st, cfg, dtype_name, False,
+                        remat=remat)
     dtype = jnp.dtype(dtype_name)
     tiny = jnp.asarray(np.finfo(dtype).tiny, dtype)
 
@@ -1458,7 +1465,8 @@ def stability(
             f"n_modes={m} exceeds the state dimension {sum(widths)}"
         )
     run, prep = _stability_loop_fn(model, st, cfg, dtype.name, m,
-                                   keys_order, widths, project, side)
+                                   keys_order, widths, project, side,
+                                   remat=ensemble)
 
     rng = np.random.default_rng(seed)
     rand = Collection({

@@ -91,6 +91,7 @@ def make_year_fn(
     debug: Optional[Callable] = None,
     tick_every: int = 0,
     tick_cb: Optional[Callable] = None,
+    remat: bool = False,
 ):
     """Build the pure one-year scan function
     ``(carry, par, fyear) -> (carry, seasonal, converged, raw_or_None)``.
@@ -98,6 +99,17 @@ def make_year_fn(
     ``par`` is traced (ensembles vmap over it without recompiling);
     the grid, config, and debug hook are static. Cached so repeated
     ``integrate`` calls and the ensemble layer share tracings.
+
+    ``remat=True`` wraps the physics step in :func:`jax.checkpoint`, so
+    REVERSE-MODE consumers (lyapunov tangent propagation, stability's
+    vjp power iteration) store only the per-step carry chain instead of
+    every step's internal residuals — without it, vjp through a year
+    needs ~R x nt x K x nx floats of residuals and an ensemble vjp at
+    K=1024 demands 156 GB of HBM (measured round 5: compile-time OOM);
+    with it the footprint is the carry chain, ~9 GB at K=1024/f32.
+    Forward-only consumers must leave it False (identical numerics, but
+    the annotation can perturb fusion); the recomputation replays the
+    identical op sequence, so gradients are unchanged.
 
     ``tick_every``/``tick_cb``: emit a host progress callback
     (``jax.debug.callback``) every ``tick_every`` in-year steps — sub-year
@@ -111,8 +123,16 @@ def make_year_fn(
     s0 = st.summer_inx - 1
     ticking = tick_cb is not None and tick_every > 0
 
+    if remat:
+        base_step = jax.checkpoint(
+            lambda carry, xs, stat, par: spec.step(carry, xs, stat, par,
+                                                   cfg))
+    else:
+        base_step = lambda carry, xs, stat, par: spec.step(carry, xs,
+                                                           stat, par, cfg)
+
     def scan_step(stat, par, carry, xs, idx=None, year_base=None):
-        carry, out = spec.step(carry, xs, stat, par, cfg)
+        carry, out = base_step(carry, xs, stat, par)
         if debug is not None:
             out = Collection(out)
             out["debug"] = debug(out, par)

@@ -103,7 +103,8 @@ class LyapunovResult:
 
 @functools.lru_cache(maxsize=32)
 def _lyapunov_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
-                      m: int, keys_order, widths, project_keys):
+                      m: int, keys_order, widths, project_keys,
+                      remat: bool = False):
     """Jitted Benettin chunk: advance the trajectory ``k`` years while
     propagating and re-orthonormalizing an m-column tangent block.
 
@@ -113,8 +114,23 @@ def _lyapunov_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
     linearizes at the current state (the vjp's primal output advances the
     trajectory for free) and the frozen-cell projection mask is recomputed
     from the CURRENT state, since the ice cover moves with the trajectory.
+
+    ``remat=True`` (ensembles): reverse mode through a year stores
+    per-step residuals that scale with K — a K=1024 ensemble vjp demands
+    156 GB of HBM at compile (measured round 5) — so the ensemble chunk
+    runs TWO-PHASE: a pure forward scan stacks each year's linearization
+    point, then the tangent block propagates over the stored points with
+    a ``jax.checkpoint``-wrapped year (memory = the carry chain). Any
+    restructure of the reverse graph makes the final state's FMA
+    contraction scan-length-sensitive at ~1e-12 (measured — even with
+    the forward in its own scan), so SOLO runs keep the exact round-4
+    single-vjp graph and its bitwise chunking invariance; ensemble
+    chunking invariance is round-off-level in the final state (the
+    growth history is bitwise in both).
     """
     year = make_year_fn(model_name, st, cfg, dtype_name, False)
+    year_r = make_year_fn(model_name, st, cfg, dtype_name, False,
+                          remat=True)
     dtype = jnp.dtype(dtype_name)
     tiny = jnp.asarray(np.finfo(dtype).tiny, dtype)
 
@@ -156,25 +172,50 @@ def _lyapunov_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
     def prep(v, frozen):
         return fit(proj(v, frozen))[0]
 
-    @functools.partial(jax.jit, static_argnums=(4,))
-    def run(carry, v, par_j, frow_j, k):
-        def one_year(cv, _):
-            carry, v = cv
-            new_carry, pb = jax.vjp(
-                lambda c: year(c, par_j, frow_j)[0], carry)
-            # exact J u at the CURRENT state: transpose the linear pullback
-            lt = jax.linear_transpose(lambda u: pb(u)[0], carry)
-            base = lambda u: lt(u)[0]
-            jv = (jax.vmap(base) if m > 1 else base)(v)
-            frozen = (carry["phi"] >= 0.99) if project_keys else None
-            v, lam = fit(proj(jv, frozen))
-            # log growth in 1/yr; guard the dead-column zero
-            loglam = jnp.log(jnp.maximum(lam, tiny))
-            return (new_carry, v), loglam
+    if remat:
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run(carry, v, par_j, frow_j, k):
+            # ensemble TWO-PHASE chunk (see docstring): pure forward scan
+            # stacking linearization points, then the remat'd tangent
+            # scan. Stacked points cost k x 6 x (K, nx) floats per
+            # dispatch — the adaptive chunking keeps k modest.
+            def adv(c, _):
+                return year(c, par_j, frow_j)[0], c
 
-        (carry, v), logs = lax.scan(one_year, (carry, v), None,
-                                    length=int(k))
-        return carry, v, logs
+            carry_end, points = lax.scan(adv, carry, None, length=int(k))
+
+            def tang(v, pt):
+                _, pb = jax.vjp(lambda c: year_r(c, par_j, frow_j)[0],
+                                pt)
+                lt = jax.linear_transpose(lambda u: pb(u)[0], pt)
+                base = lambda u: lt(u)[0]
+                jv = (jax.vmap(base) if m > 1 else base)(v)
+                frozen = (pt["phi"] >= 0.99) if project_keys else None
+                v, lam = fit(proj(jv, frozen))
+                return v, jnp.log(jnp.maximum(lam, tiny))
+
+            v, logs = lax.scan(tang, v, points)
+            return carry_end, v, logs
+    else:
+        @functools.partial(jax.jit, static_argnums=(4,))
+        def run(carry, v, par_j, frow_j, k):
+            # solo: the exact round-4 graph — the vjp primal advances the
+            # trajectory, bitwise chunk-invariant (docstring)
+            def one_year(cv, _):
+                carry, v = cv
+                new_carry, pb = jax.vjp(
+                    lambda c: year(c, par_j, frow_j)[0], carry)
+                lt = jax.linear_transpose(lambda u: pb(u)[0], carry)
+                base = lambda u: lt(u)[0]
+                jv = (jax.vmap(base) if m > 1 else base)(v)
+                frozen = (carry["phi"] >= 0.99) if project_keys else None
+                v, lam = fit(proj(jv, frozen))
+                loglam = jnp.log(jnp.maximum(lam, tiny))
+                return (new_carry, v), loglam
+
+            (carry, v), logs = lax.scan(one_year, (carry, v), None,
+                                        length=int(k))
+            return carry, v, logs
 
     return run, prep
 
@@ -313,7 +354,8 @@ def lyapunov(
         )
 
     run, prep = _lyapunov_loop_fn(spec.name, st, cfg, dtype.name, m,
-                                  keys_order, widths, project)
+                                  keys_order, widths, project,
+                                  remat=ensemble)
 
     rng = np.random.default_rng(seed)
     if v0 is None:

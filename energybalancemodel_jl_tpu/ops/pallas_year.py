@@ -211,6 +211,25 @@ def _validate_noise_args(dtype, noise, noise_ou, noise_keys, ou_assoc):
             "scratch — it requires noise_keys= and noise_ou=")
 
 
+# Trace-time probe switch for the per-step noise-row ACCESS PATTERN —
+# measurement instrumentation only (scripts/probe_noise_read.py; round-5
+# BENCH_NOTES "Noisy-path cost anatomy, corrected"). None = production
+# dynamic sublane slice noise_ref[pl.ds(t, 1), :]; 'static0' = static row
+# 0 (isolates the dynamism of the slice); 'mod8' = dynamic slice within
+# the first tile (isolates buffer-height dependence). NEVER set outside
+# probes: non-None modes read wrong weather by design.
+_NOISE_READ_PROBE = None
+
+
+def _noise_row(noise_ref, t):
+    """Per-step noise row read (see ``_NOISE_READ_PROBE``)."""
+    if _NOISE_READ_PROBE == "static0":
+        return noise_ref[0:1, :]
+    if _NOISE_READ_PROBE == "mod8":
+        return noise_ref[pl.ds(t % 8, 1), :]
+    return noise_ref[pl.ds(t, 1), :]
+
+
 # row-chunk height of the in-kernel draw generation sweep: bounds the
 # transient uint32 intermediates to ~6 x (chunk, Kt) words (~3 MB at 1024)
 # regardless of nt, so high-nt configs cannot blow the scoped-VMEM budget
@@ -508,7 +527,7 @@ def _kernel_xk(
             eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
             f_t = f_t + eta
         elif noise_ref is not None:
-            f_t = f_t + noise_ref[pl.ds(t, 1), :]
+            f_t = f_t + _noise_row(noise_ref, t)
         xs = Collection(insol=insol, f=f_t)
         carry, out = miz.step(carry, xs, stat, par, cfg)
         out = dict(out)
@@ -1607,7 +1626,7 @@ def _classic_kernel_xk(
             eta = ou_rho * eta + ou_scale * noise_ref[pl.ds(t, 1), :]
             f_t = f_t + eta
         elif noise_ref is not None:
-            f_t = f_t + noise_ref[pl.ds(t, 1), :]
+            f_t = f_t + _noise_row(noise_ref, t)
         xs = Collection(
             S_i=colA - (tab["S1"] * cosv_ref[t]) * colX,
             S_ip1=colA - (tab["S1"] * cosv_ref[t + 1]) * colX,  # wraparound (:61)

@@ -591,7 +591,8 @@ def main():
               s_path_stability, s_projected, s_io, s_calibrate,
               s_fold, s_edge, s_edge_state, s_highres, s_sensitivity,
               s_right_side, s_integrate_chunks, s_lyapunov,
-              s_transitions, s_transitions_fused, s_separable_bitwise]
+              s_transitions, s_transitions_fused, s_inkernel_draws,
+              s_assoc_ou, s_fused_mesh, s_separable_bitwise]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)
