@@ -1,29 +1,37 @@
 """On-chip probe: WHERE does the fused noisy year's +0.34 s/yr go?
 
-Round-5 finding (bench_layers interleaved A/B): keys-generated,
-XLA-table, serial-OU and assoc-OU noisy arms ALL cost ~0.92 s/yr against
-a 0.584 det control in the same window — so the round-4 attribution
-(+250 ms/yr operand materialization, +200 ms/yr serial recurrence) is
-refuted: removing the operand entirely (in-kernel generation) and the
-recurrence (log-depth precompute) moved NOTHING. The remaining common
-element is the per-step read ``noise_ref[pl.ds(t, 1), :]`` — a dynamic
-sublane slice into an (nt_pad, Kt) VMEM buffer — plus the buffer's VMEM
-residency itself. This probe separates those with same-process
-interleaved arms (plain-noisy mode, zero table: deterministic dynamics,
-identical physics work):
+Round-5 findings so far (same-process interleaved A/Bs, K=8192,
+canonical grid):
 
-  det      — no noise argument at all (control)
-  dyn      — production read: dynamic slice at t
-  static0  — static row-0 read (same buffer resident; no dynamism)
-  mod8     — dynamic slice folded into the first tile (same dynamism;
-             tests whether buffer HEIGHT matters to the lowered access)
+* batch #1 (bench_layers): keys-generated, XLA-table, serial-OU and
+  assoc-OU arms ALL cost ~0.92 s/yr vs a 0.584 det control — refuting
+  the round-4 attribution (+250 operand / +200 recurrence): removing
+  the operand and the recurrence each moved NOTHING.
+* batch #2 (this script, phase 1): with a LOOP-INVARIANT zero table the
+  noisy kernel costs the SAME as the det kernel (x_det 1.004 / 1.002 /
+  1.001 for dynamic / static-row-0 / first-tile reads) — the per-step
+  dynamic sublane slice and the buffer residency are FREE.
 
-Interpretation: static0 >> dyn-cost-drop => the slice's dynamism is the
-cost (pursue tile-aligned group reads / 8-step inner unroll); static0 ~
-dyn => the cost is buffer residency or the extra row add (pursue VMEM
-layout or accept the floor).
+So the cost lives in what phase 1 held constant: the PER-YEAR FRESHNESS
+of the noise operand (a new producer every scan iteration) and/or the
+OU-mode kernel structure (eta carry + output). Phase 2 arms:
+
+  det          — control
+  const_tab    — loop-invariant zero table (phase-1 'dyn'; expect ~det)
+  fresh_tab    — the r4 production table: vmapped jax.random.normal per
+                 year (fresh (nt, K) producer per scan iteration)
+  fresh_gen    — in-kernel generation from per-year folded keys (fresh
+                 (K, 2) operand only)
+  ou_const     — OU-mode kernel (serial recurrence + eta out) on a
+                 loop-invariant table
+  ou_fresh_gen — full production serial arm (keys + in-kernel OU)
+
+Reading: fresh_tab >> const_tab isolates operand freshness; ou_const >>
+const_tab isolates the OU kernel structure; ou_fresh_gen should
+reproduce batch #1's 0.92/0.58 ratio as the cross-check.
 
 Run on an idle host, in the background, never timeout-killed.
+EBM_PROBE_PHASE=1 re-runs the phase-1 read-pattern arms.
 """
 import json
 import os
@@ -56,14 +64,13 @@ K = int(os.environ.get("EBM_BENCH_K", "8192"))
 Y1, Y2, YPD = 8, 16, 8
 
 
-def make_runner(noisy: bool, probe):
-    """Build a chunked runner whose traces bake in ``probe``.
-
-    ``pallas_miz_year`` is module-jitted with a SHARED cache, which
-    would let the first-traced arm win for all; instead each arm jits
-    the unwrapped function in its own closure, and ``run`` holds the
-    probe global set for the duration of every call so whichever call
-    triggers tracing sees it."""
+def make_runner(mode, probe=None):
+    """Chunked runner for one arm. ``mode`` selects the noise plumbing;
+    ``probe`` (phase 1) selects the in-kernel read pattern via the
+    trace-time ``_NOISE_READ_PROBE`` global — each arm jits the
+    UNWRAPPED kernel in its own closure (the module-level jit cache
+    would let the first-traced arm win otherwise) and holds the global
+    set for the duration of every call."""
     nx, nt = (int(v) for v in
               os.environ.get("EBM_PROBE_ST", "180,2000").split(","))
     st = ebm.SpaceTime.sin(nx, nt, 1)
@@ -78,26 +85,69 @@ def make_runner(noisy: bool, probe):
     carry0 = Collection({k: jnp.broadcast_to(v, (K,) + v.shape)
                          for k, v in carry0.items()})
     fyear = jnp.zeros(st.nt, dtype=dtype)
-    noise = jnp.zeros((st.nt, K), dtype) if noisy else None
+    noise_const = jnp.zeros((st.nt, K), dtype)
+    base_key = jax.random.PRNGKey(0)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.arange(K, dtype=jnp.uint32))
+    rho = jnp.asarray(0.97, dtype)
+    scale0 = jnp.asarray(0.0, dtype)
+    eta0 = jnp.zeros((K,), dtype)
     raw_year = py.pallas_miz_year.__wrapped__  # un-jitted
     interp = py.default_interpret()
 
-    def year(c):
-        c, seas, _conv, _ = raw_year(c, par_j, fyear, st, cfg,
-                                     layout="xk", noise=noise,
-                                     interpret=interp)
-        return c, seas
+    from energybalancemodel_jl_tpu.utils.numerics import hemispheric_mean
 
-    year_j = jax.jit(year)
+    x_row = jnp.asarray(st.x, dtype)
+
+    def year(c, yi, eta=None):
+        kw = {}
+        if mode in ("const_tab", "ou_const"):
+            kw["noise"] = noise_const
+        elif mode == "fresh_tab":
+            draw = lambda k_: jax.random.normal(
+                jax.random.fold_in(k_, yi), (st.nt,), dtype)
+            kw["noise"] = jax.vmap(draw, out_axes=1)(keys)
+        elif mode in ("fresh_gen", "ou_fresh_gen", "ou_eta_carry",
+                      "ou_full"):
+            kw["noise_keys"] = jax.vmap(
+                lambda k_: jax.random.fold_in(k_, yi))(keys)
+        elif mode == "ou_xs_keys":
+            kw["noise_keys"] = yi  # pre-folded (K, 2) fed via scan xs
+        if mode.startswith("ou"):
+            kw["noise_ou"] = (rho, scale0,
+                              eta if eta is not None else eta0)
+        c, seas, _conv, eta_out = raw_year(c, par_j, fyear, st, cfg,
+                                           layout="xk", interpret=interp,
+                                           **kw)
+        return c, seas, eta_out
+
+    yi0 = (jax.vmap(lambda k_: jax.random.fold_in(k_, 0))(keys)
+           if mode == "ou_xs_keys" else jnp.asarray(0, jnp.uint32))
+    year_j = jax.jit(lambda c: year(c, yi0)[:2])
+    carry_eta = mode in ("ou_eta_carry", "ou_full")
+    with_area = mode == "ou_full"
 
     @jax.jit
-    def chunk(c, seas):
-        def body(cs, _):
-            c, _s = cs
-            return year(c), None
+    def chunk(c, seas, eta, y0):
+        if mode == "ou_xs_keys":
+            xs = jax.vmap(
+                lambda yi: jax.vmap(
+                    lambda k_: jax.random.fold_in(k_, yi))(keys)
+            )(y0 + jnp.arange(YPD, dtype=jnp.uint32))  # (YPD, K, 2)
+        else:
+            xs = y0 + jnp.arange(YPD, dtype=jnp.uint32)
 
-        (c, seas), _ = lax.scan(body, (c, seas), None, length=YPD)
-        return c, seas
+        def body(cs, yi):
+            c, _, eta = cs
+            c, seas, eta_out = year(c, yi, eta if carry_eta else None)
+            out = None
+            if with_area:
+                out = 2.0 * jnp.pi * hemispheric_mean(
+                    jnp.nan_to_num(seas.avg["phi"]), x_row)
+            return (c, seas, eta_out if carry_eta else eta), out
+
+        (c, seas, eta), outs = lax.scan(body, (c, seas, eta), xs)
+        return c, seas, eta, outs
 
     state = {}
 
@@ -107,10 +157,11 @@ def make_runner(noisy: bool, probe):
             t0 = time.time()
             if "c" not in state:
                 state["c"], state["s"] = year_j(carry0)
-            c, seas = state["c"], state["s"]
+            c, seas, eta = state["c"], state["s"], eta0
             done = 0
             while done < years:
-                c, seas = chunk(c, seas)
+                c, seas, eta, _outs = chunk(
+                    c, seas, eta, jnp.asarray(done + 1, jnp.uint32))
                 done += YPD
             np.asarray(seas.avg["E"])
             return time.time() - t0
@@ -120,16 +171,93 @@ def make_runner(noisy: bool, probe):
     return run
 
 
+def make_driver_runner():
+    """The ACTUAL production chunk fn (_transition_fused_loop_fn) under
+    the probe's marginal scheme — the in-window ground truth the
+    synthetic arms are compared against. If this reads ~1.58 x_det while
+    ou_full reads ~1.0, the gap is in the driver's remaining specifics;
+    if it reads ~1.0 the earlier 0.92 s/yr was window-borne."""
+    from energybalancemodel_jl_tpu.models.base import default_step_config
+    from energybalancemodel_jl_tpu.stochastic import (
+        _transition_fused_loop_fn)
+
+    nx, nt = (int(v) for v in
+              os.environ.get("EBM_PROBE_ST", "180,2000").split(","))
+    st = ebm.SpaceTime.sin(nx, nt, 1)
+    dtype = jnp.float32
+    cfg = default_step_config("float32")
+    par = Collection(ebm.default_parameters("MIZ"))
+    par_run = Collection({k: jnp.asarray(v, dtype) for k, v in
+                          par.items()})
+    par_run["D"] = jnp.asarray(np.linspace(0.55, 0.65, K), dtype)
+    spec = get_model("MIZ")
+    carry0 = spec.init_carry(ebm.zeros_init(st), st, dtype)
+    carry0 = Collection({k: jnp.broadcast_to(v, (K,) + v.shape)
+                         for k, v in carry0.items()})
+    base_key = jax.random.PRNGKey(0)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
+        jnp.arange(K, dtype=jnp.uint32))
+    f_off = jnp.zeros((K,), dtype)
+    frows = jnp.zeros((YPD, st.nt), dtype)
+    rho, scale = 0.97, jnp.asarray(1.0, dtype)
+    run_fn = _transition_fused_loop_fn("MIZ", st, cfg, "float32", "avg",
+                                       (), py.default_interpret(), 128,
+                                       "keys", "serial")
+    state = {}
+
+    def run(years):
+        t0 = time.time()
+        if "c" not in state:
+            state["c"], state["e"] = carry0, jnp.zeros((K,), dtype)
+        c, eta = state["c"], state["e"]
+        done = 0
+        while done < years:
+            c, eta, areas, _means, _conv = run_fn(
+                c, eta, keys, par_run, f_off, frows,
+                jnp.asarray(done, jnp.int32), YPD, rho, scale)
+            done += YPD
+        np.asarray(areas)
+        return time.time() - t0
+
+    return run
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     np.asarray(jnp.ones((8, 128)) @ jnp.ones((128, 8)))  # claim
 
-    arms = {
-        "det": make_runner(False, None),
-        "dyn": make_runner(True, None),
-        "static0": make_runner(True, "static0"),
-        "mod8": make_runner(True, "mod8"),
-    }
+    if os.environ.get("EBM_PROBE_PHASE") == "1":
+        arms = {
+            "det": make_runner("det"),
+            "dyn": make_runner("const_tab"),
+            "static0": make_runner("const_tab", "static0"),
+            "mod8": make_runner("const_tab", "mod8"),
+        }
+    elif os.environ.get("EBM_PROBE_PHASE") == "2":
+        arms = {
+            "det": make_runner("det"),
+            "const_tab": make_runner("const_tab"),
+            "fresh_tab": make_runner("fresh_tab"),
+            "fresh_gen": make_runner("fresh_gen"),
+            "ou_const": make_runner("ou_const"),
+            "ou_fresh_gen": make_runner("ou_fresh_gen"),
+        }
+    else:
+        # phase 3: with phase 2 showing freshness costs ~0.17 s/yr
+        # SIZE-INDEPENDENTLY and the OU structure free, separate the
+        # production driver's remaining ingredients: scan-xs-fed
+        # pre-folded keys (is xs slicing "fresh"?), the eta carry
+        # (kernel eta output -> next pars stack = a fresh pars operand
+        # per year), and the per-year area reduction (ou_full =
+        # everything the real driver does minus label bookkeeping)
+        arms = {
+            "det": make_runner("det"),
+            "ou_fresh_gen": make_runner("ou_fresh_gen"),
+            "ou_xs_keys": make_runner("ou_xs_keys"),
+            "ou_eta_carry": make_runner("ou_eta_carry"),
+            "ou_full": make_runner("ou_full"),
+            "driver": make_driver_runner(),
+        }
     for name, run in arms.items():
         run(Y1)  # compile + warm
         print(f"warmed {name}", flush=True)
