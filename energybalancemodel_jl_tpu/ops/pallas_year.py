@@ -276,10 +276,10 @@ def _assoc_ou_path(noise_ref, rho, scale, eta0, nt_pad: int):
 
     Computes ``eta_t = rho^{t+1} eta0 + sum_{j<=t} rho^{t-j} scale xi_j``
     — the same recurrence the serial in-loop mode evaluates, but as a
-    tree reduction: ~ceil(log2 nt) full-tile passes (a few ms) instead of
-    an ``nt``-step serial chain (~200 ms/yr at nt=2000/K=8192, BENCH_NOTES
-    round-4 "Noise-operand anatomy" — the cost is the dependency chain,
-    not the flops). The tree regrouping rounds differently from the
+    tree reduction: ~ceil(log2 nt) full-tile passes instead of an
+    ``nt``-step serial chain. (Round-5 measurement, BENCH_NOTES "phases
+    3-7": the serial chain is FREE on-chip — this mode exists as an
+    engine option, not a speedup.) The tree regrouping rounds differently from the
     serial chain at ~1 ulp per term — `ou_impl='assoc'` is therefore an
     ENGINE-PARITY-level twin of the serial mode, not a bitwise one;
     ``scale = 0`` + ``eta0 = 0`` still yields eta == 0.0 exactly (every
@@ -451,22 +451,23 @@ def _kernel_xk(
     WHITE noise ``xi`` and runs the OU recurrence ``eta' = rho eta +
     scale xi_t`` IN-KERNEL (per-member rows ``_XK_OU_RHO``/``_XK_OU_SCALE``
     /``_XK_OU_ETA0`` of ``pars_ref``; the year-end ``eta`` row is written
-    to ``eta_ref``). Feeding the kernel white noise instead of the
-    XLA-precomputed OU path removes a measured ~200 ms/yr per-year
-    scan-emission penalty at nt=2000/K=8192 (BENCH_NOTES round-4
-    "Noise-operand anatomy") — the recurrence itself is two VPU ops per
-    step. ``scale = 0`` with ``eta0 = 0`` keeps ``eta`` exactly 0.0, so
+    to ``eta_ref``). The recurrence is two VPU ops per step — measured
+    free on-chip (round-5 probe ledger, BENCH_NOTES "phases 3-7").
+    ``scale = 0`` with ``eta0 = 0`` keeps ``eta`` exactly 0.0, so
     the sigma=0 run stays bitwise-identical to the deterministic year.
 
     ``keys_ref`` (via the ``_gen`` adapters): the noise table is not an
     operand at all — ``noise_ref`` is a VMEM SCRATCH buffer the kernel
     fills itself from the ``(2, Kt)`` per-member uint32 key rows, bitwise
-    ``jax.random.normal`` (:func:`_gen_noise_xk`; kills the measured
-    +250 ms/yr fresh-operand materialization). ``assoc=True`` (ou only)
-    additionally replaces the serial in-loop recurrence with a log-depth
-    scan over the scratch (:func:`_assoc_ou_path`) — the loop then reads
-    the precomputed eta path like the plain-noisy mode and carries no
-    eta; year-end eta is the path's last real row."""
+    ``jax.random.normal`` (:func:`_gen_noise_xk`; no noise operand is
+    materialized — 8 bytes/member instead of 4*nt). ``assoc=True`` (ou
+    only) additionally replaces the serial in-loop recurrence with a
+    log-depth scan over the scratch (:func:`_assoc_ou_path`) — the loop
+    then reads the precomputed eta path like the plain-noisy mode and
+    carries no eta; year-end eta is the path's last real row. Neither
+    mode changes throughput (round-5 probe ledger, BENCH_NOTES "phases
+    3-7": the table read, the operand, and the recurrence all measure
+    free; the noisy path's ~1.6x at sigma~O(1) is extra Newton work)."""
     from ..models import miz
 
     dtype = cin_ref.dtype
@@ -500,8 +501,8 @@ def _kernel_xk(
         ou_scale = pars_ref[_XK_OU_SCALE:_XK_OU_SCALE + 1, :]
         # (1, Kt) fori carry, same convention as the classic kernel
         # (_classic_kernel_xk) — sub-tile-height carries lower fine in
-        # Mosaic, and round 4 measured the recurrence's ~200 ms/yr cost
-        # independent of tile height (BENCH_NOTES "Noise-operand anatomy")
+        # Mosaic, and the recurrence's cost is tile-height-independent
+        # (round 5 measured the whole serial chain free on-chip)
         eta_init = pars_ref[_XK_OU_ETA0:_XK_OU_ETA0 + 1, :]
     if keys_ref is not None:
         _gen_noise_xk(noise_ref, keys_ref, noise_ref.shape[0])
@@ -887,16 +888,15 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
     rho eta[t-1] + scale noise[t]``, seeded from ``eta0`` (``(K,)``);
     ``scale`` may be per-member. The 4th return value is then the
     year-end ``eta`` row (``(K,)``) instead of ``None``. This keeps the
-    expensive per-year operand at white noise (a fused producer) instead
-    of an XLA-scan-produced OU path — measured ~200 ms/yr cheaper at
-    nt=2000/K=8192 (BENCH_NOTES round-4 "Noise-operand anatomy").
-    ``scale = 0`` + ``eta0 = 0`` is bitwise the deterministic year.
+    per-year operand at white noise (a fused producer) instead of an
+    XLA-scan-produced OU path. ``scale = 0`` + ``eta0 = 0`` is bitwise
+    the deterministic year.
 
     ``noise_keys`` (``(K, 2)`` uint32 key data, f32 only, exclusive with
     ``noise``): the kernel GENERATES the white-noise table itself —
     member ``k``'s draws are bitwise ``jax.random.normal(keys[k], (nt,),
     float32)`` (ops/prng.py replication), so no ``(nt, K)`` operand is
-    materialized at all (the measured +250 ms/yr term). Composes with
+    materialized at all (8 bytes/member instead of 4*nt). Composes with
     ``noise_ou``. ``ou_assoc=True`` (requires ``noise_keys`` +
     ``noise_ou``) computes the whole eta path by log-depth scan before
     the time loop instead of the serial in-loop recurrence — same

@@ -52,14 +52,17 @@ generation is a trivial length-``nt`` scan per year, and ``mesh=`` shards
 members across chips with zero hot-loop collectives (noise keys are
 per-member, so sharding cannot change the draws). On TPU the default
 ``engine='auto'`` resolves to ``'fused'``: the whole noisy year runs in
-ONE Pallas kernel launch per member block — the kernel reads the year's
-WHITE-noise draws from an ``(nt_pad, block_k)`` VMEM table by dynamic
-sublane slice and runs the OU recurrence in-kernel
-(``ops/pallas_year.py`` ``noise_ou``), so escape-statistics ensembles
-run at fused-kernel throughput instead of the XLA scan graph's
-(measured same-process on-chip at K=8192: 7.3-7.5e8 model-yr/day, ~8x
-the scan engine; the 1.75x residual vs the deterministic kernel is
-decomposed and priced in BENCH_NOTES "Noise-operand anatomy").
+ONE Pallas kernel launch per member block — at f32 the kernel GENERATES
+its own white draws from per-member keys, bit-for-bit
+``jax.random.normal`` (``ops/prng.py``; verified on-chip), and runs the
+OU recurrence in-kernel (``ops/pallas_year.py`` ``noise_ou``). Measured
+cost structure (round-5 probe ledger, BENCH_NOTES "phases 3-7"): at
+sigma=0 the fused noisy engine runs AT the deterministic kernel's
+floor; at sigma~O(1) it costs ~1.6x the det kernel — extra Newton
+iterations the perturbed dynamics genuinely require, NOT engineering
+overhead (operand traffic, recurrence placement, operand freshness and
+graph structure all measured free) — and ~5.5x the scan engine
+in-window.
 """
 from __future__ import annotations
 
@@ -286,12 +289,16 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
     ``noise_src='keys'`` (f32; the default from :func:`transitions`)
     passes only the year-folded per-member KEYS — the kernel generates
     the draws itself, bitwise ``jax.random.normal`` (ops/prng.py), so no
-    ``(nt, K)`` operand is materialized (the measured +250 ms/yr term,
-    BENCH_NOTES round-4 "Noise-operand anatomy"); ``'table'`` keeps the
+    ``(nt, K)`` operand is materialized; ``'table'`` keeps the
     round-4 XLA-generated table (the f64 fallback and the A/B control).
     ``ou_impl='assoc'`` precomputes the eta path in-kernel by log-depth
-    scan (kills the ~200 ms/yr serial-recurrence term; tree-regrouped
-    rounding — engine-parity-level, not bitwise, vs serial).
+    scan (tree-regrouped rounding — engine-parity-level, not bitwise,
+    vs serial). NOTE the round-5 probe ledger (BENCH_NOTES "phases
+    3-7"): neither mode choice changes throughput — the noisy engine is
+    at the det kernel's floor at sigma=0 and its ~1.6x cost at
+    sigma~O(1) is extra Newton work the perturbed dynamics require;
+    'keys' is the default for its architectural wins (8-byte/member
+    operand, on-chip-bitwise draws, mesh-ready), not for speed.
     Draw keying, OU recursion, forcing grouping ``(frow + F) + eta``,
     and the area/track reductions are IDENTICAL to the scan engine —
     same seed, same weather, engine-parity-level same trajectories."""

@@ -30,8 +30,19 @@ Reading: fresh_tab >> const_tab isolates operand freshness; ou_const >>
 const_tab isolates the OU kernel structure; ou_fresh_gen should
 reproduce batch #1's 0.92/0.58 ratio as the cross-check.
 
+RESOLVED (phases 3-7, BENCH_NOTES "phases 3-7"): every structural
+ingredient measures AT the det floor at scale=0 — including the actual
+production chunk fn (x_det 1.024). The entire +0.43 s/yr is the PHYSICS
+of noise: real weather kicks the Newton warm starts and the block-max
+adaptive solve needs ~60% more iterations (driver scale=1: 1.635;
+synthetic ou_full scale=1: 1.616 — same). There is no recoverable
+engineering overhead in the fused noisy path; the phase-2 "freshness"
+reading was XLA-schedule-dependent and did not reproduce.
+
 Run on an idle host, in the background, never timeout-killed.
-EBM_PROBE_PHASE=1 re-runs the phase-1 read-pattern arms.
+EBM_PROBE_PHASE=1 re-runs the phase-1 read-pattern arms;
+EBM_PROBE_PHASE=2 the phase-2 freshness arms; default = the final
+(phase-7) arm set.
 """
 import json
 import os
@@ -64,7 +75,7 @@ K = int(os.environ.get("EBM_BENCH_K", "8192"))
 Y1, Y2, YPD = 8, 16, 8
 
 
-def make_runner(mode, probe=None):
+def make_runner(mode, probe=None, scale_val=0.0):
     """Chunked runner for one arm. ``mode`` selects the noise plumbing;
     ``probe`` (phase 1) selects the in-kernel read pattern via the
     trace-time ``_NOISE_READ_PROBE`` global — each arm jits the
@@ -90,7 +101,7 @@ def make_runner(mode, probe=None):
     keys = jax.vmap(lambda i: jax.random.fold_in(base_key, i))(
         jnp.arange(K, dtype=jnp.uint32))
     rho = jnp.asarray(0.97, dtype)
-    scale0 = jnp.asarray(0.0, dtype)
+    scale0 = jnp.asarray(scale_val, dtype)
     eta0 = jnp.zeros((K,), dtype)
     raw_year = py.pallas_miz_year.__wrapped__  # un-jitted
     interp = py.default_interpret()
@@ -99,7 +110,7 @@ def make_runner(mode, probe=None):
 
     x_row = jnp.asarray(st.x, dtype)
 
-    def year(c, yi, eta=None):
+    def year(c, yi, eta=None, fy=None, scale=None):
         kw = {}
         if mode in ("const_tab", "ou_const"):
             kw["noise"] = noise_const
@@ -108,27 +119,38 @@ def make_runner(mode, probe=None):
                 jax.random.fold_in(k_, yi), (st.nt,), dtype)
             kw["noise"] = jax.vmap(draw, out_axes=1)(keys)
         elif mode in ("fresh_gen", "ou_fresh_gen", "ou_eta_carry",
-                      "ou_full"):
+                      "ou_full", "ou_full_frowxs", "ou_full_scalearg",
+                      "mimic_jitkern", "mimic_dropseas"):
             kw["noise_keys"] = jax.vmap(
                 lambda k_: jax.random.fold_in(k_, yi))(keys)
         elif mode == "ou_xs_keys":
             kw["noise_keys"] = yi  # pre-folded (K, 2) fed via scan xs
-        if mode.startswith("ou"):
-            kw["noise_ou"] = (rho, scale0,
+        if mode.startswith("ou") or mode.startswith("mimic"):
+            kw["noise_ou"] = (rho,
+                              scale if scale is not None else scale0,
                               eta if eta is not None else eta0)
-        c, seas, _conv, eta_out = raw_year(c, par_j, fyear, st, cfg,
-                                           layout="xk", interpret=interp,
-                                           **kw)
+        yr_fn = (py.pallas_miz_year if mode == "mimic_jitkern"
+                 else raw_year)
+        c, seas, _conv, eta_out = yr_fn(
+            c, par_j, fy if fy is not None else fyear, st, cfg,
+            layout="xk", interpret=interp, **kw)
         return c, seas, eta_out
 
     yi0 = (jax.vmap(lambda k_: jax.random.fold_in(k_, 0))(keys)
            if mode == "ou_xs_keys" else jnp.asarray(0, jnp.uint32))
     year_j = jax.jit(lambda c: year(c, yi0)[:2])
-    carry_eta = mode in ("ou_eta_carry", "ou_full")
-    with_area = mode == "ou_full"
+    carry_eta = mode in ("ou_eta_carry", "ou_full", "ou_full_frowxs",
+                         "ou_full_scalearg", "mimic_jitkern",
+                         "mimic_dropseas")
+    with_area = mode.startswith("ou_full") or mode.startswith("mimic")
+    drop_seas = mode == "mimic_dropseas"
+    frow_xs = mode == "ou_full_frowxs"
+    frows_chunk = jnp.zeros((YPD, st.nt), dtype)
+    scale_arg = (jnp.asarray(0.0, dtype)
+                 if mode == "ou_full_scalearg" else None)
 
     @jax.jit
-    def chunk(c, seas, eta, y0):
+    def chunk(c, seas, eta, y0, scale):
         if mode == "ou_xs_keys":
             xs = jax.vmap(
                 lambda yi: jax.vmap(
@@ -136,17 +158,32 @@ def make_runner(mode, probe=None):
             )(y0 + jnp.arange(YPD, dtype=jnp.uint32))  # (YPD, K, 2)
         else:
             xs = y0 + jnp.arange(YPD, dtype=jnp.uint32)
+            if frow_xs:
+                xs = (xs, frows_chunk)
 
-        def body(cs, yi):
-            c, _, eta = cs
-            c, seas, eta_out = year(c, yi, eta if carry_eta else None)
+        def body(cs, x):
+            if drop_seas:
+                c, eta = cs
+            else:
+                c, _, eta = cs
+            yi, fy = x if frow_xs else (x, None)
+            c, seas_o, eta_out = year(c, yi, eta if carry_eta else None,
+                                      fy, scale)
             out = None
             if with_area:
                 out = 2.0 * jnp.pi * hemispheric_mean(
-                    jnp.nan_to_num(seas.avg["phi"]), x_row)
-            return (c, seas, eta_out if carry_eta else eta), out
+                    jnp.nan_to_num(seas_o.avg["phi"]), x_row)
+            new_eta = eta_out if carry_eta else eta
+            if drop_seas:
+                # the driver pattern: seasonal NOT carried — each year's
+                # store is consumed by the area reduction and dropped
+                return (c, new_eta), out
+            return (c, seas_o, new_eta), out
 
-        (c, seas, eta), outs = lax.scan(body, (c, seas, eta), xs)
+        if drop_seas:
+            (c, eta), outs = lax.scan(body, (c, eta), xs)
+        else:
+            (c, seas, eta), outs = lax.scan(body, (c, seas, eta), xs)
         return c, seas, eta, outs
 
     state = {}
@@ -161,9 +198,13 @@ def make_runner(mode, probe=None):
             done = 0
             while done < years:
                 c, seas, eta, _outs = chunk(
-                    c, seas, eta, jnp.asarray(done + 1, jnp.uint32))
+                    c, seas, eta, jnp.asarray(done + 1, jnp.uint32),
+                    scale_arg)
                 done += YPD
-            np.asarray(seas.avg["E"])
+            if with_area:
+                np.asarray(_outs)  # sync on the per-year reductions
+            else:
+                np.asarray(seas.avg["E"])
             return time.time() - t0
         finally:
             py._NOISE_READ_PROBE = None
@@ -171,7 +212,7 @@ def make_runner(mode, probe=None):
     return run
 
 
-def make_driver_runner():
+def make_driver_runner(scale_val=1.0):
     """The ACTUAL production chunk fn (_transition_fused_loop_fn) under
     the probe's marginal scheme — the in-window ground truth the
     synthetic arms are compared against. If this reads ~1.58 x_det while
@@ -199,7 +240,7 @@ def make_driver_runner():
         jnp.arange(K, dtype=jnp.uint32))
     f_off = jnp.zeros((K,), dtype)
     frows = jnp.zeros((YPD, st.nt), dtype)
-    rho, scale = 0.97, jnp.asarray(1.0, dtype)
+    rho, scale = 0.97, jnp.asarray(scale_val, dtype)
     run_fn = _transition_fused_loop_fn("MIZ", st, cfg, "float32", "avg",
                                        (), py.default_interpret(), 128,
                                        "keys", "serial")
@@ -256,6 +297,8 @@ def main():
             "ou_xs_keys": make_runner("ou_xs_keys"),
             "ou_eta_carry": make_runner("ou_eta_carry"),
             "ou_full": make_runner("ou_full"),
+            "ou_full_s1": make_runner("ou_full", scale_val=1.0),
+            "driver_s0": make_driver_runner(0.0),
             "driver": make_driver_runner(),
         }
     for name, run in arms.items():
