@@ -454,7 +454,8 @@ def _write_transition(f: h5py.Group, res) -> None:
                    years=int(res.years), season=str(res.season),
                    seed=int(res.seed), newton_ok=bool(res.newton_ok),
                    year0=int(res.year0), engine=str(res.engine),
-                   ramped=bool(res.ramped), degenerate=bool(res.degenerate))
+                   ramped=bool(res.ramped), degenerate=bool(res.degenerate),
+                   nt=int(res.nt))
     # sigma may be a per-member (K,) vector (round 4) — a dataset either way
     f.create_dataset("sigma", data=np.asarray(res.sigma, dtype=np.float64))
     f.create_dataset("areas", data=np.asarray(res.areas))
@@ -469,6 +470,8 @@ def _write_transition(f: h5py.Group, res) -> None:
     if res.ref_state is not None:
         _write_collection(f.create_group("ref_state_a"), res.ref_state[0])
         _write_collection(f.create_group("ref_state_b"), res.ref_state[1])
+    if res.crossing_step is not None:
+        f.create_dataset("crossing_step", data=np.asarray(res.crossing_step))
 
 
 def _read_transition(f: h5py.Group):
@@ -502,6 +505,9 @@ def _read_transition(f: h5py.Group):
         ref_state=((_read_collection(f["ref_state_a"]),
                     _read_collection(f["ref_state_b"]))
                    if "ref_state_a" in f else None),
+        crossing_step=(np.asarray(f["crossing_step"])
+                       if "crossing_step" in f else None),
+        nt=int(f.attrs.get("nt", 0)),
     )
 
 

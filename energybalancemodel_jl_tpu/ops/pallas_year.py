@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -189,6 +190,23 @@ def _pad_keys_xk(noise_keys, K: int, Kp: int):
     return jnp.pad(noise_keys, ((0, Kp - K), (0, 0)), mode="edge").T
 
 
+def _trapezoid_weights(x, nx: int, nxs: int, dtype):
+    """Per-cell quadrature weights w with ``sum_i w_i v_i ==``
+    the trapezoid integral ``sum_i (v_i + v_{i+1})(x_{i+1} - x_i)/2``
+    (utils.numerics.hemispheric_mean) up to summation-order round-off:
+    ``w_0 = dx_0/2, w_i = (dx_{i-1} + dx_i)/2, w_{nx-1} = dx_{nx-2}/2``;
+    padded rows 0. Lets the 'xk' kernels reduce a (nxs, Kt) field to a
+    per-member scalar row in one weighted sublane sum (the in-kernel
+    crossing detector)."""
+    x = np.asarray(x, dtype=np.float64)
+    dx = np.diff(x)
+    w = np.zeros(nxs, dtype=np.float64)
+    w[0] = dx[0] / 2.0
+    w[1:nx - 1] = (dx[:-1] + dx[1:]) / 2.0
+    w[nx - 1] = dx[-1] / 2.0
+    return jnp.asarray(w, dtype)
+
+
 def _validate_noise_args(dtype, noise, noise_ou, noise_keys, ou_assoc):
     """Shared argument validation of the noise-mode kwargs (miz and
     classic whole-year entry points)."""
@@ -209,6 +227,19 @@ def _validate_noise_args(dtype, noise, noise_ou, noise_keys, ou_assoc):
         raise ValueError(
             "ou_assoc=True precomputes the OU path over the generated "
             "scratch — it requires noise_keys= and noise_ou=")
+
+
+def _validate_crossing_args(crossing, noise_keys, noise_ou):
+    if crossing is None:
+        return
+    if noise_keys is None or noise_ou is None:
+        raise ValueError(
+            "crossing= (in-kernel first-crossing detection) is only "
+            "wired through the generating OU kernels; it requires "
+            "noise_keys= and noise_ou=")
+    if len(crossing) != 2:
+        raise ValueError("crossing must be (threshold, sign) per-member "
+                         "rows")
 
 
 # Trace-time probe switch for the per-step noise-row ACCESS PATTERN —
@@ -433,9 +464,19 @@ def _kernel_xk(
     conv_ref,   # SMEM (1, n_blocks) convergence flags (see _kernel)
     *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
     ou: bool = False, eta_ref=None, keys_ref=None, assoc: bool = False,
+    crossing: bool = False, cross_ref=None,
 ):
     """Transposed twin of :func:`_kernel` — same physics (``miz.step`` with
     ``grid_axis=0``), same storage semantics, different data layout.
+
+    ``crossing=True`` (round 5): per-STEP first-crossing detection — the
+    kernel reduces each step's instantaneous ice field to a per-member
+    area (trapezoid weights in ``cols_ref`` column 6, matching
+    ``hemispheric_mean`` up to summation order) and records the FIRST
+    step index at which ``sign * (area - thr) > 0`` (``thr``/``sign``
+    ride as the LAST TWO pars rows; -1 where never crossed) into
+    ``cross_ref`` — sub-annual transition timing at zero HBM cost
+    (one (1, Kt) row per year instead of an (nt, K) area trace).
 
     ``noise_ref`` (via :func:`_kernel_xk_noisy`) is an optional
     ``(nt_pad, Kt)`` VMEM table of per-step per-member forcing offsets
@@ -510,11 +551,18 @@ def _kernel_xk(
     if ou and assoc:
         _assoc_ou_path(noise_ref, ou_rho, ou_scale, eta_init,
                        noise_ref.shape[0])
+    if crossing:
+        n_rows = pars_ref.shape[0]
+        cr_thr = pars_ref[n_rows - 2:n_rows - 1, :]
+        cr_sign = pars_ref[n_rows - 1:n_rows, :]
+        wcol = cols_ref[:, 6:7]  # trapezoid quadrature weights
 
     def body(t, state):
         # the eta slot exists only in serial-ou mode, keeping the
         # deterministic and plain-noisy traced graphs exactly as before
         # round 4 (assoc mode reads the precomputed path like plain noise)
+        if crossing:
+            state, first = state
         if serial_ou:
             carry, conv, eta = state
         else:
@@ -546,16 +594,31 @@ def _kernel_xk(
             for i, k in enumerate(OUT_VARS):
                 summ_ref[i] = out[k]
 
-        return (carry, conv, eta) if serial_ou else (carry, conv)
+        new_state = (carry, conv, eta) if serial_ou else (carry, conv)
+        if crossing:
+            # instantaneous ice area: weighted sublane sum of phi (NaN
+            # presentation values zeroed, as the driver's area_of does)
+            phi = out["phi"]
+            phi = jnp.where(phi == phi, phi, jnp.zeros((), dtype))
+            area = jnp.sum(wcol * phi, axis=0, keepdims=True)
+            crossed = (first < 0) & (cr_sign * (area - cr_thr) > 0)
+            first = jnp.where(crossed,
+                              lax.convert_element_type(t, dtype), first)
+            return new_state, first
+        return new_state
 
+    state0 = (carry0, jnp.ones((), dtype), eta_init) if serial_ou \
+        else (carry0, jnp.ones((), dtype))
+    if crossing:
+        state0 = (state0, jnp.full((1, Kt), -1.0, dtype))
+    state = jax.lax.fori_loop(0, nt, body, state0)
+    if crossing:
+        state, first = state
+        cross_ref[...] = first
     if serial_ou:
-        carry, conv, eta = jax.lax.fori_loop(
-            0, nt, body, (carry0, jnp.ones((), dtype), eta_init)
-        )
+        carry, conv, eta = state
     else:
-        carry, conv = jax.lax.fori_loop(
-            0, nt, body, (carry0, jnp.ones((), dtype))
-        )
+        carry, conv = state
     for j, k in enumerate(CARRY_KEYS):
         cout_ref[j] = carry[k]
     for i in range(len(OUT_VARS)):
@@ -617,16 +680,23 @@ def _kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
 
 def _kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
                       pars_ref, cout_ref, wint_ref, summ_ref, avg_ref,
-                      conv_ref, eta_ref, noise_ref, *, assoc: bool = False,
-                      **kw):
+                      conv_ref, eta_ref, *rest, assoc: bool = False,
+                      crossing: bool = False, **kw):
     """Generating in-kernel-OU launch adapter (MIZ): keys input + noise
     scratch + the year-end eta output; ``assoc=True`` precomputes the
     whole eta path by log-depth scan instead of the serial in-loop
-    recurrence (:func:`_assoc_ou_path`)."""
+    recurrence (:func:`_assoc_ou_path`); ``crossing=True`` adds the
+    first-crossing (1, Kt) output before the scratch."""
+    if crossing:
+        cross_ref, noise_ref = rest
+    else:
+        (noise_ref,) = rest
+        cross_ref = None
     _kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
                cout_ref, wint_ref, summ_ref, avg_ref, conv_ref,
                noise_ref=noise_ref, ou=True, eta_ref=eta_ref,
-               keys_ref=keys_ref, assoc=assoc, **kw)
+               keys_ref=keys_ref, assoc=assoc, crossing=crossing,
+               cross_ref=cross_ref, **kw)
 
 
 def _classic_kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref,
@@ -640,13 +710,20 @@ def _classic_kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref,
 
 def _classic_kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
                               pars_ref, cout_ref, wint_ref, summ_ref,
-                              avg_ref, eta_ref, noise_ref, *,
-                              assoc: bool = False, **kw):
+                              avg_ref, eta_ref, *rest,
+                              assoc: bool = False, crossing: bool = False,
+                              **kw):
     """Classic twin of :func:`_kernel_xk_gen_ou`."""
+    if crossing:
+        cross_ref, noise_ref = rest
+    else:
+        (noise_ref,) = rest
+        cross_ref = None
     _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
                        cout_ref, wint_ref, summ_ref, avg_ref,
                        noise_ref=noise_ref, ou=True, eta_ref=eta_ref,
-                       keys_ref=keys_ref, assoc=assoc, **kw)
+                       keys_ref=keys_ref, assoc=assoc, crossing=crossing,
+                       cross_ref=cross_ref, **kw)
 
 
 # plane counts of the transposed layout's VMEM working-set estimate
@@ -856,7 +933,7 @@ def _check_kx_fits(nx: int, K: int, block_k: int, itemsize: int,
 def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
                     interpret: bool = False, layout: str = None,
                     noise=None, noise_ou=None, noise_keys=None,
-                    ou_assoc: bool = False):
+                    ou_assoc: bool = False, crossing=None):
     """Run one MIZ model year for a ``(K, nx)`` ensemble in fused blocks.
 
     Drop-in twin of the seasonal-only ``make_year_fn`` signature:
@@ -921,9 +998,11 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
         noise_nt=st.nt if (noise is not None or noise_keys is not None)
         else 0,
     )
+    _validate_crossing_args(crossing, noise_keys, noise_ou)
     if layout == "xk":
         return _miz_year_xk(carry, par, fyear, st, cfg, block_k, interpret,
-                            noise, noise_ou, noise_keys, ou_assoc)
+                            noise, noise_ou, noise_keys, ou_assoc,
+                            crossing)
     if noise is not None or noise_keys is not None:
         raise ValueError(
             "layout='kx' cannot carry a per-step per-member noise table "
@@ -1066,7 +1145,7 @@ def pallas_miz_year(carry, par, fyear, st, cfg, block_k: int = 128,
 
 def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
                  noise=None, noise_ou=None, noise_keys=None,
-                 ou_assoc: bool = False):
+                 ou_assoc: bool = False, crossing=None):
     """Transposed-layout launch path of :func:`pallas_miz_year`
     (``layout='xk'``): grid on sublanes, members on lanes."""
     import dataclasses
@@ -1103,7 +1182,12 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
         pars_parts.append(jnp.stack(
             [_member_column(rho_ou, K), _member_column(scale_ou, K),
              _member_column(eta0_ou, K)], axis=1))
-    pars = jnp.concatenate(pars_parts, axis=1)  # (K, N_PAR + 5 [+ 3])
+    if crossing is not None:
+        cr_thr, cr_sign = (jnp.asarray(v, dtype) for v in crossing)
+        pars_parts.append(jnp.stack(
+            [_member_column(cr_thr, K), _member_column(cr_sign, K)],
+            axis=1))
+    pars = jnp.concatenate(pars_parts, axis=1)  # (K, N_PAR + 5 [+ 3][+ 2])
     n_rows = pars.shape[1]
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
     if noise_ou is not None and Kp > K:
@@ -1127,7 +1211,7 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
             pad_col(jnp.asarray(geom.lo, dtype)),
             pad_col(jnp.asarray(geom.di, dtype)),
             pad_col(jnp.asarray(geom.up, dtype)),
-            jnp.zeros((nxs,), dtype),
+            _trapezoid_weights(st.x, nx, nxs, dtype),  # crossing quad.
             jnp.zeros((nxs,), dtype),
         ],
         axis=1,
@@ -1156,6 +1240,7 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
                 else _kernel_xk_gen_noisy
             if noise_ou is not None:
                 kern_kw["assoc"] = ou_assoc
+                kern_kw["crossing"] = crossing is not None
             scratch_shapes = [pltpu.VMEM((nt_pad, Kt), dtype)]
         elif noise_s is None:
             kernel = _kernel_xk
@@ -1200,6 +1285,10 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
             out_shape.append(jax.ShapeDtypeStruct((1, ks), dtype))
             out_specs.append(pl.BlockSpec((1, Kt), lambda i: (0, i),
                                           memory_space=pltpu.VMEM))
+        if crossing is not None:
+            out_shape.append(jax.ShapeDtypeStruct((1, ks), dtype))
+            out_specs.append(pl.BlockSpec((1, Kt), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(
                 kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg, **kern_kw
@@ -1226,23 +1315,20 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
         )
         for s, n in _member_slabs(Kp, Kt)
     ]
-    eta_end = None
-    if len(parts) == 1:
-        if noise_ou is not None:
-            cout, wint, summ, avg, conv, eta_end = parts[0]
-        else:
-            cout, wint, summ, avg, conv = parts[0]
-    else:
-        cols_out = zip(*parts)
-        if noise_ou is not None:
-            couts, wints, summs, avgs, convs, etas_out = cols_out
-            eta_end = jnp.concatenate(etas_out, axis=-1)
-        else:
-            couts, wints, summs, avgs, convs = cols_out
-        cout, wint, summ, avg = (
-            jnp.concatenate(vs, axis=-1) for vs in (couts, wints, summs, avgs)
-        )
-        conv = jnp.concatenate(convs, axis=-1)
+    eta_end = cross_out = None
+    cols_out = list(zip(*parts))
+    i = 0
+    cout, wint, summ, avg, conv = (
+        (jnp.concatenate(vs, axis=-1) if len(parts) > 1 else vs[0])
+        for vs in cols_out[:5])
+    i = 5
+    if noise_ou is not None:
+        eta_end = (jnp.concatenate(cols_out[i], axis=-1)
+                   if len(parts) > 1 else cols_out[i][0])
+        i += 1
+    if crossing is not None:
+        cross_out = (jnp.concatenate(cols_out[i], axis=-1)
+                     if len(parts) > 1 else cols_out[i][0])
 
     def unpack(block, i):
         return block[i, :nx, :K].T  # back to (K, nx)
@@ -1257,6 +1343,9 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
     )
     if eta_end is not None:
         eta_end = eta_end[0, :K]
+    if crossing is not None:
+        return (new_carry, seasonal, jnp.min(conv), eta_end,
+                cross_out[0, :K])
     return new_carry, seasonal, jnp.min(conv), eta_end
 
 
@@ -1394,7 +1483,7 @@ def _classic_kernel(
 def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
                         interpret: bool = False, layout: str = None,
                         noise=None, noise_ou=None, noise_keys=None,
-                        ou_assoc: bool = False):
+                        ou_assoc: bool = False, crossing=None):
     """Fused whole-year WE15 integration (classic twin of
     :func:`pallas_miz_year`, same signature, sweep surface, ``layout``
     options, optional ``(nt, K)`` ``noise`` table, in-kernel-OU
@@ -1416,10 +1505,11 @@ def pallas_classic_year(carry, par, fyear, st, cfg, block_k: int = 128,
         noise_nt=st.nt if (noise is not None or noise_keys is not None)
         else 0,
     )
+    _validate_crossing_args(crossing, noise_keys, noise_ou)
     if layout == "xk":
         return _classic_year_xk(carry, par, fyear, st, cfg, block_k,
                                 interpret, noise, noise_ou, noise_keys,
-                                ou_assoc)
+                                ou_assoc, crossing)
     if noise is not None or noise_keys is not None:
         raise ValueError(
             "layout='kx' cannot carry a per-step per-member noise table "
@@ -1562,6 +1652,7 @@ def _classic_kernel_xk(
     avg_ref,    # VMEM (3, nxs, Kt)
     *, nt: int, w0: int, s0: int, dt: float, cfg, noise_ref=None,
     ou: bool = False, eta_ref=None, keys_ref=None, assoc: bool = False,
+    crossing: bool = False, cross_ref=None,
 ):
     """Transposed twin of :func:`_classic_kernel` (grid on sublanes,
     members on lanes; ``classic.step`` with ``grid_axis=0``).
@@ -1615,8 +1706,16 @@ def _classic_kernel_xk(
                        noise_ref.shape[0])
     if serial_ou:
         carry0 = (carry0, eta_init)
+    if crossing:
+        n_rows = pars_ref.shape[0]
+        cr_thr = pars_ref[n_rows - 2:n_rows - 1, :]
+        cr_sign = pars_ref[n_rows - 1:n_rows, :]
+        wcol = cols_ref[:, 6:7]  # trapezoid quadrature weights
+        carry0 = (carry0, jnp.full((1, Kt), -1.0, dtype))
 
     def body(t, state):
+        if crossing:
+            state, first = state
         if serial_ou:
             carry, eta = state
         else:
@@ -1646,9 +1745,23 @@ def _classic_kernel_xk(
             for i, k in enumerate(C_OUT_VARS):
                 summ_ref[i] = out[k]
 
-        return (carry, eta) if serial_ou else carry
+        new_state = (carry, eta) if serial_ou else carry
+        if crossing:
+            # classic instantaneous ice field: E < 0 (the driver's
+            # area_of convention for phi-less models)
+            ice = jnp.where(out["E"] < 0.0, jnp.ones((), dtype),
+                            jnp.zeros((), dtype))
+            area = jnp.sum(wcol * ice, axis=0, keepdims=True)
+            crossed = (first < 0) & (cr_sign * (area - cr_thr) > 0)
+            first = jnp.where(crossed,
+                              lax.convert_element_type(t, dtype), first)
+            return new_state, first
+        return new_state
 
     carry = _time_loop(nt, body, carry0)
+    if crossing:
+        carry, first = carry
+        cross_ref[...] = first
     if serial_ou:
         carry, eta = carry
         eta_ref[...] = eta
@@ -1662,7 +1775,8 @@ def _classic_kernel_xk(
 
 def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
                      interpret: bool, noise=None, noise_ou=None,
-                     noise_keys=None, ou_assoc: bool = False):
+                     noise_keys=None, ou_assoc: bool = False,
+                     crossing=None):
     """Transposed-layout launch path of :func:`pallas_classic_year`
     (``layout='xk'``)."""
     import dataclasses
@@ -1705,7 +1819,12 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         pars_parts.append(jnp.stack(
             [_member_column(rho_ou, K), _member_column(scale_ou, K),
              _member_column(eta0_ou, K)], axis=1))
-    pars = jnp.concatenate(pars_parts, axis=1)  # (K, len(C_PAR_NAMES)+6[+3])
+    if crossing is not None:
+        cr_thr, cr_sign = (jnp.asarray(v, dtype) for v in crossing)
+        pars_parts.append(jnp.stack(
+            [_member_column(cr_thr, K), _member_column(cr_sign, K)],
+            axis=1))
+    pars = jnp.concatenate(pars_parts, axis=1)  # (K, C_PAR+6[+3][+2])
     n_rows = pars.shape[1]
     pars_t = jnp.pad(pars, ((0, Kp - K), (0, 0)), mode="edge").T
     if noise_ou is not None and Kp > K:
@@ -1729,7 +1848,7 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
             pad_col(geom.lo),
             pad_col(geom.di),
             pad_col(geom.up),
-            jnp.zeros((nxs,), dtype),
+            _trapezoid_weights(st.x, nx, nxs, dtype),  # crossing quad.
             jnp.zeros((nxs,), dtype),
         ],
         axis=1,
@@ -1758,6 +1877,7 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
                 else _classic_kernel_xk_gen_noisy
             if noise_ou is not None:
                 kern_kw["assoc"] = ou_assoc
+                kern_kw["crossing"] = crossing is not None
             scratch_shapes = [pltpu.VMEM((nt_pad, Kt), dtype)]
         elif noise_s is None:
             kernel = _classic_kernel_xk
@@ -1794,6 +1914,10 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
             out_shape.append(jax.ShapeDtypeStruct((1, ks), dtype))
             out_specs.append(pl.BlockSpec((1, Kt), lambda i: (0, i),
                                           memory_space=pltpu.VMEM))
+        if crossing is not None:
+            out_shape.append(jax.ShapeDtypeStruct((1, ks), dtype))
+            out_specs.append(pl.BlockSpec((1, Kt), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM))
         return pl.pallas_call(
             functools.partial(
                 kernel, nt=nt, w0=w0, s0=s0, dt=st.dt, cfg=cfg, **kern_kw
@@ -1820,23 +1944,19 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         )
         for s, n in _member_slabs(Kp, Kt)
     ]
-    eta_end = None
+    eta_end = cross_out = None
+    cols_out = list(zip(*parts))
+    cout, wint, summ, avg = (
+        (jnp.concatenate(vs, axis=-1) if len(parts) > 1 else vs[0])
+        for vs in cols_out[:4])
+    i = 4
     if noise_ou is not None:
-        if len(parts) == 1:
-            cout, wint, summ, avg, eta_end = parts[0]
-        else:
-            couts, wints, summs, avgs, etas_out = zip(*parts)
-            cout, wint, summ, avg = (
-                jnp.concatenate(vs, axis=-1)
-                for vs in (couts, wints, summs, avgs))
-            eta_end = jnp.concatenate(etas_out, axis=-1)
-        eta_end = eta_end[0, :K]
-    else:
-        cout, wint, summ, avg = (
-            parts[0] if len(parts) == 1 else tuple(
-                jnp.concatenate(vs, axis=-1) for vs in zip(*parts)
-            )
-        )
+        eta_end = (jnp.concatenate(cols_out[i], axis=-1)
+                   if len(parts) > 1 else cols_out[i][0])[0, :K]
+        i += 1
+    if crossing is not None:
+        cross_out = (jnp.concatenate(cols_out[i], axis=-1)
+                     if len(parts) > 1 else cols_out[i][0])
 
     def unpack(block, i):
         return block[i, :nx, :K].T
@@ -1849,4 +1969,6 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         summer=Collection({k: unpack(summ, i) for i, k in enumerate(C_OUT_VARS)}),
         avg=Collection({k: unpack(avg, i) for i, k in enumerate(C_OUT_VARS)}),
     )
+    if crossing is not None:
+        return new_carry, seasonal, None, eta_end, cross_out[0, :K]
     return new_carry, seasonal, None, eta_end

@@ -156,6 +156,8 @@ class TransitionResult:
     ramped: bool = False
     degenerate: bool = False
     ref_state: Optional[Tuple[Collection, Collection]] = None
+    crossing_step: Optional[np.ndarray] = None
+    nt: int = 0
 
     @property
     def escaped(self) -> np.ndarray:
@@ -169,6 +171,41 @@ class TransitionResult:
         if n == 0:
             return float("nan")
         return float(np.count_nonzero(self.escaped & fin)) / n
+
+    def first_passage_subyear(self) -> np.ndarray:
+        """Sub-annual first-passage times in fractional years (requires
+        ``subyear=True``): for each escaped member, the in-kernel step
+        at which the instantaneous ice area crossed the reference
+        midpoint on the way to its year-classified passage —
+        ``year + (step + 1) / nt``. A recorded step of 0 means the area
+        was ALREADY across when the first-passage year began (the
+        year-mean classifier lags the instantaneous crossing), so the
+        search walks back through consecutive earlier years until it
+        finds the year the crossing actually happened (step > 0).
+        Where no crossing is recorded in the first-passage year (the
+        annual MEAN flipped without an instantaneous midpoint touch —
+        possible for gradual transitions), the whole year is kept.
+        NaN where censored/non-finite."""
+        if self.crossing_step is None:
+            raise ValueError(
+                "no sub-annual crossing data: run transitions(..., "
+                "subyear=True, engine='fused')")
+        fp = np.asarray(self.first_passage, dtype=np.float64)
+        out = fp.copy()
+        for k in range(fp.shape[0]):
+            if not np.isfinite(fp[k]):
+                continue
+            y = int(fp[k]) - 1
+            step = self.crossing_step[y, k]
+            if step < 0:
+                continue  # mean-flip without an instantaneous touch
+            # walk back over already-across-at-year-start records to the
+            # year the instantaneous crossing actually occurred
+            while step == 0 and y > 0 and self.crossing_step[y - 1, k] >= 0:
+                y -= 1
+                step = self.crossing_step[y, k]
+            out[k] = y + (step + 1.0) / float(self.nt)
+        return out
 
     def mean_first_passage(self) -> float:
         """Mean first-passage year over ESCAPED members only — biased low
@@ -277,7 +314,8 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
                               dtype_name: str, season: str, track,
                               interpret: bool, block_k: int,
                               noise_src: str = "table",
-                              ou_impl: str = "serial"):
+                              ou_impl: str = "serial",
+                              subyear: bool = False):
     """Fused-engine twin of :func:`_transition_loop_fn`: each scanned year
     launches the whole-year Pallas kernel ('xk' layout) with the year's
     WHITE-noise draws and the OU recurrence running IN-KERNEL
@@ -310,21 +348,28 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
     x, area_of = _area_fn(st, dtype)
 
     @functools.partial(jax.jit, static_argnums=(7,))
-    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale):
+    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale,
+            cr_thr, cr_sgn):
         par_k = Collection(dict(par_j))
         par_k["F"] = f_off  # (K,) constant per-member offset lane
 
         def one_year(state, inp):
             yi, frow = inp
             carry, eta = state
+            cross = jnp.full(eta.shape, -1.0, dtype)
             fold = lambda key: jax.random.fold_in(key, yi)
             if noise_src == "keys":
                 yk = jax.vmap(fold)(keys)  # (K, 2) uint32 key data
-                carry, seasonal, conv, eta = kern(
+                out = kern(
                     carry, par_k, frow, st, cfg, block_k=block_k,
                     interpret=interpret, layout="xk", noise_keys=yk,
                     noise_ou=(rho, scale, eta),
-                    ou_assoc=(ou_impl == "assoc"))
+                    ou_assoc=(ou_impl == "assoc"),
+                    crossing=(cr_thr, cr_sgn) if subyear else None)
+                if subyear:
+                    carry, seasonal, conv, eta, cross = out
+                else:
+                    carry, seasonal, conv, eta = out
             else:
                 draw = lambda key: jax.random.normal(fold(key), (nt,),
                                                      dtype)
@@ -340,12 +385,12 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
             means = tuple(
                 hemispheric_mean(jnp.nan_to_num(coll[v]), x) for v in track
             )
-            return (carry, eta), (area, means, conv)
+            return (carry, eta), (area, means, conv, cross)
 
-        (carry, eta), (areas, means, convs) = lax.scan(
+        (carry, eta), (areas, means, convs, crosses) = lax.scan(
             one_year, (carry, eta),
             (year0 + jnp.arange(k, dtype=jnp.int32), frows))
-        return carry, eta, areas, means, jnp.min(convs)
+        return carry, eta, areas, means, jnp.min(convs), crosses
 
     return run
 
@@ -368,7 +413,8 @@ def _shard_fused_run(base_run, mesh, track):
     ax = mesh.axis_names[0]
     cache = {}
 
-    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale):
+    def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale,
+            cr_thr, cr_sgn):
         mem = P(ax)
         swept = tuple(sorted(n for n, v in par_j.items() if jnp.ndim(v)))
         sig = (k, tuple(sorted(par_j)), swept, int(jnp.ndim(scale)))
@@ -380,18 +426,20 @@ def _shard_fused_run(base_run, mesh, track):
             scale_spec = mem if jnp.ndim(scale) else P()
 
             def local(carry, eta, keys, par_j, f_off, frows, year0, rho,
-                      scale):
-                carry, eta, areas, means, conv = base_run(
+                      scale, cr_thr, cr_sgn):
+                carry, eta, areas, means, conv, crosses = base_run(
                     carry, eta, keys, par_j, f_off, frows, year0, k, rho,
-                    scale)
-                return carry, eta, areas, means, jax.lax.pmin(conv, ax)
+                    scale, cr_thr, cr_sgn)
+                return (carry, eta, areas, means,
+                        jax.lax.pmin(conv, ax), crosses)
 
             fn = shard_map(
                 local, mesh=mesh,
                 in_specs=(carry_specs, mem, mem, par_specs, mem, P(),
-                          P(), P(), scale_spec),
+                          P(), P(), scale_spec, mem, mem),
                 out_specs=(carry_specs, mem, P(None, ax),
-                           tuple(P(None, ax) for _ in track), P()),
+                           tuple(P(None, ax) for _ in track), P(),
+                           P(None, ax)),
                 # the kernel's out_shape carries no varying-mesh-axes
                 # annotation; per-shard independence is what this
                 # wrapper establishes (same as
@@ -400,7 +448,7 @@ def _shard_fused_run(base_run, mesh, track):
             )
             cache[sig] = fn
         return fn(carry, eta, keys, par_j, f_off, frows, year0, rho,
-                  scale)
+                  scale, cr_thr, cr_sgn)
 
     return run
 
@@ -502,6 +550,7 @@ def transitions(
     newton_max_iter: int = 30,
     engine: str = "auto",
     ou_impl: Optional[str] = None,
+    subyear: bool = False,
     block_k: int = 128,
     years_per_dispatch: Optional[int] = None,
     ref_init: Optional[tuple] = None,
@@ -549,6 +598,17 @@ def transitions(
     weather from the same seed; their trajectories agree at
     engine-parity level (f32 step-level chaos — the areas and escape
     statistics match, pointwise state may wander, ``TestFusedEngine``).
+
+    ``subyear=True`` (fused f32, constant forcing): the kernel ALSO
+    reduces every step's instantaneous ice area and records the first
+    step past the per-member midpoint of the two reference areas —
+    sub-annual transition timing at one ``(1, K)`` row per year of HBM
+    (``TransitionResult.crossing_step``, step index or -1 per
+    member-year; :meth:`TransitionResult.first_passage_subyear` refines
+    the year-classified passages to fractional years, walking back to
+    the year the instantaneous crossing actually happened). The
+    instantaneous detector typically LEADS the year-mean classifier by
+    years during a slow plunge — that lead is the diagnostic.
 
     ``ou_impl``: how the fused kernel evaluates the OU recurrence —
     ``'serial'`` (in-loop, bitwise the same weather as the scan engine)
@@ -756,6 +816,20 @@ def transitions(
                 "IS the serial reference weather); use engine='fused'")
         ou_impl = "serial"  # env default quietly falls back off-TPU
 
+    if subyear:
+        if ramped:
+            raise ValueError(
+                "subyear=True (in-kernel first-crossing detection) needs "
+                "STATIC attractor references; ramped forcing's evolving "
+                "references have no per-step threshold")
+        if engine != "fused":
+            raise ValueError(
+                "subyear=True runs inside the fused whole-year kernel; "
+                "use engine='fused' (f32)")
+        if dtype != jnp.float32:
+            raise ValueError(
+                "subyear=True requires the float32 fused keys mode")
+
     if engine == "fused":
         # draw source: in-kernel generation from per-member keys (f32;
         # bitwise jax.random.normal, no (nt, K) operand) with the
@@ -770,6 +844,10 @@ def transitions(
                 "ou_impl='assoc' runs over the in-kernel-generated draw "
                 "scratch, which is float32-only; run the ensemble in "
                 "float32 (or use ou_impl='serial')")
+        if subyear and noise_src != "keys":
+            raise ValueError(
+                "subyear=True is wired through the generating (keys) "
+                "kernels; it is unavailable with EBM_FUSED_NOISE=table")
         # kernel form: scalar or (K_run,) leaves, no broadcast axis
         par_run = Collection({
             k: jnp.asarray(v, dtype) for k, v in par.items()})
@@ -823,15 +901,40 @@ def transitions(
     else:
         scale = jnp.asarray(scale_np, dtype)
 
-    if engine == "fused":
-        run = _transition_fused_loop_fn(
-            spec.name, st, cfg, dtype.name, season, track,
-            default_interpret(), int(block_k), noise_src, ou_impl)
-        if mesh is not None:
-            run = _shard_fused_run(run, mesh, track)
+    # in-kernel first-crossing rows: the per-member midpoint of the two
+    # reference areas (the kernel compares RAW trapezoid integrals, so
+    # divide the 2*pi-scaled areas back) and the crossing direction
+    # (+1 = start below the midpoint, area must rise past it)
+    if subyear:
+        a_arr = np.broadcast_to(np.asarray(area_a, np.float64), (K,))
+        b_arr = np.broadcast_to(np.asarray(area_b, np.float64), (K,))
+        thr_np = (a_arr + b_arr) / (2.0 * 2.0 * np.pi)
+        other = b_arr if start == "a" else a_arr
+        own = a_arr if start == "a" else b_arr
+        sgn_np = np.sign(other - own)
+        cr_thr = jnp.asarray(thr_np, dtype)
+        cr_sgn = jnp.asarray(sgn_np, dtype)
     else:
-        run = _transition_loop_fn(spec.name, st, cfg, dtype.name, season,
-                                  track)
+        cr_thr = jnp.zeros((K_run,), dtype)
+        cr_sgn = jnp.zeros((K_run,), dtype)
+
+    if engine == "fused":
+        base_run = _transition_fused_loop_fn(
+            spec.name, st, cfg, dtype.name, season, track,
+            default_interpret(), int(block_k), noise_src, ou_impl,
+            subyear)
+        if mesh is not None:
+            base_run = _shard_fused_run(base_run, mesh, track)
+        run = base_run
+    else:
+        scan_run = _transition_loop_fn(spec.name, st, cfg, dtype.name,
+                                       season, track)
+
+        def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho,
+                scale, _thr, _sgn):
+            c, e, a, m, cv = scan_run(carry, eta, keys, par_j, f_off,
+                                      frows, year0, k, rho, scale)
+            return c, e, a, m, cv, None
 
     if mesh is not None:
         if K_run % mesh.size != 0:
@@ -871,17 +974,20 @@ def transitions(
 
     adaptive = years_per_dispatch is None
     chunk = _CHUNK_START if adaptive else max(1, int(years_per_dispatch))
-    areas_h, means_h, done = [], [], 0
+    areas_h, means_h, cross_h, done = [], [], [], 0
     ok = 1.0
     while done < years:
         k = min(chunk, years - done)
         frows_j = jnp.asarray(frows_all[done:done + k], dtype)
         t0 = time.perf_counter()
-        carry, eta, areas, means, conv = run(
+        carry, eta, areas, means, conv, crosses = run(
             carry, eta, keys, par_run, f_off, frows_j,
-            jnp.asarray(year0 + done, jnp.int32), k, rho, scale)
+            jnp.asarray(year0 + done, jnp.int32), k, rho, scale,
+            cr_thr, cr_sgn)
         areas_h.append(areas)
         means_h.append(means)
+        if subyear:
+            cross_h.append(crosses)
         ok = min(ok, float(conv))  # device fetch — syncs, so wall = real
         wall = time.perf_counter() - t0
         done += k
@@ -964,6 +1070,12 @@ def transitions(
         state = Collection({k: v[:K] for k, v in state.items()})
         eta_np = eta_np[:K]
 
+    crossing_step = None
+    if subyear:
+        crossing_step = np.asarray(
+            jax.device_get(jnp.concatenate(cross_h, axis=0)),
+            dtype=np.float64)
+
     return TransitionResult(
         areas=areas, labels=labels, first_passage=fp, finite=finite,
         state=state, eta=eta_np, tracked=tracked,
@@ -975,6 +1087,7 @@ def transitions(
         tau=tau, years=years, season=season, seed=int(seed),
         newton_ok=bool(ok >= 0.5), year0=year0, engine=engine,
         ramped=ramped, degenerate=degenerate, ref_state=ref_state,
+        crossing_step=crossing_step, nt=int(st.nt),
     )
 
 

@@ -556,6 +556,36 @@ def s_fused_mesh():
     print("      fused+mesh bitwise == unsharded on-chip", flush=True)
 
 
+@stage("subyear crossing detector lowers and detects on-chip")
+def s_subyear():
+    # the round-5 in-kernel first-crossing detector (per-step weighted
+    # area reduction + running first-step record) must LOWER in Mosaic
+    # and agree with the year-mean classifier's direction on real
+    # escapes; interpret mode only proves XLA semantics
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        E=np.full(st.nx, e), Tg=np.full(st.nx, e) / cw)
+    a = ebm.equilibrate("Classic", st, 5.5, par, mk(30.0),
+                        max_years=120, tol=2.0, dtype="float32")
+    b = ebm.equilibrate("Classic", st, 5.5, par, mk(-30.0),
+                        max_years=120, tol=2.0, dtype="float32")
+    r = ebm.transitions("Classic", st, 5.5, par, a, b, sigma=24.0,
+                        tau=0.05, years=25, K=32, seed=0,
+                        dtype="float32", subyear=True)
+    assert r.engine == "fused"
+    cs = r.crossing_step
+    assert ((cs == -1) | ((cs >= 0) & (cs < r.nt))).all()
+    esc = r.escaped
+    assert esc.sum() >= 1
+    fps = r.first_passage_subyear()
+    assert np.all(fps[esc] <= r.first_passage[esc])
+    print(f"      {int(esc.sum())}/32 escapes refined to sub-year "
+          f"(min lead {float(np.min(r.first_passage[esc] - fps[esc])):.3f} yr)",
+          flush=True)
+
+
 @stage("kx separable insolation rebuild is BITWISE vs table mode")
 def s_separable_bitwise():
     # the round-3 'kx' in-kernel insolation rebuild must reproduce the
@@ -592,7 +622,7 @@ def main():
               s_fold, s_edge, s_edge_state, s_highres, s_sensitivity,
               s_right_side, s_integrate_chunks, s_lyapunov,
               s_transitions, s_transitions_fused, s_inkernel_draws,
-              s_assoc_ou, s_fused_mesh, s_separable_bitwise]
+              s_assoc_ou, s_fused_mesh, s_subyear, s_separable_bitwise]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)

@@ -697,3 +697,139 @@ class TestMeshFused:
         r1 = transitions("Classic", st, F, par, a, b, mesh=mesh, **kw)
         np.testing.assert_array_equal(r0.areas, r1.areas)
         np.testing.assert_array_equal(r0.eta, r1.eta)
+
+
+class TestSubyearCrossing:
+    """Round-5 in-kernel first-crossing detection (`subyear=True`):
+    the fused kernel reduces each STEP's instantaneous ice area and
+    records the first step past the reference midpoint — sub-annual
+    transition timing at one (1, K) row per year of HBM."""
+
+    @pytest.fixture(scope="class")
+    def escapes(self):
+        st, par, mk = _classic_setup()
+        F = 5.5
+        a = ebm.equilibrate("Classic", st, F, par, mk(30.0),
+                            max_years=120, tol=2.0)
+        b = ebm.equilibrate("Classic", st, F, par, mk(-30.0),
+                            max_years=120, tol=2.0)
+        r = transitions("Classic", st, F, par, a, b, sigma=24.0,
+                        tau=0.05, years=25, K=32, seed=0,
+                        dtype="float32", engine="fused", subyear=True)
+        return r
+
+    def test_crossing_semantics(self, escapes):
+        r = escapes
+        assert r.crossing_step.shape == (25, 32) and r.nt == 1000
+        # values are -1 or valid step indices
+        cs = r.crossing_step
+        assert ((cs == -1) | ((cs >= 0) & (cs < r.nt))).all()
+        assert r.escaped.sum() >= 1
+        fps = r.first_passage_subyear()
+        esc = r.escaped
+        # the instantaneous crossing never lags the year-mean classifier
+        assert (fps[esc] <= r.first_passage[esc]).all()
+        # and at least one member is refined to a non-trivial step
+        assert (fps[esc] % 1.0 > 0).any()
+
+    def test_sigma_zero_never_crosses(self, escapes):
+        st, par, mk = _classic_setup()
+        F = 5.5
+        a = ebm.equilibrate("Classic", st, F, par, mk(30.0),
+                            max_years=120, tol=2.0)
+        b = ebm.equilibrate("Classic", st, F, par, mk(-30.0),
+                            max_years=120, tol=2.0)
+        r0 = transitions("Classic", st, F, par, a, b, sigma=0.0,
+                         years=3, K=3, seed=0, dtype="float32",
+                         engine="fused", subyear=True)
+        assert (r0.crossing_step == -1).all()
+        np.testing.assert_array_equal(
+            r0.first_passage_subyear(), r0.first_passage)
+
+    def test_subyear_roundtrip_and_validation(self, escapes, tmp_path):
+        p = str(tmp_path / "sub.h5")
+        ebm.save(escapes, p)
+        r2 = ebm.load(p)
+        np.testing.assert_array_equal(r2.crossing_step,
+                                      escapes.crossing_step)
+        assert r2.nt == escapes.nt
+        np.testing.assert_array_equal(r2.first_passage_subyear(),
+                                      escapes.first_passage_subyear())
+        st, par, mk = _classic_setup()
+        a = mk(30.0)
+        with pytest.raises(ValueError, match="fused"):
+            transitions("Classic", st, 5.5, par, a, a, sigma=1.0,
+                        years=2, K=2, engine="scan", subyear=True)
+        with pytest.raises(ValueError, match="float32"):
+            transitions("Classic", st, 5.5, par, a, a, sigma=1.0,
+                        years=2, K=2, engine="fused", subyear=True,
+                        dtype="float64")
+        ramp = ebm.Forcing(0.0, 5.0, -5.0, (1, 1), (1.0, -1.0))
+        with pytest.raises(ValueError, match="STATIC"):
+            transitions("Classic", st, ramp, par, a, a, sigma=1.0,
+                        years=2, K=2, engine="fused", subyear=True,
+                        dtype="float32")
+
+    def test_crossing_matches_raw_oracle(self):
+        """The in-kernel per-step area + crossing step vs a numpy
+        recomputation from the RAW XLA engine under identical weather
+        (engine-parity trajectories: the step index matches within a
+        small window around the threshold)."""
+        import jax
+        import jax.numpy as jnp
+
+        from energybalancemodel_jl_tpu.integrate import make_year_fn
+        from energybalancemodel_jl_tpu.models.base import (
+            default_step_config, get_model)
+        from energybalancemodel_jl_tpu.ops import prng
+        from energybalancemodel_jl_tpu.ops.pallas_year import (
+            _trapezoid_weights, pallas_classic_year)
+        from energybalancemodel_jl_tpu.utils.collection import Collection
+
+        st = ebm.SpaceTime.sin(8, 200, 1)
+        dtype = jnp.float32
+        par = Collection({k: jnp.asarray(v, dtype) for k, v in
+                          ebm.default_parameters("Classic").items()})
+        spec = get_model("Classic")
+        cw = float(par["cw"])
+        E0 = np.full(st.nx, 12.0)  # warm-ish, will freeze under F=-20
+        init = Collection(E=E0, Tg=E0 / cw)
+        carry = spec.init_carry(init, st, dtype)
+        K = 2
+        carry = Collection({k: jnp.broadcast_to(v, (K,) + v.shape)
+                            for k, v in carry.items()})
+        fyear = jnp.full((st.nt,), -20.0, dtype)
+        base = jax.random.PRNGKey(1)
+        yk = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+            jnp.arange(K, dtype=jnp.uint32))
+        cfg = default_step_config("float32")
+        rho = jnp.asarray(0.9, dtype)
+        scale = jnp.asarray(2.0, dtype)
+        eta0 = jnp.zeros((K,), dtype)
+        thr = jnp.full((K,), 0.3, dtype)
+        sgn = jnp.ones((K,), dtype)
+        *_, cross = pallas_classic_year(
+            carry, par, fyear, st, cfg, interpret=True, layout="xk",
+            noise_keys=yk, noise_ou=(rho, scale, eta0),
+            crossing=(thr, sgn))
+        # oracle: raw XLA year under the same weather
+        xi = np.asarray(prng.normal_table(yk, st.nt), np.float64)
+        eta = np.zeros(K)
+        etas = np.empty((st.nt, K))
+        for t in range(st.nt):
+            eta = 0.9 * eta + 2.0 * xi[t]
+            etas[t] = eta
+        year = make_year_fn("Classic", st, cfg, "float32", True)
+        fy = (np.asarray(fyear)[:, None, None]
+              + etas[:, :, None]).astype(np.float32)
+        _, _, _, ys = year(carry, Collection(
+            {k: (v[:, None] if jnp.ndim(v) == 1 else v)
+             for k, v in par.items()}), jnp.asarray(fy))
+        E_steps = np.asarray(ys["E"])  # (nt, K, nx)
+        w = np.asarray(_trapezoid_weights(st.x, st.nx, st.nx, dtype))
+        areas = ((E_steps < 0).astype(np.float64) * w).sum(axis=-1)
+        for k in range(K):
+            hit = np.nonzero(areas[:, k] > 0.3)[0]
+            want = hit[0] if hit.size else -1
+            got = int(np.asarray(cross)[k])
+            assert abs(got - want) <= 2, (k, got, want)
