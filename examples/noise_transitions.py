@@ -67,6 +67,26 @@ def main(fast=False, outdir=None):
         print(f"\nfirst-passage years at sigma={max(sigmas)}: "
               f"{np.sort(fp).astype(int)[:12]}")
 
+    # -- sub-annual crossing detection (round 5) --------------------------
+    # subyear=True makes the fused kernel reduce every STEP's
+    # instantaneous ice area and record the first crossing of the
+    # midpoint between the two reference areas — the instantaneous
+    # detector typically LEADS the year-mean classifier by years during
+    # a slow snowball plunge
+    r_sub = ebm.transitions("Classic", st, F, par, warm, snow,
+                            sigma=max(sigmas), tau=0.05, years=years,
+                            K=K, seed=0, dtype="float32",
+                            engine="fused", subyear=True)
+    esc = r_sub.escaped
+    if esc.any():
+        fps = r_sub.first_passage_subyear()
+        print("\nsub-annual refinement (year-mean classifier vs "
+              "instantaneous midpoint crossing):")
+        for k in np.nonzero(esc)[0][:6]:
+            print(f"  member {k:2d}: year-classified {int(r_sub.first_passage[k]):3d}"
+                  f"  -> crossed at {fps[k]:8.3f} yr "
+                  f"(lead {r_sub.first_passage[k] - fps[k]:.2f} yr)")
+
     # the trajectory fan (escaped members in color, first passage marked)
     fig = ebm.plot_transitions(r)
     out = os.path.join(outdir or os.path.dirname(__file__),
