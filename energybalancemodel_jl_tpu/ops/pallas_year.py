@@ -179,7 +179,8 @@ def _pad_keys_xk(noise_keys, K: int, Kp: int):
     launchers. Padded lanes replicate the last member's key — their draws
     are generated but multiply the ZERO-padded OU scale
     (:func:`_zero_pad_ou_rows`), so padded-lane forcing stays exactly
-    deterministic."""
+    deterministic; this is why keys mode REQUIRES noise_ou
+    (:func:`_validate_noise_args`)."""
     if noise_keys is None:
         return None
     noise_keys = jnp.asarray(noise_keys)
@@ -223,6 +224,17 @@ def _validate_noise_args(dtype, noise, noise_ou, noise_keys, ou_assoc):
         raise ValueError(
             "noise_ou requires the white-noise table (noise=) or "
             "in-kernel generation keys (noise_keys=)")
+    if noise_keys is not None and noise_ou is None:
+        # no plain-gen mode: padded lanes replicate the last member's
+        # KEYS, so their generated draws are nonzero white noise with
+        # nothing to neutralize it (in OU mode the zero-padded scale
+        # keeps padded-lane eta exactly 0) — fictitious-lane dynamics
+        # would feed the MIZ block-min Newton flag (review r5). Plain
+        # white-noise offsets take the explicit zero-padded noise= table.
+        raise ValueError(
+            "noise_keys= requires noise_ou= (the zero-padded OU scale is "
+            "what keeps fictitious padded lanes deterministic); for "
+            "plain white-noise offsets pass an explicit noise= table")
     if ou_assoc and (noise_ou is None or noise_keys is None):
         raise ValueError(
             "ou_assoc=True precomputes the OU path over the generated "
@@ -667,17 +679,6 @@ def _classic_kernel_xk_ou(f_ref, cosv_ref, noise_ref, cin_ref, cols_ref,
                        noise_ref=noise_ref, ou=True, eta_ref=eta_ref, **kw)
 
 
-def _kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
-                         pars_ref, cout_ref, wint_ref, summ_ref, avg_ref,
-                         conv_ref, noise_ref, **kw):
-    """Generating-launch adapter (MIZ, plain noise): the per-member key
-    rows ride as the third input and the noise table is the trailing
-    VMEM SCRATCH the kernel fills itself (:func:`_gen_noise_xk`)."""
-    _kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
-               cout_ref, wint_ref, summ_ref, avg_ref, conv_ref,
-               noise_ref=noise_ref, keys_ref=keys_ref, **kw)
-
-
 def _kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
                       pars_ref, cout_ref, wint_ref, summ_ref, avg_ref,
                       conv_ref, eta_ref, *rest, assoc: bool = False,
@@ -697,15 +698,6 @@ def _kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
                noise_ref=noise_ref, ou=True, eta_ref=eta_ref,
                keys_ref=keys_ref, assoc=assoc, crossing=crossing,
                cross_ref=cross_ref, **kw)
-
-
-def _classic_kernel_xk_gen_noisy(f_ref, cosv_ref, keys_ref, cin_ref,
-                                 cols_ref, pars_ref, cout_ref, wint_ref,
-                                 summ_ref, avg_ref, noise_ref, **kw):
-    """Classic twin of :func:`_kernel_xk_gen_noisy`."""
-    _classic_kernel_xk(f_ref, cosv_ref, cin_ref, cols_ref, pars_ref,
-                       cout_ref, wint_ref, summ_ref, avg_ref,
-                       noise_ref=noise_ref, keys_ref=keys_ref, **kw)
 
 
 def _classic_kernel_xk_gen_ou(f_ref, cosv_ref, keys_ref, cin_ref, cols_ref,
@@ -1236,11 +1228,9 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
         kern_kw = {}
         scratch_shapes = []
         if keys_s is not None:
-            kernel = _kernel_xk_gen_ou if noise_ou is not None \
-                else _kernel_xk_gen_noisy
-            if noise_ou is not None:
-                kern_kw["assoc"] = ou_assoc
-                kern_kw["crossing"] = crossing is not None
+            kernel = _kernel_xk_gen_ou  # keys mode is OU-only (validator)
+            kern_kw["assoc"] = ou_assoc
+            kern_kw["crossing"] = crossing is not None
             scratch_shapes = [pltpu.VMEM((nt_pad, Kt), dtype)]
         elif noise_s is None:
             kernel = _kernel_xk
@@ -1317,7 +1307,6 @@ def _miz_year_xk(carry, par, fyear, st, cfg, block_k: int, interpret: bool,
     ]
     eta_end = cross_out = None
     cols_out = list(zip(*parts))
-    i = 0
     cout, wint, summ, avg, conv = (
         (jnp.concatenate(vs, axis=-1) if len(parts) > 1 else vs[0])
         for vs in cols_out[:5])
@@ -1873,11 +1862,9 @@ def _classic_year_xk(carry, par, fyear, st, cfg, block_k: int,
         kern_kw = {}
         scratch_shapes = []
         if keys_s is not None:
-            kernel = _classic_kernel_xk_gen_ou if noise_ou is not None \
-                else _classic_kernel_xk_gen_noisy
-            if noise_ou is not None:
-                kern_kw["assoc"] = ou_assoc
-                kern_kw["crossing"] = crossing is not None
+            kernel = _classic_kernel_xk_gen_ou  # keys mode is OU-only
+            kern_kw["assoc"] = ou_assoc
+            kern_kw["crossing"] = crossing is not None
             scratch_shapes = [pltpu.VMEM((nt_pad, Kt), dtype)]
         elif noise_s is None:
             kernel = _classic_kernel_xk

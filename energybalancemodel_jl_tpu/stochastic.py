@@ -204,6 +204,13 @@ class TransitionResult:
             while step == 0 and y > 0 and self.crossing_step[y - 1, k] >= 0:
                 y -= 1
                 step = self.crossing_step[y, k]
+            if step == 0 and y == 0:
+                # across at the very start of the RESULT window (an
+                # init= override past the midpoint, or a resumed run
+                # whose crossing predates year0): no crossing was
+                # observed in-window — keep the year-mean passage
+                # instead of claiming ~1/nt (review r5)
+                continue
             out[k] = y + (step + 1.0) / float(self.nt)
         return out
 
@@ -602,7 +609,11 @@ def transitions(
     ``subyear=True`` (fused f32, constant forcing): the kernel ALSO
     reduces every step's instantaneous ice area and records the first
     step past the per-member midpoint of the two reference areas —
-    sub-annual transition timing at one ``(1, K)`` row per year of HBM
+    sub-annual transition timing at one ``(1, K)`` row per year of HBM.
+    The crossing DIRECTION derives from ``start``'s reference area (the
+    area must move toward the OTHER attractor's) — an ``init=`` override
+    already past the midpoint records step 0 every year and the
+    refinement falls back to the year-mean passage
     (``TransitionResult.crossing_step``, step index or -1 per
     member-year; :meth:`TransitionResult.first_passage_subyear` refines
     the year-classified passages to fractional years, walking back to
@@ -630,7 +641,10 @@ def transitions(
     ``jax.sharding.Mesh``) shards members across chips — BOTH engines:
     the scan engine via jit sharding propagation, the fused engine via a
     pure-DP ``shard_map`` around the kernel launches (each chip runs its
-    local member block; the VMEM fit is checked per shard). The draws
+    local member block; the fit predicate receives the per-shard member
+    count — today the noisy 'xk' working set is per-block and
+    K-independent, so this is future-proofing, not a live bound). The
+    draws
     are per-member keyed, so sharded == unsharded exactly — bitwise for
     the scan engine and fused Classic; fused MIZ agrees to Newton
     sub-tolerance only (sharding regroups the kernels' member blocks,

@@ -490,11 +490,14 @@ def s_inkernel_draws():
     b = ebm.equilibrate("Classic", st, 10.0, par, mk(-30.0),
                         max_years=60, tol=2.0, dtype="float32")
     kw = dict(sigma=8.0, tau=0.05, years=3, K=8, seed=4, dtype="float32")
-    os.environ["EBM_FUSED_NOISE"] = "keys"
-    r_k = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
-    os.environ["EBM_FUSED_NOISE"] = "table"
-    r_t = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
-    os.environ.pop("EBM_FUSED_NOISE", None)
+    try:
+        os.environ["EBM_FUSED_NOISE"] = "keys"
+        r_k = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
+        os.environ["EBM_FUSED_NOISE"] = "table"
+        r_t = ebm.transitions("Classic", st, 10.0, par, a, b, **kw)
+    finally:
+        # a failure here must not leak table mode into later stages
+        os.environ.pop("EBM_FUSED_NOISE", None)
     assert r_k.engine == "fused" and r_t.engine == "fused"
     np.testing.assert_array_equal(r_k.areas, r_t.areas)
     np.testing.assert_array_equal(r_k.eta, r_t.eta)

@@ -1301,23 +1301,18 @@ class TestInKernelDraws:
         np.testing.assert_array_equal(np.asarray(eta_gen),
                                       np.asarray(eta_tab))
 
-    def test_miz_plain_noise_keys_mode(self):
-        """keys without noise_ou: the generated draws ARE the offsets."""
-        from energybalancemodel_jl_tpu.ops import prng
-
+    def test_plain_noise_keys_mode_rejected(self):
+        """keys WITHOUT noise_ou is rejected (round-5 review): padded
+        lanes replicate the last member's keys, so their generated
+        draws would be live white-noise forcing with no zero-padded OU
+        scale to neutralize it — fictitious-lane dynamics would feed
+        the MIZ block-min Newton flag. Plain white-noise offsets take
+        the explicit (zero-padded) noise= table instead."""
         st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
         yk = self._keys(4, seed=5)
-        c_tab, _, _, none_tab = pallas_miz_year(
-            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
-            noise=prng.normal_table(yk, st.nt))
-        c_gen, _, _, none_gen = pallas_miz_year(
-            carry, par, fyear, st, FIXED_CFG, interpret=True, layout="xk",
-            noise_keys=yk)
-        assert none_tab is None and none_gen is None
-        for key in c_tab:
-            np.testing.assert_array_equal(
-                np.asarray(c_gen[key]), np.asarray(c_tab[key]),
-                err_msg=key)
+        with pytest.raises(ValueError, match="requires noise_ou"):
+            pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
+                            interpret=True, layout="xk", noise_keys=yk)
 
     def test_assoc_matches_serial_at_roundoff(self):
         st, par, carry, fyear = small_setup(nx=16, nt=48, k=4)
@@ -1378,7 +1373,8 @@ class TestInKernelDraws:
         with pytest.raises(ValueError, match="uint32 key-data"):
             pallas_miz_year(carry, par, fyear, st, FIXED_CFG,
                             interpret=True, layout="xk",
-                            noise_keys=jnp.zeros((4, 2), jnp.int32))
+                            noise_keys=jnp.zeros((4, 2), jnp.int32),
+                            noise_ou=(0.9, 1.0, jnp.zeros((4,), DTYPE)))
 
     def test_multi_chunk_generation_fills_every_row(self):
         """nt above _GEN_CHUNK exercises the chunked fill's tail
