@@ -703,6 +703,9 @@ def plot_transitions(
     every member's per-year seasonal ice area against the two attractor
     reference lines. Members that escaped are drawn in color with a
     marker at their first-passage year; members that stayed are gray.
+    A ``subyear=True`` result additionally marks each escaped member's
+    SUB-ANNUAL instantaneous midpoint crossing (x) at its fractional
+    year — typically years ahead of the year-mean marker.
     No reference analog (the reference is deterministic)."""
     import matplotlib.pyplot as plt
 
@@ -712,12 +715,20 @@ def plot_transitions(
     yrs = np.arange(1, areas.shape[0] + 1)
     fig, ax = plt.subplots(figsize=(6.4, 4.0), constrained_layout=True)
     esc = res.escaped & res.finite
+    fps_sub = None
+    if getattr(res, "crossing_step", None) is not None:
+        fps_sub = res.first_passage_subyear()
     for k in range(areas.shape[1]):
         if esc[k]:
             (line,) = ax.plot(yrs, areas[:, k], linewidth=1.1, alpha=0.9)
             y = int(res.first_passage[k])
             ax.plot([y], [areas[y - 1, k]], marker="o", markersize=5,
                     color=line.get_color())
+            if fps_sub is not None and np.isfinite(fps_sub[k]) \
+                    and fps_sub[k] != res.first_passage[k]:
+                yi = min(max(int(fps_sub[k]), 0), areas.shape[0] - 1)
+                ax.plot([fps_sub[k]], [areas[yi, k]], marker="x",
+                        markersize=6, color=line.get_color())
         else:
             ax.plot(yrs, areas[:, k], color="0.65", linewidth=0.8,
                     alpha=0.6)
