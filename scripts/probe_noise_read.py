@@ -251,11 +251,13 @@ def make_driver_runner(scale_val=1.0):
         if "c" not in state:
             state["c"], state["e"] = carry0, jnp.zeros((K,), dtype)
         c, eta = state["c"], state["e"]
+        zeros_k = jnp.zeros((K,), dtype)
         done = 0
         while done < years:
-            c, eta, areas, _means, _conv = run_fn(
+            c, eta, areas, _means, _conv, _cross = run_fn(
                 c, eta, keys, par_run, f_off, frows,
-                jnp.asarray(done, jnp.int32), YPD, rho, scale)
+                jnp.asarray(done, jnp.int32), YPD, rho, scale,
+                zeros_k, zeros_k)
             done += YPD
         np.asarray(areas)
         return time.time() - t0
@@ -273,6 +275,17 @@ def main():
             "dyn": make_runner("const_tab"),
             "static0": make_runner("const_tab", "static0"),
             "mod8": make_runner("const_tab", "mod8"),
+        }
+    elif os.environ.get("EBM_PROBE_PHASE") == "sigma":
+        # the amplitude curve of the Newton-physics cost: the production
+        # chunk fn at increasing per-step noise scale vs the det control
+        arms = {
+            "det": make_runner("det"),
+            "driver_s025": make_driver_runner(0.25),
+            "driver_s05": make_driver_runner(0.5),
+            "driver_s1": make_driver_runner(1.0),
+            "driver_s2": make_driver_runner(2.0),
+            "driver_s4": make_driver_runner(4.0),
         }
     elif os.environ.get("EBM_PROBE_PHASE") == "2":
         arms = {
