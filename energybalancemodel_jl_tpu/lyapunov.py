@@ -104,7 +104,8 @@ class LyapunovResult:
 @functools.lru_cache(maxsize=32)
 def _lyapunov_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
                       m: int, keys_order, widths, project_keys,
-                      remat: bool = False):
+                      remat: bool = False,
+                      member_chunk: Optional[int] = None):
     """Jitted Benettin chunk: advance the trajectory ``k`` years while
     propagating and re-orthonormalizing an m-column tangent block.
 
@@ -184,15 +185,70 @@ def _lyapunov_loop_fn(model_name: str, st: SpaceTime, cfg, dtype_name: str,
 
             carry_end, points = lax.scan(adv, carry, None, length=int(k))
 
-            def tang(v, pt):
-                _, pb = jax.vjp(lambda c: year_r(c, par_j, frow_j)[0],
+            def tang_block(v, pt, par_b, frow_b):
+                _, pb = jax.vjp(lambda c: year_r(c, par_b, frow_b)[0],
                                 pt)
                 lt = jax.linear_transpose(lambda u: pb(u)[0], pt)
                 base = lambda u: lt(u)[0]
                 jv = (jax.vmap(base) if m > 1 else base)(v)
                 frozen = (pt["phi"] >= 0.99) if project_keys else None
-                v, lam = fit(proj(jv, frozen))
-                return v, jnp.log(jnp.maximum(lam, tiny))
+                return fit(proj(jv, frozen))
+
+            if member_chunk is None:
+                def tang(v, pt):
+                    v, lam = tang_block(v, pt, par_j, frow_j)
+                    return v, jnp.log(jnp.maximum(lam, tiny))
+            else:
+                # member-slabbed tangent year: the map is member-DIAGONAL
+                # (members never couple), so per-slab vjps are exact
+                # restrictions; lax.map sequentializes the slabs and the
+                # remat'd residual chain shrinks to one slab's — the
+                # lever that takes ensemble spectra past the ~K=1024
+                # whole-batch envelope (9 GB at f32; K=8192 would need
+                # 70 GB). Structural rank rules identify the member axis
+                # (an extent==K test collides when K matches nt/nx).
+                # Numerics contract: a single slab (C == K) is BITWISE
+                # the unslabbed graph (measured); multiple slabs differ
+                # by FMA-contraction ulps between the sliced and full
+                # graphs, which positive finite-time growth amplifies
+                # year over year — engine-parity-level per-year growths,
+                # statistically identical exponents.
+                C = int(member_chunk)
+
+                def tang(v, pt):
+                    K_tot = next(iter(pt.values())).shape[0]
+                    v_ax = 0 if m == 1 else 1
+
+                    def slab(si):
+                        sl = si * C
+                        pt_s = jax.tree_util.tree_map(
+                            lambda x: lax.dynamic_slice_in_dim(
+                                x, sl, C, 0), pt)
+                        par_s = jax.tree_util.tree_map(
+                            lambda x: (lax.dynamic_slice_in_dim(
+                                x, sl, C, 0) if jnp.ndim(x) >= 2 else x),
+                            par_j)
+                        frow_s = (lax.dynamic_slice_in_dim(
+                            frow_j, sl, C, 1) if jnp.ndim(frow_j) >= 3
+                            else frow_j)
+                        v_s = jax.tree_util.tree_map(
+                            lambda x: lax.dynamic_slice_in_dim(
+                                x, sl, C, v_ax), v)
+                        return tang_block(v_s, pt_s, par_s, frow_s)
+
+                    v_sl, lam_sl = lax.map(
+                        slab, jnp.arange(K_tot // C, dtype=jnp.int32))
+                    # (S, [m,] C, nx) leaves -> ([m,] K, nx)
+                    if m == 1:
+                        v = jax.tree_util.tree_map(
+                            lambda x: x.reshape((K_tot,) + x.shape[2:]),
+                            v_sl)
+                    else:
+                        v = jax.tree_util.tree_map(
+                            lambda x: jnp.moveaxis(x, 0, 1).reshape(
+                                (m, K_tot) + x.shape[3:]), v_sl)
+                    lam = lam_sl.reshape((K_tot,) + lam_sl.shape[2:])
+                    return v, jnp.log(jnp.maximum(lam, tiny))
 
             v, logs = lax.scan(tang, v, points)
             return carry_end, v, logs
@@ -235,6 +291,7 @@ def lyapunov(
     dtype=None,
     newton_max_iter: int = 30,
     years_per_dispatch: Optional[int] = None,
+    member_chunk: Optional[int] = None,
     mesh=None,
 ) -> LyapunovResult:
     """Finite-time Lyapunov exponents of the year map along a trajectory.
@@ -353,9 +410,21 @@ def lyapunov(
             f"n_modes={m} exceeds the state dimension {sum(widths)}"
         )
 
+    if member_chunk is not None:
+        member_chunk = int(member_chunk)
+        if not ensemble:
+            raise ValueError(
+                "member_chunk= slabs the ensemble tangent propagation; "
+                "it needs (K,) par leaves or a member-batched init")
+        K_eff = int(K) // (mesh.size if mesh is not None else 1)
+        if K_eff % member_chunk != 0:
+            raise ValueError(
+                f"member_chunk={member_chunk} must divide the per-device "
+                f"member count {K_eff}")
     run, prep = _lyapunov_loop_fn(spec.name, st, cfg, dtype.name, m,
                                   keys_order, widths, project,
-                                  remat=ensemble)
+                                  remat=ensemble,
+                                  member_chunk=member_chunk)
 
     rng = np.random.default_rng(seed)
     if v0 is None:

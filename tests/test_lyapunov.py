@@ -259,3 +259,56 @@ class TestValidationAndRepr:
         assert lya.running().shape == (4, 1)
         assert lya.sem.shape == (1,)
         assert np.isfinite(lya.sem).all()
+
+
+class TestMemberChunk:
+    """Round-5 `member_chunk=`: slabbed ensemble tangent propagation —
+    the memory lever past the ~K=1024 whole-batch remat envelope. The
+    year map is member-diagonal, so a single slab (C == K) must be
+    BITWISE the unslabbed graph; multiple slabs differ by contraction
+    ulps that positive finite-time growth amplifies (engine-parity
+    per-year growths, same exponents statistically)."""
+
+    def _setup(self):
+        st = ebm.SpaceTime.sin(12, 300, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["F"] = np.linspace(0.0, 1.0, 8)
+        eq = ebm.equilibrate("MIZ", st, ebm.Forcing(0.0), par,
+                             ebm.zeros_init(st), tol=0.0, max_years=5)
+        return st, par, eq.state
+
+    def test_single_slab_is_bitwise(self):
+        st, par, state = self._setup()
+        kw = dict(years=3, n_modes=2, dtype="float32",
+                  years_per_dispatch=3)
+        full = ebm.lyapunov("MIZ", st, ebm.Forcing(0.0), par, state, **kw)
+        one = ebm.lyapunov("MIZ", st, ebm.Forcing(0.0), par, state,
+                           member_chunk=8, **kw)
+        np.testing.assert_array_equal(one.history, full.history)
+        for k in full.state:
+            np.testing.assert_array_equal(one.state[k], full.state[k])
+
+    def test_multi_slab_first_year_tight(self):
+        st, par, state = self._setup()
+        kw = dict(years=2, n_modes=2, dtype="float32",
+                  years_per_dispatch=2)
+        full = ebm.lyapunov("MIZ", st, ebm.Forcing(0.0), par, state, **kw)
+        slab = ebm.lyapunov("MIZ", st, ebm.Forcing(0.0), par, state,
+                            member_chunk=4, **kw)
+        # before chaotic amplification sets in, the slabbed growths sit
+        # at contraction round-off from the full batch
+        np.testing.assert_allclose(slab.history[0], full.history[0],
+                                   rtol=1e-4, atol=1e-5)
+        # the forward trajectory is the SAME plain scan either way
+        for k in full.state:
+            np.testing.assert_array_equal(slab.state[k], full.state[k])
+
+    def test_validation(self):
+        st, par, state = self._setup()
+        with pytest.raises(ValueError, match="divide"):
+            ebm.lyapunov("MIZ", st, ebm.Forcing(0.0), par, state,
+                         years=2, member_chunk=3)
+        solo_par = ebm.Collection(ebm.default_parameters("MIZ"))
+        with pytest.raises(ValueError, match="ensemble|member-batched"):
+            ebm.lyapunov("MIZ", st, ebm.Forcing(0.0), solo_par,
+                         ebm.zeros_init(st), years=2, member_chunk=2)
