@@ -30,6 +30,16 @@ healthy MIZ attractors report a leading exponent of exactly 0;
 ``project=("Ew", "phi")`` zeroes those families — per year, against the
 CURRENT state's ice mask, which moves with the trajectory — so the
 exponents reflect the observable dynamics.
+
+Wide-f32-ensemble caveat (measured on-chip round 5, K=1024/8192 at the
+canonical grid): a few per-mille of members can sit on clamp
+knife-edges where the f32 reverse year yields NaN growths — the NaN
+stays ISOLATED to those members (per-member batched QR), their
+exponents read NaN, and the rest of the ensemble is unaffected; screen
+with ``np.isfinite(result.exponents)``. ``member_chunk=C`` slabs the
+ensemble tangent propagation into sequential per-slab vjps (memory =
+one slab's remat chain instead of the whole batch's — the lever past
+the ~K=1024 envelope; K=8192 runs on one chip at C=1024).
 """
 from __future__ import annotations
 
