@@ -322,7 +322,8 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
                               interpret: bool, block_k: int,
                               noise_src: str = "table",
                               ou_impl: str = "serial",
-                              subyear: bool = False):
+                              subyear: bool = False,
+                              ramp_thr: float = 0.0):
     """Fused-engine twin of :func:`_transition_loop_fn`: each scanned year
     launches the whole-year Pallas kernel ('xk' layout) with the year's
     WHITE-noise draws and the OU recurrence running IN-KERNEL
@@ -346,7 +347,16 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
     operand, on-chip-bitwise draws, mesh-ready), not for speed.
     Draw keying, OU recursion, forcing grouping ``(frow + F) + eta``,
     and the area/track reductions are IDENTICAL to the scan engine —
-    same seed, same weather, engine-parity-level same trajectories."""
+    same seed, same weather, engine-parity-level same trajectories.
+
+    ``ramp_thr`` (+1.0 for ``start='a'``, -1.0 for ``'b'``, 0.0 = static
+    rows) makes the ``subyear`` crossing rows EVOLVE in-scan: year ``y``
+    runs the kernel with the threshold/sign derived from the sigma-zero
+    companion lanes' (the LAST two members') year-``y-1`` mean areas —
+    the entering (lag-1, causal) midpoint; the caller seeds the first
+    year's rows and re-derives them at chunk boundaries with the same
+    dtype arithmetic (:func:`_thr_sgn_rows`), so chunking stays
+    bitwise-invariant."""
     from .ops.pallas_year import pallas_classic_year, pallas_miz_year
 
     kern = pallas_miz_year if model_name == "MIZ" else pallas_classic_year
@@ -354,15 +364,21 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
     nt = st.nt
     x, area_of = _area_fn(st, dtype)
 
+    evolving = bool(subyear and ramp_thr != 0.0)
+
     @functools.partial(jax.jit, static_argnums=(7,))
     def run(carry, eta, keys, par_j, f_off, frows, year0, k, rho, scale,
             cr_thr, cr_sgn):
         par_k = Collection(dict(par_j))
         par_k["F"] = f_off  # (K,) constant per-member offset lane
+        four_pi = jnp.asarray(2.0 * 2.0 * np.pi, dtype)
 
         def one_year(state, inp):
             yi, frow = inp
-            carry, eta = state
+            if evolving:
+                carry, eta, thr, sgn = state
+            else:
+                (carry, eta), thr, sgn = state, cr_thr, cr_sgn
             cross = jnp.full(eta.shape, -1.0, dtype)
             fold = lambda key: jax.random.fold_in(key, yi)
             if noise_src == "keys":
@@ -372,7 +388,7 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
                     interpret=interpret, layout="xk", noise_keys=yk,
                     noise_ou=(rho, scale, eta),
                     ou_assoc=(ou_impl == "assoc"),
-                    crossing=(cr_thr, cr_sgn) if subyear else None)
+                    crossing=(thr, sgn) if subyear else None)
                 if subyear:
                     carry, seasonal, conv, eta, cross = out
                 else:
@@ -392,11 +408,22 @@ def _transition_fused_loop_fn(model_name: str, st: SpaceTime, cfg,
             means = tuple(
                 hemispheric_mean(jnp.nan_to_num(coll[v]), x) for v in track
             )
+            if evolving:
+                # next year's entering threshold: this year's companion
+                # (last two lanes, sigma-zero) mean-area midpoint — the
+                # same ops, same dtype as the host's _thr_sgn_rows
+                a_y, b_y = area[-2], area[-1]
+                thr = jnp.full_like(thr, (a_y + b_y) / four_pi)
+                sgn = jnp.full_like(
+                    sgn, jnp.asarray(ramp_thr, dtype) * jnp.sign(b_y - a_y))
+                return (carry, eta, thr, sgn), (area, means, conv, cross)
             return (carry, eta), (area, means, conv, cross)
 
-        (carry, eta), (areas, means, convs, crosses) = lax.scan(
-            one_year, (carry, eta),
+        state0 = (carry, eta, cr_thr, cr_sgn) if evolving else (carry, eta)
+        state, (areas, means, convs, crosses) = lax.scan(
+            one_year, state0,
             (year0 + jnp.arange(k, dtype=jnp.int32), frows))
+        carry, eta = state[0], state[1]
         return carry, eta, areas, means, jnp.min(convs), crosses
 
     return run
@@ -519,6 +546,48 @@ def _solo_state(obj, name: str) -> Collection:
     return state
 
 
+def _thr_sgn_rows(a_y, b_y, sdir: float, K_run: int, dtype):
+    """Host twin of the fused loop's in-scan crossing-row update (ramped
+    ``subyear``): threshold = the companions' mean-area midpoint in RAW
+    trapezoid units, sign = the direction toward the other attractor.
+    Computed with the SAME dtype arithmetic as the traced update so a
+    chunk-boundary re-derivation is bitwise what the in-scan carry would
+    have held — chunking stays invariant."""
+    npdt = np.dtype(jnp.dtype(dtype).name)
+    a = np.asarray(a_y, npdt)
+    b = np.asarray(b_y, npdt)
+    four_pi = np.asarray(2.0 * 2.0 * np.pi, npdt)
+    thr = (a + b) / four_pi
+    sgn = np.asarray(sdir, npdt) * np.sign(b - a)
+    return (jnp.full((K_run,), thr, dtype), jnp.full((K_run,), sgn, dtype))
+
+
+def _ramp_ref_area0(spec, st: SpaceTime, cfg, par: Collection,
+                    state: Collection, season: str, dtype,
+                    frow_np: np.ndarray) -> float:
+    """Seed reference area for a ramped ``subyear`` run: ONE deterministic
+    year from a companion's starting state under the run's first forcing
+    row (``frows_all[0]`` — ramp_shift included), through the XLA year
+    graph. At engine-parity level this is the in-run companion's year-0
+    area, so the first year's threshold is the SAME-year midpoint; later
+    years evolve lag-1 in-scan. A resumed segment seeds from
+    ``ref_area0=`` instead (the prior segment's last companion areas) for
+    a threshold-seamless continuation."""
+    from .fold import seasonal_ice_area
+    from .integrate import _jitted_year_fn
+
+    carry = spec.init_carry(state, st, dtype)
+    par_j = Collection({k: jnp.asarray(v, dtype)
+                        for k, v in Collection(par).items()})
+    frow = jnp.asarray(frow_np, dtype)
+    year = _jitted_year_fn(spec.name, st, cfg, jnp.dtype(dtype).name,
+                           False, None)
+    _, seasonal, _, _ = year(carry, par_j, frow)
+    seasonal = jax.device_get(seasonal)
+    return float(np.asarray(
+        seasonal_ice_area(getattr(seasonal, season), st)))
+
+
 def _forcing_rows(forcing: Forcing, st: SpaceTime, year0: int,
                   years: int) -> np.ndarray:
     """(years, nt) float64 base-forcing table for absolute years
@@ -561,6 +630,7 @@ def transitions(
     block_k: int = 128,
     years_per_dispatch: Optional[int] = None,
     ref_init: Optional[tuple] = None,
+    ref_area0: Optional[tuple] = None,
     mesh=None,
     progress: bool = False,
 ) -> TransitionResult:
@@ -606,10 +676,21 @@ def transitions(
     engine-parity level (f32 step-level chaos — the areas and escape
     statistics match, pointwise state may wander, ``TestFusedEngine``).
 
-    ``subyear=True`` (fused f32, constant forcing): the kernel ALSO
-    reduces every step's instantaneous ice area and records the first
-    step past the per-member midpoint of the two reference areas —
-    sub-annual transition timing at one ``(1, K)`` row per year of HBM.
+    ``subyear=True`` (fused f32): the kernel ALSO reduces every step's
+    instantaneous ice area and records the first step past the
+    per-member midpoint of the two reference areas — sub-annual
+    transition timing at one ``(1, K)`` row per year of HBM. Under
+    RAMPED forcing the threshold EVOLVES with the sigma-zero
+    companions: year ``y`` uses the entering (lag-1, causal) midpoint
+    of the companions' year-``y-1`` mean areas, updated in-scan; year0
+    seeds from a one-year deterministic pre-run of the companion
+    states (same-year midpoint, engine-parity level), or from
+    ``ref_area0=(area_a_last, area_b_last)`` on a resumed segment
+    (pass the prior ``(result.area_a[-1], result.area_b[-1])`` for a
+    threshold-seamless, bit-exact continuation; without it the seam
+    year's threshold provenance differs and its crossing step may move
+    by a few steps). Ramped ``subyear`` composes with everything but
+    ``mesh=`` (the companion lanes live on one shard).
     The crossing DIRECTION derives from ``start``'s reference area (the
     area must move toward the OTHER attractor's) — an ``init=`` override
     already past the midpoint records step 0 every year and the
@@ -831,11 +912,12 @@ def transitions(
         ou_impl = "serial"  # env default quietly falls back off-TPU
 
     if subyear:
-        if ramped:
+        if ramped and mesh is not None:
             raise ValueError(
-                "subyear=True (in-kernel first-crossing detection) needs "
-                "STATIC attractor references; ramped forcing's evolving "
-                "references have no per-step threshold")
+                "subyear=True under ramped forcing evolves the crossing "
+                "threshold in-scan from the sigma-zero companion lanes' "
+                "areas, which live on a single shard — run unsharded, or "
+                "drop subyear= and refine with a second unsharded pass")
         if engine != "fused":
             raise ValueError(
                 "subyear=True runs inside the fused whole-year kernel; "
@@ -918,8 +1000,29 @@ def transitions(
     # in-kernel first-crossing rows: the per-member midpoint of the two
     # reference areas (the kernel compares RAW trapezoid integrals, so
     # divide the 2*pi-scaled areas back) and the crossing direction
-    # (+1 = start below the midpoint, area must rise past it)
-    if subyear:
+    # (+1 = start below the midpoint, area must rise past it). Ramped
+    # runs seed year0's rows here (same-year companion areas from a
+    # one-year deterministic pre-run, or ref_area0= on resume) and then
+    # evolve them lag-1 — in-scan within a chunk, re-derived at chunk
+    # boundaries by the bitwise host twin _thr_sgn_rows.
+    sdir = 1.0 if start == "a" else -1.0
+    if ref_area0 is not None and not (subyear and ramped):
+        raise ValueError(
+            "ref_area0= seeds the evolving crossing threshold of a "
+            "RAMPED subyear=True run (pass the prior segment's "
+            "(result.area_a[-1], result.area_b[-1]))")
+    if subyear and ramped:
+        if ref_area0 is not None:
+            if len(ref_area0) != 2:
+                raise ValueError("ref_area0 must be (area_a, area_b)")
+            a0, b0 = (float(np.asarray(v, np.float64)) for v in ref_area0)
+        else:
+            a0 = _ramp_ref_area0(spec, st, cfg, par, state_a, season,
+                                 dtype, frows_all[0])
+            b0 = _ramp_ref_area0(spec, st, cfg, par, state_b, season,
+                                 dtype, frows_all[0])
+        cr_thr, cr_sgn = _thr_sgn_rows(a0, b0, sdir, K_run, dtype)
+    elif subyear:
         a_arr = np.broadcast_to(np.asarray(area_a, np.float64), (K,))
         b_arr = np.broadcast_to(np.asarray(area_b, np.float64), (K,))
         thr_np = (a_arr + b_arr) / (2.0 * 2.0 * np.pi)
@@ -936,7 +1039,7 @@ def transitions(
         base_run = _transition_fused_loop_fn(
             spec.name, st, cfg, dtype.name, season, track,
             default_interpret(), int(block_k), noise_src, ou_impl,
-            subyear)
+            subyear, (sdir if (subyear and ramped) else 0.0))
         if mesh is not None:
             base_run = _shard_fused_run(base_run, mesh, track)
         run = base_run
@@ -1002,6 +1105,13 @@ def transitions(
         means_h.append(means)
         if subyear:
             cross_h.append(crosses)
+            if ramped:
+                # re-seed the next chunk's entering threshold from this
+                # chunk's last companion areas — bitwise what the
+                # in-scan carry held (same dtype ops, _thr_sgn_rows)
+                last = np.asarray(jax.device_get(areas[-1, -2:]))
+                cr_thr, cr_sgn = _thr_sgn_rows(last[0], last[1], sdir,
+                                               K_run, dtype)
         ok = min(ok, float(conv))  # device fetch — syncs, so wall = real
         wall = time.perf_counter() - t0
         done += k
@@ -1089,6 +1199,8 @@ def transitions(
         crossing_step = np.asarray(
             jax.device_get(jnp.concatenate(cross_h, axis=0)),
             dtype=np.float64)
+        if ramped:
+            crossing_step = crossing_step[:, :K]
 
     return TransitionResult(
         areas=areas, labels=labels, first_passage=fp, finite=finite,

@@ -83,6 +83,29 @@ def main(fast=False, outdir=None):
         print(f"{sig:6.1f}  {int(np.count_nonzero(r.escaped)):>5}/{K}  "
               f"{med:16.1f}  {early:9.1f}  {adv:20.1f}")
 
+    # sub-annual refinement (round 5b): rerun the strongest-noise case
+    # with the in-kernel crossing detector — under a ramp the threshold
+    # EVOLVES with the sigma-zero companions (lag-1 entering midpoint),
+    # so each member's tip refines to the fractional year its
+    # instantaneous ice area actually crossed, typically LEADING the
+    # year-mean classifier during the slow plunge
+    sig = max(sigmas)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r_sub = ebm.transitions("Classic", st, ramp, par, warm, snow,
+                                sigma=sig, tau=0.05, years=years, K=K,
+                                seed=0, dtype="float32", engine="fused",
+                                subyear=True)
+    esc = r_sub.escaped
+    if esc.any():
+        fps = r_sub.first_passage_subyear()
+        lead = r_sub.first_passage[esc] - fps[esc]
+        print(f"\nsub-annual refinement at sigma={sig:g}: "
+              f"{int(esc.sum())} tips refined; instantaneous crossing "
+              f"leads the year-mean classifier by "
+              f"{np.nanmedian(lead):.2f} yr (median), "
+              f"{np.nanmax(lead):.2f} yr (max)")
+
     r = results[max(sigmas)]
     fig = ebm.plot_transitions(r)
     out = os.path.join(outdir or os.path.dirname(__file__),

@@ -589,6 +589,42 @@ def s_subyear():
           flush=True)
 
 
+@stage("ramped subyear: evolving threshold, chunking bitwise on-chip")
+def s_subyear_ramped():
+    # round-5b: under a ramp the crossing threshold EVOLVES with the
+    # sigma-zero companions (lag-1 midpoint carried in-scan; chunk
+    # boundaries re-derive it via the bitwise host twin _thr_sgn_rows).
+    # The chunk-layout invariance must hold ON-CHIP — it spans the
+    # device/host boundary (f32 scalar add/div parity), which interpret
+    # mode cannot prove.
+    import warnings
+
+    st = ebm.SpaceTime.sin(8, 1000, 1)
+    par = ebm.Collection(ebm.default_parameters("Classic"))
+    cw = float(par["cw"])
+    mk = lambda e: ebm.Collection(
+        E=np.full(st.nx, e), Tg=np.full(st.nx, e) / cw)
+    a = ebm.equilibrate("Classic", st, 10.0, par, mk(30.0),
+                        max_years=120, tol=2.0, dtype="float32")
+    b = ebm.equilibrate("Classic", st, 10.0, par, mk(-30.0),
+                        max_years=120, tol=2.0, dtype="float32")
+    ramp = ebm.Forcing(10.0, 11.0, -5.0, (1, 1), (1.0, -1.0))
+    kw = dict(sigma=10.0, tau=0.05, years=20, K=8, seed=3,
+              dtype="float32", engine="fused", subyear=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r1 = ebm.transitions("Classic", st, ramp, par, a, b,
+                             years_per_dispatch=1, **kw)
+        r3 = ebm.transitions("Classic", st, ramp, par, a, b,
+                             years_per_dispatch=3, **kw)
+    np.testing.assert_array_equal(r1.areas, r3.areas)
+    np.testing.assert_array_equal(r1.crossing_step, r3.crossing_step)
+    hits = int((r1.crossing_step >= 0).sum())
+    assert hits >= 1
+    print(f"      chunking bitwise across the host re-derivation; "
+          f"{hits} member-year crossings recorded", flush=True)
+
+
 @stage("kx separable insolation rebuild is BITWISE vs table mode")
 def s_separable_bitwise():
     # the round-3 'kx' in-kernel insolation rebuild must reproduce the
@@ -625,7 +661,8 @@ def main():
               s_fold, s_edge, s_edge_state, s_highres, s_sensitivity,
               s_right_side, s_integrate_chunks, s_lyapunov,
               s_transitions, s_transitions_fused, s_inkernel_draws,
-              s_assoc_ou, s_fused_mesh, s_subyear, s_separable_bitwise]
+              s_assoc_ou, s_fused_mesh, s_subyear, s_subyear_ramped,
+              s_separable_bitwise]
     for fn in stages:
         fn()
     n = len(stages) - len(FAILURES)

@@ -765,10 +765,52 @@ class TestSubyearCrossing:
                         years=2, K=2, engine="fused", subyear=True,
                         dtype="float64")
         ramp = ebm.Forcing(0.0, 5.0, -5.0, (1, 1), (1.0, -1.0))
-        with pytest.raises(ValueError, match="STATIC"):
+        with pytest.raises(ValueError, match="RAMPED"):
+            # ref_area0 seeds ramped subyear thresholds only
+            transitions("Classic", st, 5.5, par, a, a, sigma=1.0,
+                        years=2, K=2, engine="fused", subyear=True,
+                        dtype="float32", ref_area0=(1.0, 2.0))
+        import jax
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("members",))
+        with pytest.raises(ValueError, match="single shard"):
             transitions("Classic", st, ramp, par, a, a, sigma=1.0,
                         years=2, K=2, engine="fused", subyear=True,
-                        dtype="float32")
+                        dtype="float32", mesh=mesh)
+
+    def test_miz_kernel_detector_semantics(self):
+        """The MIZ kernel's crossing path (phi-based instantaneous area
+        + threshold comparison) — previously only the Classic kernel's
+        detector had coverage. Deterministic contract: members on their
+        own attractor never cross (all -1); an ``init=`` override on the
+        FAR side is already across at every year start (step 0, the
+        documented already-across semantics)."""
+        import warnings
+
+        st = ebm.SpaceTime.sin(16, 1000, 1)
+        par = ebm.Collection(ebm.default_parameters("MIZ"))
+        par["D"] = 0.6  # pinned bistable config (test_miz_bistability)
+        F = 0.0
+        kw = dict(tol=1e-2, max_years=300, dtype="float32")
+        warm = ebm.equilibrate("MIZ", st, F, par, ebm.zeros_init(st),
+                               **kw)
+        cold = ebm.continuation("MIZ", st, np.array([-24.0, F]), par,
+                                ebm.zeros_init(st), **kw).results[-1]
+        assert warm.converged
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            on_branch = transitions(
+                "MIZ", st, F, par, warm, cold, sigma=0.0, years=2, K=3,
+                seed=0, dtype="float32", engine="fused", subyear=True)
+            across = transitions(
+                "MIZ", st, F, par, warm, cold, sigma=0.0, years=2, K=3,
+                seed=0, start="a", init=cold.state, dtype="float32",
+                engine="fused", subyear=True)
+        assert (on_branch.crossing_step == -1).all()
+        assert (across.crossing_step == 0).all()
+        np.testing.assert_array_equal(across.first_passage,
+                                      np.ones(3))
 
     def test_crossing_matches_raw_oracle(self):
         """The in-kernel per-step area + crossing step vs a numpy
@@ -833,3 +875,111 @@ class TestSubyearCrossing:
             want = hit[0] if hit.size else -1
             got = int(np.asarray(cross)[k])
             assert abs(got - want) <= 2, (k, got, want)
+
+
+class TestSubyearRamped:
+    """Round-5b: ramped (rate-induced) subyear crossings — the crossing
+    threshold EVOLVES with the sigma-zero companions (lag-1 entering
+    midpoint, updated in-scan; chunk boundaries and resumes re-derive it
+    bitwise via the host twin `_thr_sgn_rows`)."""
+
+    def _ramp(self):
+        # TestRamp's config: the warm branch dies mid-ramp, so the
+        # deterministic companion tips and noisy members tip EARLIER
+        return ebm.Forcing(10.0, 11.0, -5.0, (1, 1), (1.0, -1.0))
+
+    @pytest.fixture(scope="class")
+    def ramped_sub(self, bistable):
+        import warnings
+
+        st, par, F, a, b = bistable
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = transitions("Classic", st, self._ramp(), par, a, b,
+                            sigma=10.0, tau=0.05, years=20, K=6, seed=3,
+                            dtype="float32", engine="fused", subyear=True)
+        return r
+
+    def test_subannual_lead_on_the_det_tip(self, ramped_sub):
+        r = ramped_sub
+        assert r.ramped and r.crossing_step.shape == (20, 6)
+        cs = r.crossing_step
+        assert ((cs == -1) | ((cs >= 0) & (cs < r.nt))).all()
+        det_tip = int(np.argmax(np.abs(np.diff(r.area_a)))) + 1
+        esc = r.escaped
+        assert esc.any()
+        fps = r.first_passage_subyear()
+        # the instantaneous crossing never lags the year-mean classifier,
+        # refines at least one member to a mid-year step, and leads the
+        # deterministic tipping year
+        assert (fps[esc] <= r.first_passage[esc]).all()
+        assert (fps[esc] % 1.0 > 0).any()
+        assert np.nanmin(fps[esc]) < det_tip
+
+    def test_chunking_bitwise_invariant(self, bistable):
+        import warnings
+
+        st, par, F, a, b = bistable
+        kw = dict(sigma=10.0, tau=0.05, years=7, K=4, seed=1,
+                  dtype="float32", engine="fused", subyear=True)
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r1 = transitions("Classic", st, self._ramp(), par, a, b,
+                             years_per_dispatch=1, **kw)
+            r3 = transitions("Classic", st, self._ramp(), par, a, b,
+                             years_per_dispatch=3, **kw)
+        np.testing.assert_array_equal(r1.areas, r3.areas)
+        np.testing.assert_array_equal(r1.crossing_step, r3.crossing_step)
+
+    def test_resume_with_ref_area0_is_seamless(self, bistable, ramped_sub):
+        """Split at year 9 and continue with ref_area0=(area_a[-1],
+        area_b[-1]): the resumed segment's thresholds re-enter the lag-1
+        chain bitwise — areas AND crossing steps match the uninterrupted
+        run exactly."""
+        import warnings
+
+        st, par, F, a, b = bistable
+        r = ramped_sub
+        kw = dict(sigma=10.0, tau=0.05, K=6, seed=3, dtype="float32",
+                  engine="fused", subyear=True)
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ra = transitions("Classic", st, self._ramp(), par, a, b,
+                             years=9, **kw)
+            rb = transitions("Classic", st, self._ramp(), par, a, b,
+                             years=11, year0=9, init=ra.state, eta0=ra.eta,
+                             ref_init=ra.ref_state,
+                             ref_area0=(ra.area_a[-1], ra.area_b[-1]),
+                             **kw)
+        np.testing.assert_array_equal(ra.areas, r.areas[:9])
+        np.testing.assert_array_equal(ra.crossing_step,
+                                      r.crossing_step[:9])
+        np.testing.assert_array_equal(rb.areas, r.areas[9:])
+        np.testing.assert_array_equal(rb.crossing_step,
+                                      r.crossing_step[9:])
+
+    def test_sigma_zero_records_the_det_crossing(self, bistable):
+        """Zero-noise members ride the on-'a' companion; the detector's
+        crossings ARE the deterministic tip's instantaneous timing: none
+        while the companion holds its branch, first hit only after the
+        companion starts moving and no later than its largest annual
+        jump (the instantaneous seasonal peak crosses the evolving
+        midpoint YEARS before the annual mean — the lead the subyear
+        diagnostic exists to measure). The year-mean classifier itself
+        never fires (members == the reference exactly)."""
+        import warnings
+
+        st, par, F, a, b = bistable
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = transitions("Classic", st, self._ramp(), par, a, b,
+                            sigma=0.0, years=20, K=2, seed=0,
+                            dtype="float32", engine="fused", subyear=True)
+        assert not r.escaped.any()  # members ride the reference
+        det_tip = int(np.argmax(np.abs(np.diff(r.area_a)))) + 1
+        first_move = int(np.nonzero(np.diff(r.area_a))[0][0]) + 1
+        hit_years = np.nonzero((r.crossing_step >= 0).any(axis=1))[0]
+        assert hit_years.size >= 1
+        assert first_move <= int(hit_years[0]) <= det_tip
+        np.testing.assert_array_equal(r.crossing_step[:, 0],
+                                      r.crossing_step[:, 1])
