@@ -958,6 +958,26 @@ class TestSubyearRamped:
         np.testing.assert_array_equal(rb.crossing_step,
                                       r.crossing_step[9:])
 
+    def test_start_b_evolving_sign(self, bistable):
+        """The sdir=-1 branch of the evolving update (`start='b'`):
+        members on the FAR (warm) side of the moving midpoint are
+        already across at every year start — step 0 recorded all the
+        way down the ramp, and the year-mean classifier fires at year 1
+        (the documented init=-override semantics, now under an evolving
+        threshold). Cheap and deterministic — the push tier's
+        ramped-subyear smoke (the heavy cases run nightly)."""
+        import warnings
+
+        st, par, F, a, b = bistable
+        with np.errstate(invalid="ignore"), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = transitions("Classic", st, self._ramp(), par, a, b,
+                            start="b", init=a.state, sigma=0.0, years=6,
+                            K=3, seed=0, dtype="float32", engine="fused",
+                            subyear=True)
+        assert (r.crossing_step == 0).all()
+        np.testing.assert_array_equal(r.first_passage, np.ones(3))
+
     def test_sigma_zero_records_the_det_crossing(self, bistable):
         """Zero-noise members ride the on-'a' companion; the detector's
         crossings ARE the deterministic tip's instantaneous timing: none
